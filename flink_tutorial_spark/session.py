@@ -1,0 +1,112 @@
+"""SparkSession factory and table loading.
+
+Scale posture: these configs are the local[32] test profile. On a real
+cluster the same code runs unchanged — AQE handles partition coalescing
+and skew joins at runtime, shuffle partition count should be raised to
+~2-3x total executor cores (or left to AQE's initialPartitionNum), and
+`spark.sql.files.maxPartitionBytes` keeps scan tasks memory-bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at ANY scale factor
+#: (region=5, nation=25 rows always; supplier/part grow slowly with sf).
+BROADCAST_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: columns stored as TIMESTAMP(NANOS) in the testdata parquet; Spark
+#: reads them as epoch-nanos longs (nanosAsLong) and we restore proper
+#: TimestampType here. DuckDB performs the identical truncation to
+#: microseconds, so oracle comparisons stay bit-exact.
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def get_spark(app_name: str = "flink_tutorial_spark", cpus: int | None = None) -> SparkSession:
+    """Create/get the engine SparkSession.
+
+    - AQE on: runtime partition coalescing + skew-join splitting stand in
+      for the reference's hand-rolled salting (PageView.scala:48-59).
+    - UTC session timezone: parquet timestamps compare bit-identical with
+      the DuckDB oracle.
+    - Arrow on: every pandas UDF crosses the JVM<->Python boundary in
+      columnar batches, never row-at-a-time.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in load_table (same
+        # nanos->micros truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Make any externally-created session (e.g. the driver's) safe:
+    nano-timestamp parquet reads and UTC timestamp semantics are
+    required for correct results regardless of who built the session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (parquet scan; pushdown/pruning apply)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # integer `div`, not float `/`: epoch-nanos (~1.7e18) exceed
+            # double's 2^53 integer range and would silently lose micros
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register temp views so spark.sql() sees them."""
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs
