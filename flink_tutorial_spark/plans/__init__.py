@@ -1,6 +1,8 @@
 """Query plan catalog. Importing this package registers all queries."""
 
 from flink_tutorial_spark.plans import (  # noqa: F401
+    queries_joins,
+    queries_patterns,
     queries_relational,
     queries_tpch,
     queries_windows,

@@ -1,0 +1,259 @@
+"""CEP-lite pattern detection + business composites (SURVEY.md §2.10),
+batch analogs. Streaming twins (state machines over
+applyInPandasWithState) live in flink_tutorial_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_tutorial_spark.plans.catalog import query
+from flink_tutorial_spark.session import load_table
+
+
+@query(
+    "login_fail_detect",
+    oracle="""
+WITH seq AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), fails AS (
+    SELECT user_id, ts, event_id, rn,
+           lag(rn, 1)  OVER (PARTITION BY user_id ORDER BY rn) AS rn2,
+           lag(ts, 1)  OVER (PARTITION BY user_id ORDER BY rn) AS ts2
+    FROM seq WHERE event_type = 'error'
+)
+SELECT user_id, ts2 AS first_fail_ts, ts AS last_fail_ts
+FROM fails
+WHERE rn2 = rn - 1 AND ts - ts2 <= INTERVAL 30 MINUTE
+""",
+    tags=("cep",),
+)
+def login_fail_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict-contiguity: 2 consecutive failures within 30 minutes —
+    LoginFailWithCep.scala:38-67 (Pattern.begin.next.next.within) and the
+    hand-rolled ListState+timer variants (LoginFail.scala:57-103).
+
+    Spark-first: global per-key sequence numbers (row_number) turn
+    'strictly consecutive' into rn arithmetic; lag() gives the lookback.
+    Two window passes over the same (user_id, rn) partitioning — Catalyst
+    reuses one shuffle+sort for both."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    )
+    w = Window.partitionBy("user_id").orderBy("rn")
+    fails = (
+        seq.where(F.col("event_type") == "error")
+        .withColumn("rn2", F.lag("rn", 1).over(w))
+        .withColumn("ts2", F.lag("ts", 1).over(w))
+    )
+    return fails.where(
+        (F.col("rn2") == F.col("rn") - 1)
+        & (F.col("ts").cast("long") - F.col("ts2").cast("long") <= 1800)
+    ).select(
+        "user_id",
+        F.col("ts2").alias("first_fail_ts"),
+        F.col("ts").alias("last_fail_ts"),
+    )
+
+
+@query(
+    "order_timeout_detect",
+    oracle="""
+SELECT s.event_id AS signup_id,
+       s.user_id,
+       s.ts AS signup_ts,
+       min(p.ts) AS pay_ts,
+       CASE WHEN min(p.ts) IS NULL THEN 'timeout' ELSE 'matched' END AS status
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 15 MINUTE
+GROUP BY s.event_id, s.user_id, s.ts
+""",
+    tags=("cep",),
+)
+def order_timeout_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-or-timeout — OrderTimeoutWithCEP.scala:38-71 (followedBy +
+    within(15m), timeout side output) / OrderTimeout.scala:50-127.
+
+    Spark-first: left join within the time bound + first-match agg; the
+    CEP timeout branch is the NULL side. Streaming twin: state machine
+    with EventTimeTimeout (streaming/cep.py)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.where(F.col("event_type") == "signup")
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    j = s.join(
+        p,
+        (s.user_id == p.p_user)
+        & (p.p_ts > s.ts)
+        & (p.p_ts <= s.ts + F.expr("INTERVAL 15 MINUTES")),
+        "left",
+    )
+    return (
+        j.groupBy(F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("signup_ts"))
+        .agg(F.min("p_ts").alias("pay_ts"))
+        .withColumn(
+            "status", F.when(F.col("pay_ts").isNull(), "timeout").otherwise("matched")
+        )
+    )
+
+
+@query(
+    "ad_blacklist",
+    oracle="""
+SELECT user_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+       CAST(count(*) AS BIGINT) AS click_count
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+    tags=("cep", "business"),
+)
+def ad_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-click blacklist — AdClickAnalysis.scala:39-123: per (user, ad)
+    count crossing a threshold emits a warning and suppresses the user.
+    Spark-first: groupBy + HAVING; the daily-reset timer is a date column
+    in the key (omitted here — synthetic data spans one month)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_type") == "click")
+        .withColumn("item_id", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("user_id", "item_id")
+        .agg(F.count("*").alias("click_count"))
+        .where(F.col("click_count") >= 2)
+    )
+
+
+@query(
+    "pv_uv_daily",
+    oracle="""
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS pv,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uv
+FROM events
+WHERE event_type = 'view'
+GROUP BY 1
+""",
+    tags=("business", "agg"),
+)
+def pv_uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PV/UV — PageView.scala:48-59 (salted two-stage count; Spark's
+    partial agg does the salting job) + UniqueVisitor.scala:43-48 (exact
+    windowed distinct). countDistinct executes as a two-phase distributed
+    expand+agg, replacing the reference's in-memory HashSet."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 day").start.alias("day"))
+        .agg(F.count("*").alias("pv"), F.countDistinct("user_id").alias("uv"))
+    )
+
+
+@query("uv_approx_distinct", oracle=None, tags=("business", "approx"))
+def uv_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate UV — UniqueVisitorWithBloom.scala:50-120: the reference
+    hand-rolls a 2^19-bit bloom filter in Redis to bound memory; the
+    Spark-native replacement is HyperLogLog (approx_count_distinct, rsd
+    1%). No oracle: HLL estimates differ across engines by design (the
+    exact twin is pv_uv_daily)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 day").start.alias("day"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("uv_approx"))
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE value < 40) AS BIGINT)  AS b0,
+       CAST(count(*) FILTER (WHERE value >= 40  AND value < 80)  AS BIGINT) AS b1,
+       CAST(count(*) FILTER (WHERE value >= 80  AND value < 120) AS BIGINT) AS b2,
+       CAST(count(*) FILTER (WHERE value >= 120 AND value < 160) AS BIGINT) AS b3,
+       CAST(count(*) FILTER (WHERE value >= 160) AS BIGINT) AS b4
+FROM events
+GROUP BY event_type
+""",
+    tags=("business", "histogram"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-bucket vectors per key — the BMW vehicle-label demos
+    (BMWMileAvgCount.scala:58-95 and 5 siblings emit per-(city,model)
+    bucket-count vectors). Spark-first: conditional aggregation — one
+    pass, one shuffle, no pivot needed for a fixed bucket list."""
+    events = load_table(spark, sf_dir, "events")
+
+    def bucket(lo, hi):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("value") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("value") < hi)
+        return F.count(F.when(cond, 1))
+
+    return events.groupBy("event_type").agg(
+        bucket(None, 40).alias("b0"),
+        bucket(40, 80).alias("b1"),
+        bucket(80, 120).alias("b2"),
+        bucket(120, 160).alias("b3"),
+        bucket(160, None).alias("b4"),
+    )
+
+
+@query(
+    "market_channel_stats",
+    oracle="""
+SELECT source AS channel, lang,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source, lang
+""",
+    tags=("business",),
+)
+def market_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App-market channel stats — AppMarketByChannel.scala:36-93: count by
+    (channel, behavior) via a full-buffer ProcessWindowFunction; here the
+    composite-key groupBy count over (source, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("source").alias("channel"), "lang").agg(
+        F.count("*").alias("cnt"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "temp_rise_alert",
+    oracle="""
+WITH lagged AS (
+    SELECT user_id, ts, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events WHERE event_type = 'error'
+)
+SELECT user_id, ts, prev_value, value
+FROM lagged
+WHERE prev_value IS NOT NULL AND value > prev_value
+""",
+    tags=("cep", "state"),
+)
+def temp_rise_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key delta detection (rising value) — _09_KeyedStateFunction.
+    java:44-71 / _03_ProcessFunctionTimers.java:42-68: last-value keyed
+    state compared against the current reading. Batch analog: lag()."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = (
+        events.where(F.col("event_type") == "error")
+        .withColumn("prev_value", F.lag("value").over(w))
+    )
+    return lagged.where(
+        F.col("prev_value").isNotNull() & (F.col("value") > F.col("prev_value"))
+    ).select("user_id", "ts", "prev_value", "value")
