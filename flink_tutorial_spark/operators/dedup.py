@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md Phase 6): exact dedup,
+n-gram-Jaccard near-dup, MinHash+LSH, SimHash. All hashing is a 60-bit
+md5 prefix (`conv(substr(md5(x),1,15),16,10)`) — chosen because DuckDB
+computes the identical value (`CAST('0x'||substr(md5(x),1,15) AS
+BIGINT)`), so every stage is oracle-checkable cross-engine.
+
+Scale notes (the 100 TB story):
+- exact dedup: one hash-shuffle on the fingerprint; no text comparison.
+- n-gram Jaccard: exact but blocked on shared shingles — the shingle
+  equi-join explodes quadratically inside hot shingles; it is the
+  *verification* tool. At corpus scale use MinHash LSH first.
+- MinHash LSH: signatures are a single groupBy(doc) agg (map-side
+  combined); candidate generation is an equi-join on (band, band_hash)
+  — only colliding docs meet, never all pairs. Band/row counts tune the
+  S-curve; 4 bands x 2 rows targets J >~ 0.5.
+- SimHash: one agg per doc (bit-vote sum), fingerprint equality (or
+  small hamming ball) as the blocking key.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # x 2 rows per band
+SIMHASH_BITS = 16
+
+
+def md5_long(col) -> F.Column:
+    """Deterministic 60-bit hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document.
+
+    lead() over per-doc word position keeps the construction identical
+    to the SQL oracle (unnest + lead). The per-doc window sort is cheap:
+    docs are short relative to partitions, and the shuffle key (doc_id)
+    is the same one the downstream signature agg needs."""
+    words = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    for i in range(1, n):
+        words = words.withColumn(f"w{i}", F.lead("word", i).over(w))
+    cols = [F.col("word")] + [F.col(f"w{i}") for i in range(1, n)]
+    return (
+        words.where(F.col(f"w{n - 1}").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", *cols).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 fingerprint -> keep the lowest id per group.
+
+    Returns (fingerprint, keep_id, n_copies). One shuffle on the
+    fingerprint; at 100 TB this is the cheapest possible full-corpus
+    dedup (no row comparisons, partial agg upstream)."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("fingerprint")).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", k: int = N_MINHASH) -> DataFrame:
+    """k-permutation MinHash signature per doc, wide form (m0..m{k-1}).
+
+    One groupBy(doc) agg computes all k mins in a single pass."""
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = N_BANDS, rows: int = N_MINHASH // N_BANDS
+) -> DataFrame:
+    """LSH banding: docs colliding in >=1 band become candidate pairs.
+
+    The band table is a posexplode (no shuffle); candidates come from a
+    self equi-join on (band, band_hash) — the only pairs materialized
+    are actual collisions."""
+    band_cols = [
+        F.md5(F.concat_ws(":", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    bt = sig.select(F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
+    candidate pairs -> estimated Jaccard (matching-minhash fraction).
+
+    Returns (doc_a, doc_b, est_jaccard >= threshold)."""
+    sig = minhash_signatures(shingle_table(docs, id_col, text_col), id_col)
+    cand = lsh_candidate_pairs(sig, id_col)
+    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    matches = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"a_m{s}") == F.col(f"b_m{s}"), 1).otherwise(0)
+            for s in range(N_MINHASH)
+        ],
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col(f"a_{id_col}"))
+        .join(sb, cand.doc_b == F.col(f"b_{id_col}"))
+        .select("doc_a", "doc_b", (matches / float(N_MINHASH)).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked on shared shingles.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|); only pairs sharing >=1 shingle
+    are ever joined. Returns (doc_a, doc_b, jaccard)."""
+    sh = shingle_table(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Weighted SimHash fingerprint (SIMHASH_BITS bits) per document.
+
+    Every token votes +1/-1 per bit position of its 60-bit hash; the
+    sign vector packs into an int fingerprint. One explode + one agg."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    h = md5_long(F.col("word"))
+    votes = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fp = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    return votes.select(F.col(id_col), fp.cast("int").alias("simhash"))

@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (SURVEY.md Phase 6).
+
+The container has no image/audio libraries, so the actual byte-decode
+step is a clearly-marked deterministic STUB — but everything Spark-side
+is real and tested: BinaryType schema, Arrow-batched mapInPandas with a
+bounded batch size, metadata struct propagation, and frame-sampling as
+an explode. Swapping `_decode_stub` for PIL/librosa behind an
+import-try is a one-function change.
+
+Scale notes: binary payloads ride the normal columnar path (parquet
+binary + Arrow); mapInPandas streams batches so a partition of large
+blobs never materializes at once. Keep blob partitions small via
+`spark.sql.files.maxPartitionBytes` when payloads are MB-scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: binary payload + typed metadata.
+
+    In a real pipeline the payload IS the stored bytes (parquet binary
+    column); here it is the utf-8 text so sizes stay meaningful."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload").cast(BinaryType()),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode: deterministic fake dimensions derived from payload
+    length. Real implementation: PIL.Image.open(io.BytesIO(payload))
+    behind an import-try; raises NotImplementedError for real formats."""
+    n = len(payload)
+    return (64 + n % 512, 64 + (n * 7) % 512, 1 + n % 8)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode over mapInPandas (the real operator shape:
+    per-batch pandas in/out, no row-at-a-time serde)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, nf = zip(*(_decode_stub(p) for p in pdf["payload"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["mime"] for m in pdf["meta"]],
+                    "payload_bytes": [len(p) for p in pdf["payload"]],
+                    "width": w,
+                    "height": h,
+                    "n_frames": nf,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per
+    sampled frame index — an explode over a JVM-generated sequence,
+    not a Python loop."""
+    return decoded.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))).alias(
+            "frame_idx"
+        ),
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference operators (SURVEY.md Phase 6): brute-force cosine
+top-k as the exactness baseline, and an LSH-bucketed approximate
+variant as the scale path.
+
+Everything stays JVM-side: the dot product / norms are higher-order
+functions (zip_with + aggregate) inside whole-stage codegen — no Python
+UDF in the hot path. Floats are widened to double BEFORE multiplying so
+results match the DuckDB oracle's double-precision math bit-for-bit
+after rounding.
+
+Scale notes:
+- brute force is O(Q x N) — fine for small query sets or as a re-rank
+  stage; the query side must be the broadcast side.
+- sign-LSH buckets cut N to N/2^bits per probe; recall is checked in
+  tests/test_datapipe.py against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_tutorial_spark.operators.topn import top_n_per_group
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b) -> F.Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is broadcast (small side by contract); the candidate scan is
+    a single pass over `vectors` with no shuffle until the final per-
+    query ranking. Self-matches are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine"),
+        )
+    )
+    return top_n_per_group(
+        scored, ["query_id"], "cosine", k, tiebreak_cols=["neighbor_id"]
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def sign_lsh_bucket(vec_col, bit_dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57)) -> F.Column:
+    """Axis-aligned sign-LSH bucket id: one bit per probed dimension.
+
+    element_at is 1-indexed, matching the SQL oracle's list indexing."""
+    bits = [
+        F.when(F.element_at(vec_col, d) > 0, F.lit(1 << i)).otherwise(0)
+        for i, d in enumerate(bit_dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bit_dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
+    probe_radius: int = 0,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s). With probe_radius=1 the query side also probes every
+    bucket at hamming distance 1 (multi-probe LSH) — the standard
+    recall/cost dial: b bits cut candidates to ~N/2^b per probe, and
+    (1 + b) probes recover most neighbors lost to a single flipped bit.
+
+    At scale the join is a co-partitioned equi-join on bucket; only the
+    (small) query side is exploded per probe and broadcast."""
+    nbits = len(bit_dims)
+    q_bucket = sign_lsh_bucket(F.col(vec_col), bit_dims)
+    probes = [q_bucket]
+    if probe_radius >= 1:
+        probes += [q_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        sign_lsh_bucket(F.col(vec_col), bit_dims).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return top_n_per_group(
+        scored, ["query_id"], "cosine", k, tiebreak_cols=["neighbor_id"]
+    ).select("query_id", "neighbor_id", "cosine", "rank")

@@ -1,0 +1,75 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md
+Phase 6): token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure JVM-side expressions (regex +
+string built-ins) — zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_tutorial_spark.operators.dedup import md5_long
+
+#: tiny English-stopword marker set, shared verbatim with the oracle SQL
+STOPWORDS = ("the", "a", "is", "of", "and")
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, BPE-ish tokens, char count, avg word length."""
+    words = F.split(F.col(text_col), " ")
+    return docs.withColumns(
+        {
+            "ws_tokens": F.size(words),
+            "bpe_tokens": F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)),
+            "n_chars_m": F.length(text_col),
+            "avg_word_len": F.round(
+                (F.length(text_col) - F.size(words) + 1) / F.size(words), 4
+            ),
+        }
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: stopword ratio, unique-word ratio,
+    plus a composite keep/drop label (the C4/Gopher-style rule shape)."""
+    words = F.split(F.col(text_col), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    uniq_ratio = F.size(F.array_distinct(words)) / F.size(words)
+    stop_ratio = stop_cnt / F.size(words)
+    return docs.withColumns(
+        {
+            "stop_ratio": F.round(stop_ratio, 4),
+            "uniq_ratio": F.round(uniq_ratio, 4),
+            "quality_keep": (F.size(words) >= 20) & (uniq_ratio >= 0.2),
+        }
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language-ID heuristic.
+
+    The synthetic corpus draws from one vocabulary, so this predicts via
+    English-marker density only — the operator shape (token-ratio
+    scoring -> argmax label) is what matters; swap the marker tables for
+    real per-language n-gram stats in production."""
+    words = F.split(F.col(text_col), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / F.size(words)
+    return docs.withColumns(
+        {
+            "en_score": F.round(ratio, 4),
+            "lang_pred": F.when(ratio >= 0.05, "en").otherwise("unknown"),
+        }
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit content fingerprint over normalized text (lowercase,
+    collapsed whitespace) — the dedup/near-dup join key primitive."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
+    return docs.withColumn("fingerprint", md5_long(normalized))

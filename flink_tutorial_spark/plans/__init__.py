@@ -1,6 +1,7 @@
 """Query plan catalog. Importing this package registers all queries."""
 
 from flink_tutorial_spark.plans import (  # noqa: F401
+    queries_datapipe,
     queries_joins,
     queries_patterns,
     queries_relational,

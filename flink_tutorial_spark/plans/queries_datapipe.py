@@ -1,0 +1,300 @@
+"""Training-data pipeline queries: dedup / similarity / text analysis /
+multimodal over `documents` and `embeddings` (SURVEY.md Phase 6 —
+beyond-reference, first-class judged surface).
+
+Hash parity: Spark conv(substr(md5(x),1,15),16,10) == DuckDB
+CAST('0x'||substr(md5(x),1,15) AS BIGINT), so even MinHash/SimHash have
+exact oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_spark.operators import dedup as D
+from flink_tutorial_spark.operators import similarity as S
+from flink_tutorial_spark.operators import text as T
+from flink_tutorial_spark.operators.multimodal import attach_payload
+from flink_tutorial_spark.plans.catalog import query
+from flink_tutorial_spark.session import load_table
+
+_MD5_LONG = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHINGLES = """
+w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), s0 AS (
+    SELECT doc_id,
+           word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+           lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM w
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM s0 WHERE w2 IS NOT NULL
+)"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("datapipe", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint; keep lowest doc_id."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+""",
+    tags=("datapipe", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (blocked on shared shingles)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+_SIG_COLS = ",\n       ".join(
+    "min(" + _MD5_LONG.format(x=f"'{s}:' || shingle") + f") AS m{s}"
+    for s in range(D.N_MINHASH)
+)
+_BAND_ROWS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band, md5(concat_ws(':', m{2 * b}, m{2 * b + 1})) AS bh FROM sig"
+    for b in range(D.N_BANDS)
+)
+_MATCHES = " + ".join(
+    f"(CASE WHEN sa.m{s} = sb.m{s} THEN 1 ELSE 0 END)" for s in range(D.N_MINHASH)
+)
+
+MINHASH_ORACLE = f"""
+WITH {_SHINGLES},
+sig AS (
+    SELECT doc_id,
+       {_SIG_COLS}
+    FROM sh GROUP BY doc_id
+), bands AS (
+{_BAND_ROWS}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({_MATCHES}) / {float(D.N_MINHASH)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE ({_MATCHES}) / {float(D.N_MINHASH)} >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=MINHASH_ORACLE, tags=("datapipe", "dedup"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands x 2 rows) near-dup candidate pairs with
+    estimated Jaccard — the 100TB-scale dedup path (no all-pairs join)."""
+    return D.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_VOTES = ",\n       ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(D.SIMHASH_BITS)
+)
+_FP = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(D.SIMHASH_BITS)
+)
+
+SIMHASH_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hashed AS (
+    SELECT doc_id, {_MD5_LONG.format(x="word")} AS h
+    FROM words WHERE word <> ''
+), votes AS (
+    SELECT doc_id,
+       {_VOTES}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_FP} AS INT) AS simhash FROM votes
+"""
+
+
+@query("dedup_simhash", oracle=SIMHASH_ORACLE, tags=("datapipe", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 16-bit SimHash fingerprint per document (fingerprint
+    equality / small hamming ball is the near-dup blocking key)."""
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE q.query_id <> e.vec_id
+), ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("datapipe", "similarity"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for 20 query vectors — the
+    exactness baseline; JVM-side zip_with/aggregate dot products."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 20), k=3)
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle="""
+WITH b AS (
+    SELECT vec_id, embedding,
+           CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END)
+              + (CASE WHEN embedding[33] > 0 THEN 16 ELSE 0 END)
+              + (CASE WHEN embedding[41] > 0 THEN 32 ELSE 0 END)
+              + (CASE WHEN embedding[49] > 0 THEN 64 ELSE 0 END)
+              + (CASE WHEN embedding[57] > 0 THEN 128 ELSE 0 END) AS INT) AS bucket
+    FROM embeddings
+), q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket FROM b WHERE vec_id < 20),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+    FROM b e JOIN q ON e.bucket = q.bucket
+    WHERE q.query_id <> e.vec_id
+), ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("datapipe", "similarity"),
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed approximate top-3 — the scale path: candidates
+    limited to the query's bucket (~N/256 of the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.where(F.col("vec_id") < 20), k=3)
+
+
+@query(
+    "text_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpe_tokens,
+       round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+             / len(string_split(text, ' ')), 4) AS avg_word_len,
+       round(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','is','of','and'], w)))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS uniq_ratio,
+       (len(string_split(text, ' ')) >= 20
+        AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' ')) >= 0.2) AS quality_keep
+FROM documents
+""",
+    tags=("datapipe", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and quality scoring
+    (stopword/unique ratios + keep rule) — pure codegen expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.quality_score(T.token_stats(docs))
+    return out.select(
+        "doc_id", "ws_tokens", "bpe_tokens", "avg_word_len", "stop_ratio",
+        "uniq_ratio", "quality_keep",
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+SELECT doc_id,
+       round(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','is','of','and'], w)))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS en_score,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','is','of','and'], w)))::DOUBLE
+             / len(string_split(text, ' ')) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM documents
+""",
+    tags=("datapipe", "text"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (operator shape: ratio scoring
+    -> label; swap marker tables for real n-gram stats in production)."""
+    return T.lang_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "en_score", "lang_pred"
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {_MD5_LONG.format(x="regexp_replace(lower(trim(text)), ' +', ' ', 'g')")} AS fingerprint
+FROM documents
+""",
+    tags=("datapipe", "text"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit normalized-content fingerprint per document."""
+    return T.fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "multimodal_payload_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       'image/png' AS mime
+FROM documents
+""",
+    tags=("datapipe", "multimodal"),
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: payload byte length + typed
+    metadata (decode itself is a stub — see operators/multimodal.py and
+    tests/test_datapipe.py for the mapInPandas path)."""
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("payload_bytes"),
+        F.col("meta.mime").alias("mime"),
+    )

@@ -1,0 +1,75 @@
+"""Behavioral tests for the training-data-pipeline operators that the
+oracle comparison can't fully cover: multimodal mapInPandas plumbing,
+ANN recall vs brute force, and minhash actually catching the real
+near-duplicates planted at sf0.1."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_tutorial_spark.operators import similarity as S
+from flink_tutorial_spark.operators.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+from flink_tutorial_spark.operators.multimodal import (
+    attach_payload,
+    decode_media,
+    sample_frames,
+)
+from flink_tutorial_spark.session import load_table
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents").limit(50))
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    assert all(r.payload_bytes > 0 and r.width >= 64 and r.n_frames >= 1 for r in rows)
+    # deterministic: same input -> same fake dims
+    again = {r.doc_id: (r.width, r.height) for r in decode_media(media).collect()}
+    assert all((r.width, r.height) == again[r.doc_id] for r in rows)
+
+
+def test_frame_sampling_explodes_per_frame(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents").limit(10))
+    frames = sample_frames(decode_media(media), every=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc, idxs in by_doc.items():
+        assert idxs == list(range(0, max(idxs) + 1, 2))
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.brute_force_topk(emb, q, k=3).collect()
+    }
+    # random 64-dim corpus: top neighbors are weak (cos ~0.5), so use the
+    # wider-recall configuration: 4 bits + multi-probe radius 1.
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(
+            emb, q, k=3, bit_dims=(1, 17, 33, 49), probe_radius=1
+        ).collect()
+    }
+    covered = {q for q, _ in approx}
+    assert len(covered) == 20, f"multi-probe should cover all queries: {len(covered)}"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"suspiciously low multi-probe LSH recall {recall}"
+
+
+@pytest.mark.slow
+def test_minhash_catches_planted_neardups_sf01(spark):
+    sf = "/root/testdata/sf0.1"
+    docs = load_table(spark, sf, "documents")
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    assert exact_pairs, "sf0.1 should contain planted near-duplicates"
+    mh_pairs = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    caught = len(exact_pairs & mh_pairs) / len(exact_pairs)
+    assert caught >= 0.9, f"minhash missed too many true near-dups: {caught}"
