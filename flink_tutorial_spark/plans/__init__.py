@@ -5,6 +5,7 @@ from flink_tutorial_spark.plans import (  # noqa: F401
     queries_joins,
     queries_patterns,
     queries_relational,
+    queries_streaming,
     queries_tpch,
     queries_windows,
 )

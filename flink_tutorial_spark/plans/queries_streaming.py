@@ -1,0 +1,165 @@
+"""Streaming queries surfaced in the driver catalog: each runs a REAL
+Structured Streaming query (file source -> stateful ops -> memory sink)
+to completion and returns the materialized result.
+
+Oracles exist wherever the streaming semantics are deterministic:
+- complete-mode agg over a bounded stream == the batch aggregate
+- append-mode windows emit exactly the windows closed by the final
+  watermark (watermark == max event ts with delay 0)
+- the count window processes one file-batch sorted by (ts) per key
+
+match_or_timeout keeps a rows-only check (state-overwrite semantics are
+arrival-order-dependent by design, same as the reference's state
+machine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_spark.plans.catalog import query
+from flink_tutorial_spark.streaming.run import run_to_memory, stream_table
+
+
+@query(
+    "streaming_running_sum",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming",),
+)
+def streaming_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyed.sum as a LIVE streaming query (StreamWordCount.java:37) —
+    complete-mode continuous aggregation; the converged table equals the
+    batch aggregate (the reference's update-stream trace day10/_02)."""
+    events = stream_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@query(
+    "streaming_tumbling_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+""",
+    tags=("streaming", "window"),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window, LIVE streaming append mode with
+    watermark (EvenTimeTumblingWindowDemo.java:43): exactly the windows
+    whose end <= final watermark (= max ts, delay 0) are emitted — the
+    oracle states that contract in SQL."""
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    return run_to_memory(agg, "append")
+
+
+@query(
+    "streaming_count_window",
+    oracle="""
+WITH seq AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+    FROM events
+), grouped AS (
+    SELECT event_type AS key,
+           CAST((rn - 1) // 100 + 1 AS BIGINT) AS window_seq,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM seq
+    GROUP BY 1, 2
+)
+SELECT key, window_seq, cnt, sum_value FROM grouped WHERE cnt = 100
+""",
+    tags=("streaming", "count-window"),
+)
+def streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed COUNT window (countWindow(n), CountWindowDemo.java:32) as a
+    LIVE applyInPandasWithState query — no Spark-native equivalent
+    (SURVEY §2.6). Bounded stream arrives as one batch sorted by
+    (ts, event_id) per key, so emitted windows are deterministic: every
+    complete group of 100 events per key."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("window_seq", LongType()),
+            StructField("cnt", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buf_cnt", LongType()),
+            StructField("buf_sum", DoubleType()),
+            StructField("emitted", LongType()),
+        ]
+    )
+    n = 100
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        buf_cnt, buf_sum, emitted = state.get if state.exists else (0, 0.0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                buf_cnt += 1
+                buf_sum += float(v)
+                if buf_cnt == n:
+                    emitted += 1
+                    out.append((key[0], emitted, buf_cnt, round(buf_sum, 4)))
+                    buf_cnt, buf_sum = 0, 0.0
+        state.update((buf_cnt, buf_sum, emitted))
+        if out:
+            yield pd.DataFrame(out, columns=["key", "window_seq", "cnt", "sum_value"])
+
+    events = stream_table(spark, sf_dir, "events")
+    counted = events.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return run_to_memory(counted, "append")
+
+
+@query("streaming_match_or_timeout", oracle=None, tags=("streaming", "cep"))
+def streaming_match_or_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order match-or-timeout as a LIVE event-time-timer query
+    (OrderTimeout.scala:50-127): signup must be followed by a purchase
+    within 15 minutes, else the EventTimeTimeout branch (== onTimer)
+    emits a timeout row after the watermark passes. Rows-only check:
+    state-overwrite on re-signup is arrival-order semantics, matching
+    the reference's state machine rather than a relational expression."""
+    from flink_tutorial_spark.streaming.cep import match_or_timeout
+
+    events = stream_table(spark, sf_dir, "events")
+    relevant = events.where(F.col("event_type").isin("signup", "purchase"))
+    wm = relevant.withWatermark("ts", "0 seconds")
+    out = match_or_timeout(wm, "user_id", "ts", "event_type", "signup", "purchase", 900)
+    return run_to_memory(out, "append")

@@ -83,6 +83,13 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     required for correct results regardless of who built the session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # perf hygiene for externally-built sessions (all runtime-settable):
+    # AQE coalesces the default 200 shuffle partitions and splits skew
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 32))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,142 @@
+"""CEP-lite streaming operators (SURVEY.md §2.10): sequence detection
+and match-or-timeout state machines over applyInPandasWithState.
+
+These are the streaming twins of plans/queries_patterns.py; both derive
+from the same reference programs and converge to the same results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SEQ_OUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("first_ts", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("n_matched", LongType()),
+    ]
+)
+_SEQ_STATE = StructType(
+    [StructField("streak", LongType()), StructField("first_ts", LongType())]
+)
+
+
+def detect_consecutive(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    flag_col: str,
+    n: int,
+    within_seconds: int,
+) -> DataFrame:
+    """Strict-contiguity CEP: n consecutive flagged events within T —
+    LoginFailWithCep.scala:38-67 (Pattern.begin.next....within) and the
+    ListState+timer variant LoginFail.scala:57-103.
+
+    State machine per key: a streak counter + streak start; any
+    non-matching event resets (strict contiguity), exceeding the time
+    bound restarts the streak at the current event. Emits one row per
+    completed n-streak. Input must arrive time-ordered per key (use a
+    watermarked, window-sorted upstream or accept arrival order, same
+    as Flink with out-of-orderness 0)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        streak, first_ts = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                ts = int(row[ts_col].value // 1_000_000_000)
+                if bool(row[flag_col]):
+                    if streak == 0 or ts - first_ts > within_seconds:
+                        streak, first_ts = 1, ts
+                    else:
+                        streak += 1
+                    if streak >= n:
+                        out.append((key[0], first_ts, ts, streak))
+                        streak, first_ts = 0, 0
+                else:
+                    streak, first_ts = 0, 0
+        state.update((streak, first_ts))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in SEQ_OUT.fields])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, SEQ_OUT, _SEQ_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+TIMEOUT_OUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("start_ts", LongType()),
+        StructField("end_ts", LongType()),
+        StructField("status", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_TIMEOUT_STATE = StructType(
+    [StructField("start_ts", LongType()), StructField("start_value", DoubleType())]
+)
+
+
+def match_or_timeout(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    kind_col: str,
+    start_kind: str,
+    end_kind: str,
+    within_seconds: int,
+) -> DataFrame:
+    """Match-or-timeout — OrderTimeoutWithCEP.scala:38-71 / OrderTimeout.
+    scala:50-127: a start event must be followed by an end event within
+    T, else emit a timeout row.
+
+    EventTimeTimeout + setTimeoutTimestamp IS Flink's
+    registerEventTimeTimer: the timeout branch fires when the watermark
+    passes start_ts + T, exactly like onTimer. Requires withWatermark
+    on the input stream."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        out = []
+        if state.hasTimedOut:
+            start_ts, start_value = state.get
+            out.append((key[0], start_ts, start_ts + within_seconds, "timeout", start_value))
+            state.remove()
+        else:
+            start_ts, start_value = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    ts = int(row[ts_col].value // 1_000_000_000)
+                    kind = row[kind_col]
+                    if kind == start_kind:
+                        start_ts, start_value = ts, float(row["value"])
+                    elif kind == end_kind and start_ts > 0:
+                        if ts - start_ts <= within_seconds:
+                            out.append((key[0], start_ts, ts, "matched", start_value))
+                        start_ts, start_value = 0, 0.0
+            if start_ts > 0:
+                state.update((start_ts, start_value))
+                state.setTimeoutTimestamp((start_ts + within_seconds) * 1000)
+            else:
+                state.remove() if state.exists else None
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in TIMEOUT_OUT.fields])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, TIMEOUT_OUT, _TIMEOUT_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -1,0 +1,149 @@
+"""Stateful streaming operators — the applyInPandasWithState layer that
+matches the reference's KeyedProcessFunction/state/timer surface
+(SURVEY.md §2.9).
+
+Semantic mapping (documented deltas):
+- ValueState/ListState/MapState (KeyedStateDemo.java:59-88,
+  ListStateDemo01.java:52-76, MapStateDemo.java:42-66) -> ONE state
+  struct per key (model all Flink state slots as fields of one tuple;
+  lists/maps become array fields).
+- registerEventTimeTimer/onTimer (ProcessingTimeTimerDemo.java:45-55,
+  LoginFail.scala:65-103) -> GroupStateTimeout.EventTimeTimeout +
+  state.setTimeoutTimestamp; the callback is the `state.hasTimedOut`
+  branch of the same function.
+- State TTL (KeyedStateTTLDemo.java:62-72) -> ProcessingTimeTimeout +
+  state.remove() on timeout.
+- Per-record emission (keyed.sum emits one row per input) -> one row
+  per key per micro-batch (update mode); the converged result is equal.
+- Flink's per-record triggers/early-fire -> update-mode emission per
+  micro-batch (note/03.Window.md FIRE_AND_PURGE patterns).
+
+Scale notes: state lives in the executor-side state store (RocksDB
+provider in production), partitioned by the grouping key — the same
+hash partitioning Flink uses for keyed state. Pandas batches arrive
+per key-group via Arrow; functions below sort within the batch, never
+across keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def keyed_process(
+    df: DataFrame,
+    key_cols: list[str],
+    fn,
+    output_schema: StructType,
+    state_schema: StructType,
+    output_mode: str = "append",
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """KeyedProcessFunction analog: `fn(key, pdf_iter, state)` runs per
+    key with a single state slot and optional timeout — the engine's
+    generic hook for everything Flink expresses with Rich*/Keyed*
+    process functions."""
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, output_schema, state_schema, output_mode, timeout
+    )
+
+
+COUNT_WINDOW_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("window_seq", LongType()),
+        StructField("cnt", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+_COUNT_WINDOW_STATE = StructType(
+    [StructField("buf_cnt", LongType()), StructField("buf_sum", DoubleType()), StructField("emitted", LongType())]
+)
+
+
+def count_window_sum(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str, n: int
+) -> DataFrame:
+    """Keyed tumbling COUNT window (fires every n rows per key) —
+    countWindow(3), CountWindowDemo.java:32; golden trace
+    CountWindowAllDemo.java:33-41. No Spark native equivalent
+    (SURVEY §2.6): buffer counts per key in state, emit on every n-th.
+
+    Rows are processed in (ts, value) order within each micro-batch;
+    cross-batch order follows arrival (same caveat as Flink's network
+    nondeterminism across exchanges)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (buf_cnt, buf_sum, emitted) = state.get if state.exists else (0, 0.0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, value_col])
+            for v in pdf[value_col]:
+                buf_cnt += 1
+                buf_sum += float(v)
+                if buf_cnt == n:
+                    emitted += 1
+                    out.append((key[0], emitted, buf_cnt, buf_sum))
+                    buf_cnt, buf_sum = 0, 0.0
+        state.update((buf_cnt, buf_sum, emitted))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in COUNT_WINDOW_OUT.fields])
+
+    return keyed_process(
+        df, [key_col], fn, COUNT_WINDOW_OUT, _COUNT_WINDOW_STATE, "append"
+    )
+
+
+RUNNING_TOTAL_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("window_start", LongType()),
+        StructField("window_cnt", LongType()),
+        StructField("running_total", LongType()),
+    ]
+)
+_RUNNING_TOTAL_STATE = StructType([StructField("total", LongType())])
+
+
+def windowed_count_with_running_total(
+    df: DataFrame, key_col: str, ts_col: str, window_seconds: int
+) -> DataFrame:
+    """Two-stage window agg + cross-window running total —
+    ProcessWindowFunctionDemo01/02.java:54-102 (window aggregate feeding
+    a keyed ValueState that accumulates across windows).
+
+    Implementation: assign the tumbling bucket inside the stateful op
+    (epoch-aligned like F.window) and carry the per-key total in state.
+    Requires the stream to be watermark-ordered per batch; windows are
+    finalized in event-time order within each batch."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (total,) = state.get if state.exists else (0,)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.assign(
+                _w=(pdf[ts_col].astype("int64") // 1_000_000_000 // window_seconds)
+                * window_seconds
+            )
+            for w, grp in pdf.groupby("_w", sort=True):
+                cnt = len(grp)
+                total += cnt
+                rows.append((key[0], int(w), cnt, total))
+        state.update((total,))
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in RUNNING_TOTAL_OUT.fields])
+
+    return keyed_process(
+        df, [key_col], fn, RUNNING_TOTAL_OUT, _RUNNING_TOTAL_STATE, "append"
+    )

@@ -1,0 +1,250 @@
+"""Structured Streaming semantics tests: drive deterministic micro-
+batches through a file source (one parquet file per batch,
+maxFilesPerTrigger=1) into memory sinks, reproducing the reference's
+inline golden traces (SURVEY.md §5):
+
+- event-time tumbling window I/O — EvenTimeTumblingWindowDemo.java:48-66
+- update-mode running agg == retract-stream trace — day10/_02:55-66
+- keyed count window — CountWindowDemo.java:32 / CountWindowAllDemo.java:33-41
+- strict-contiguity CEP + match-or-timeout — LoginFail / OrderTimeout
+- stream-stream interval join — IntervalJoinDemo.java:75-86
+- idempotent keyed upsert sink — JDBCSinkDemo.java:24-59 contract
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("key", StringType()),
+        StructField("user", LongType()),
+        StructField("kind", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("ts", pa.timestamp("us")),
+        ("key", pa.string()),
+        ("user", pa.int64()),
+        ("kind", pa.string()),
+        ("value", pa.float64()),
+    ]
+)
+
+T0 = pd.Timestamp("2024-01-01 00:00:00")
+
+
+def _row(sec, key="a", user=1, kind="x", value=1.0):
+    return (T0 + pd.Timedelta(seconds=sec), key, user, kind, value)
+
+
+def write_batches(tmpdir: str, batches):
+    os.makedirs(tmpdir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["ts", "key", "user", "kind", "value"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=_ARROW_SCHEMA, preserve_index=False),
+            os.path.join(tmpdir, f"b{i:03d}.parquet"),
+        )
+
+
+def run_stream(spark, src_dir, build_query, mode, name=None):
+    name = name or f"out_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    out = build_query(stream)
+    q = out.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_event_time_tumbling_window_golden(spark, tmp_path):
+    # golden trace shape of EvenTimeTumblingWindowDemo.java:48-66:
+    # 5s tumbling sums fire when the watermark passes the window end
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(1, "a", value=1), _row(2, "a", value=2), _row(4, "b", value=3)],
+            [_row(6, "a", value=4)],
+            [_row(13, "z", value=9)],  # pushes watermark past [5,10)
+        ],
+    )
+
+    def q(stream):
+        return (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "5 seconds").alias("w"), "key")
+            .agg(F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("ws"), "key", "total")
+        )
+
+    got = {
+        (r.ws.isoformat(), r.key): r.total
+        for r in run_stream(spark, src, q, "append").collect()
+    }
+    assert got[("2024-01-01T00:00:00", "a")] == 3.0  # [0,5): 1+2
+    assert got[("2024-01-01T00:00:00", "b")] == 3.0
+    assert got[("2024-01-01T00:00:05", "a")] == 4.0  # [5,10)
+
+
+def test_update_mode_equals_retract_trace(spark, tmp_path):
+    # day10/_02_StreamToTable_Agg.java:55-66: (true, ws_001, 45) then
+    # retract+re-emit 90 — update mode re-emits the revised row per batch
+    src = str(tmp_path / "src")
+    write_batches(src, [[_row(1, "ws_001", value=45.0)], [_row(2, "ws_001", value=45.0)]])
+
+    def q(stream):
+        return stream.groupBy("key").agg(F.sum("value").alias("vc_sum"))
+
+    rows = run_stream(spark, src, q, "update").collect()
+    emitted = [r.vc_sum for r in rows if r.key == "ws_001"]
+    assert emitted == [45.0, 90.0]
+
+
+def test_keyed_count_window(spark, tmp_path):
+    from flink_tutorial_spark.streaming.stateful import count_window_sum
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(1, "a", value=1), _row(2, "a", value=2), _row(3, "b", value=10)],
+            [_row(4, "a", value=3), _row(5, "b", value=20), _row(6, "b", value=30)],
+            [_row(7, "a", value=4)],
+        ],
+    )
+    got = run_stream(
+        spark, src, lambda s: count_window_sum(s, "key", "ts", "value", 3), "append"
+    ).collect()
+    by_key = {(r.key, r.window_seq): (r.cnt, r.sum_value) for r in got}
+    assert by_key[("a", 1)] == (3, 6.0)  # first 3 a-rows: 1+2+3
+    assert by_key[("b", 1)] == (3, 60.0)
+    assert ("a", 2) not in by_key  # 4th a-row still buffered
+
+
+def test_detect_consecutive_streaming(spark, tmp_path):
+    from flink_tutorial_spark.streaming.cep import detect_consecutive
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [
+                _row(0, user=7, kind="fail"),
+                _row(60, user=7, kind="fail"),
+                _row(100, user=8, kind="fail"),
+            ],
+            [
+                _row(120, user=8, kind="ok"),  # resets user 8
+                _row(200, user=8, kind="fail"),
+            ],
+        ],
+    )
+
+    def q(stream):
+        flagged = stream.withColumn("is_fail", F.col("kind") == "fail")
+        return detect_consecutive(flagged, "user", "ts", "is_fail", 2, 1800)
+
+    got = run_stream(spark, src, q, "append").collect()
+    assert {(r.key, r.n_matched) for r in got} == {(7, 2)}
+
+
+def test_match_or_timeout_streaming(spark, tmp_path):
+    from flink_tutorial_spark.streaming.cep import match_or_timeout
+
+    src = str(tmp_path / "src")
+    base = int(T0.timestamp())
+    write_batches(
+        src,
+        [
+            [_row(0, user=1, kind="create", value=5.0), _row(10, user=2, kind="create", value=7.0)],
+            [_row(300, user=1, kind="pay")],
+            [_row(5000, user=9, kind="other")],  # watermark push -> user 2 times out
+        ],
+    )
+
+    def q(stream):
+        wm = stream.withWatermark("ts", "0 seconds")
+        return match_or_timeout(wm, "user", "ts", "kind", "create", "pay", 900)
+
+    got = {r.key: (r.status, r.start_ts) for r in run_stream(spark, src, q, "append").collect()}
+    assert got[1] == ("matched", base)
+    assert got[2] == ("timeout", base + 10)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [
+                _row(0, user=1, kind="signup"),
+                _row(100, user=1, kind="purchase", value=9.0),
+                _row(3000, user=2, kind="signup"),
+                _row(9000, user=2, kind="purchase", value=1.0),  # outside +10m
+            ],
+        ],
+    )
+    stream = (
+        spark.readStream.format("parquet").schema(EVENT_SCHEMA).load(src)
+    )
+    s = stream.where(F.col("kind") == "signup").select(
+        F.col("user").alias("s_user"), F.col("ts").alias("s_ts")
+    ).withWatermark("s_ts", "1 hour")
+    p = stream.where(F.col("kind") == "purchase").select(
+        F.col("user").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    ).withWatermark("p_ts", "1 hour")
+    j = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    q = j.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT s_user, value FROM {name}").collect()
+    assert [(r.s_user, r.value) for r in got] == [(1, 9.0)]
+
+
+def test_keyed_upsert_sink_idempotent(spark, tmp_path):
+    from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(spark, str(tmp_path / "kv"), ["key"])
+    b1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["key", "value"])
+    b2 = spark.createDataFrame([("a", 5.0)], ["key", "value"])
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # epoch replay must be a no-op
+    got = {r.key: r.value for r in sink.read().collect()}
+    assert got == {"a": 5.0, "b": 2.0}
