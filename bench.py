@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total-sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized via a noop sink (full execution, no driver
+collect). Times are end-to-end per query on a warm session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_tutorial_spark import plans  # noqa: E402
+from flink_tutorial_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline set: scan-agg, multi-join, windowed topn, sessionization,
+#: interval join, CEP, dedup (exact + minhash), similarity, text,
+#: plus one live Structured Streaming query.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "hot_items_topn",
+    "session_window_gap",
+    "keyed_sum",
+    "interval_join",
+    "login_fail_detect",
+    "pv_uv_daily",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+    "streaming_running_sum",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS)
+    # warm the JVM + parquet footers so query times measure the plans
+    from flink_tutorial_spark.session import load_table
+
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = plans.REGISTRY[name]
+        t0 = time.perf_counter()
+        materialize(spec.fn(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
