@@ -181,6 +181,34 @@ def broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_revenue",
+    oracle="""
+SELECT c.c_mktsegment, o.o_orderstatus,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY ROLLUP(c.c_mktsegment, o.o_orderstatus)
+""",
+    tags=("sql", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — beyond the reference (SURVEY §2.5 notes
+    grouping sets are absent there and free in Spark): segment/status
+    subtotals + grand total in one pass (partial-agg per grouping set)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@query(
     "segment_top_customers",
     oracle="""
 WITH cust_rev AS (

@@ -162,6 +162,57 @@ GROUP BY user_id, session_id
 """
 
 
+DYNAMIC_SESSION_ORACLE = """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN event_type = 'error' THEN 600 ELSE 1800 END AS gap_s
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, gap_s,
+           CASE WHEN max(ts + gap_s * INTERVAL 1 SECOND) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts >= max(ts + gap_s * INTERVAL 1 SECOND) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_session
+    FROM g
+), sessioned AS (
+    SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts + gap_s * INTERVAL 1 SECOND) AS session_end,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+@query("session_window_dynamic_gap", oracle=DYNAMIC_SESSION_ORACLE, tags=("window", "session"))
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record dynamic session gap — ProcessingTimeSessionWindowDemo.
+    java:43 (withDynamicGap(e -> ...)): each event proposes its own gap
+    (10 min for errors, 30 min otherwise); overlapping [ts, ts+gap)
+    windows merge. The oracle is the classic interval-merge via
+    cumulative-max-end; Spark's session_window(ts, gap_expr) implements
+    the same semantics natively."""
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "10 minutes").otherwise("30 minutes")
+    out = session_window_agg(
+        events, ts_col="ts", gap=gap, keys=["user_id"], aggs=[F.count("*").alias("cnt")]
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "cnt",
+    )
+
+
 @query("session_window_gap", oracle=SESSION_ORACLE, tags=("window", "session"))
 def session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap.

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -102,6 +103,58 @@ def count_window_sum(
 
     return keyed_process(
         df, [key_col], fn, COUNT_WINDOW_OUT, _COUNT_WINDOW_STATE, "append"
+    )
+
+
+SLIDING_COUNT_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("emit_seq", LongType()),
+        StructField("cnt", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+_SLIDING_COUNT_STATE = StructType(
+    [
+        StructField("recent", ArrayType(DoubleType())),
+        StructField("since_emit", LongType()),
+        StructField("emitted", LongType()),
+    ]
+)
+
+
+def sliding_count_window_sum(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str, size: int, slide: int
+) -> DataFrame:
+    """Sliding COUNT window — countWindowAll(4, 2): emit every `slide`
+    elements, aggregating the last `size` elements; golden trace
+    CountWindowAllDemo.java:33-41 (first fire may aggregate fewer than
+    `size`). State holds the ring buffer of the last `size` values —
+    the ListState the reference keeps, as an array field."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        recent, since_emit, emitted = (
+            state.get if state.exists else ([], 0, 0)
+        )
+        recent = list(recent)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, value_col])
+            for v in pdf[value_col]:
+                recent.append(float(v))
+                if len(recent) > size:
+                    recent.pop(0)
+                since_emit += 1
+                if since_emit == slide:
+                    emitted += 1
+                    out.append((key[0], emitted, len(recent), sum(recent)))
+                    since_emit = 0
+        state.update((recent, since_emit, emitted))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in SLIDING_COUNT_OUT.fields])
+
+    return keyed_process(
+        df, [key_col], fn, SLIDING_COUNT_OUT, _SLIDING_COUNT_STATE, "append"
     )
 
 

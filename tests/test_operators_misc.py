@@ -1,0 +1,110 @@
+"""Golden-trace tests for operators outside the oracle catalog:
+iterate feedback loop, sliding count window, side-output fan-out,
+late-data watermark behavior, bucketize."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tutorial_spark.operators.iterate import iterate
+from flink_tutorial_spark.operators.transform import bucketize, flat_map
+from flink_tutorial_spark.sinks.foreach import split_sinks
+from tests.test_streaming import EVENT_SCHEMA, _row, run_stream, write_batches
+
+
+def test_iterate_golden_trace(spark):
+    # IterateDemo.java:58-70: body x-2, feedback while >0, exit at <=0.
+    # 10 -> 8 -> ... -> 0 exits at 0; 7 -> 5 -> 3 -> 1 exits at -1.
+    df = spark.createDataFrame([(10,), (7,)], ["x"])
+    done = iterate(
+        df,
+        body=lambda d: d.select((F.col("x") - 2).alias("x")),
+        exit_filter=F.col("x") <= 0,
+    )
+    assert sorted(r.x for r in done.collect()) == [-1, 0]
+
+
+def test_sliding_count_window_golden(spark, tmp_path):
+    # CountWindowAllDemo.java:33-41 trace shape: countWindowAll(4, 2) —
+    # fire every 2 rows over the last <=4 rows
+    from flink_tutorial_spark.streaming.stateful import sliding_count_window_sum
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [[_row(i, "k", value=float(v))] for i, v in enumerate([1, 2, 3, 4, 5, 6])],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: sliding_count_window_sum(s, "key", "ts", "value", size=4, slide=2),
+        "append",
+    ).collect()
+    fires = {r.emit_seq: (r.cnt, r.sum_value) for r in got}
+    assert fires[1] == (2, 3.0)     # [1,2]
+    assert fires[2] == (4, 10.0)    # [1,2,3,4]
+    assert fires[3] == (4, 18.0)    # [3,4,5,6]
+
+
+def test_side_output_split(spark, sf_dir):
+    # SideOutputDemo.java:22-50: one stream -> tagged sub-streams
+    from flink_tutorial_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    outs = split_sinks(
+        events,
+        {
+            "high": F.col("value") >= 100,
+            "low": F.col("value") < 100,
+        },
+    )
+    total = events.count()
+    assert outs["high"].count() + outs["low"].count() == total
+    assert outs["high"].filter(F.col("value") < 100).count() == 0
+
+
+def test_late_rows_dropped_after_watermark(spark, tmp_path):
+    # WindowLateDateDemo.java:44-56 / _08_lateReadingsOutput: rows behind
+    # the watermark are excluded from closed windows; the dual-query
+    # audit pattern counts them separately
+    # Observed semantics (documented delta, matches Flink's
+    # allowedLateness-ish behavior): the watermark computed at a batch's
+    # end takes effect next batch, and state eviction happens at the end
+    # of that batch — so a late row arriving in the IMMEDIATELY following
+    # batch still merges into live state; one batch later it is dropped
+    # (numRowsDroppedByWatermark increments).
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(1, "a", value=1.0), _row(2, "a", value=1.0)],
+            [_row(60, "a", value=1.0)],          # watermark -> 60 after this
+            [_row(61, "b", value=1.0)],          # wm=60 in force; [0,5) evicted
+            [_row(3, "a", value=100.0)],         # LATE: dropped
+            [_row(120, "z", value=1.0)],
+        ],
+    )
+
+    def q(stream):
+        return (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "5 seconds").alias("w"), "key")
+            .agg(F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("ws"), "key", "total")
+        )
+
+    got = {(r.ws.isoformat(), r.key): r.total for r in run_stream(spark, src, q, "append").collect()}
+    # the late row's 100.0 must NOT appear in the closed [0,5) window
+    assert got[("2024-01-01T00:00:00", "a")] == 2.0
+
+
+def test_bucketize_boundaries(spark):
+    df = spark.createDataFrame([(5.0,), (15.0,), (25.0,), (35.0,)], ["v"])
+    out = [r.b for r in df.select(bucketize(F.col("v"), [10, 20, 30]).alias("b")).collect()]
+    assert out == [0, 1, 2, 3]
+
+
+def test_flat_map_explode(spark):
+    df = spark.createDataFrame([("a b c",)], ["line"])
+    words = flat_map(df, F.split("line", " "), "word")
+    assert sorted(r.word for r in words.collect()) == ["a", "b", "c"]
