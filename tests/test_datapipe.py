@@ -39,6 +39,16 @@ def test_frame_sampling_explodes_per_frame(spark, sf_dir):
         assert idxs == list(range(0, max(idxs) + 1, 2))
 
 
+def test_topk_numpy_equals_expr_variant(spark, sf_dir):
+    from flink_tutorial_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in S.brute_force_topk(emb, q, k=3).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in S.brute_force_topk_expr(emb, q, k=3).collect()}
+    assert a == b
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)

