@@ -231,6 +231,40 @@ def market_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_event_list",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_id, ',' ORDER BY ts, event_id) AS event_ids
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    tags=("state", "agg"),
+)
+def user_event_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListState per-user event list — ListStateDemo01.java:52-76 (append
+    each event to keyed list state). Batch analog: collect_list; made
+    deterministic by sorting on (ts, event_id) and joining to a string
+    (the exact update-mode convergence of the reference's state)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id"))),
+                    lambda s: s["event_id"].cast("string"),
+                ),
+                ",",
+            ).alias("event_ids"),
+        )
+    )
+
+
+@query(
     "temp_rise_alert",
     oracle="""
 WITH lagged AS (

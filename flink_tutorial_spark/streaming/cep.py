@@ -78,6 +78,54 @@ def detect_consecutive(
     )
 
 
+GATE_OUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_GATE_STATE = StructType([StructField("open_until", LongType())])
+
+
+def timer_gated_forward(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    kind_col: str,
+    control_kind: str,
+    data_kind: str,
+    open_seconds: int,
+) -> DataFrame:
+    """Control-stream gating — _05_CoProcessFunctionTimers.java:26-82:
+    a control event opens a per-key forwarding gate for N seconds (the
+    reference registers a processing-time timer to close it); data
+    events pass only while the gate is open.
+
+    connect(CoProcessFunction) becomes one keyed stateful op over the
+    union of both streams; the close-timer is simply the gate deadline
+    carried in state and compared in event time."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (open_until,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                ts = int(row[ts_col].value // 1_000_000_000)
+                if row[kind_col] == control_kind:
+                    open_until = ts + open_seconds
+                elif row[kind_col] == data_kind and ts < open_until:
+                    out.append((key[0], ts, float(row["value"])))
+        state.update((open_until,))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in GATE_OUT.fields])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, GATE_OUT, _GATE_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 TIMEOUT_OUT = StructType(
     [
         StructField("key", LongType()),

@@ -237,6 +237,34 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert [(r.s_user, r.value) for r in got] == [(1, 9.0)]
 
 
+def test_timer_gated_forwarding(spark, tmp_path):
+    # _05_CoProcessFunctionTimers: 'switch' opens the gate 100s; data
+    # inside the window forwards, outside is suppressed
+    from flink_tutorial_spark.streaming.cep import timer_gated_forward
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [
+                _row(0, user=1, kind="data", value=1.0),    # gate closed -> drop
+                _row(10, user=1, kind="switch"),
+                _row(50, user=1, kind="data", value=2.0),   # open -> forward
+            ],
+            [
+                _row(200, user=1, kind="data", value=3.0),  # expired -> drop
+                _row(20, user=2, kind="data", value=9.0),   # other key closed
+            ],
+        ],
+    )
+
+    def q(stream):
+        return timer_gated_forward(stream, "user", "ts", "kind", "switch", "data", 100)
+
+    got = [(r.key, r.value) for r in run_stream(spark, src, q, "append").collect()]
+    assert got == [(1, 2.0)]
+
+
 def test_keyed_upsert_sink_idempotent(spark, tmp_path):
     from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
 
