@@ -40,9 +40,15 @@ HEADLINE = [
     "pv_uv_daily",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_ann_lsh",
     "text_quality",
+    "window_join_inner",
+    "tx_match_full_outer",
+    "rollup_revenue",
     "streaming_running_sum",
+    "streaming_count_window",
 ]
 
 
@@ -66,9 +72,12 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = plans.REGISTRY[name]
-        t0 = time.perf_counter()
-        materialize(spec.fn(spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: shields against GC/neighbor noise
+            t0 = time.perf_counter()
+            materialize(spec.fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
