@@ -99,6 +99,54 @@ def test_stream_static_join_with_refreshed_dim(spark, tmp_path):
     assert (1, "bronze") in seen and (2, "GOLD") in seen
 
 
+def test_streaming_hot_items_pipeline(spark, tmp_path):
+    # HotItems.scala:47-136 STREAMING-NATIVE: windowed count with
+    # watermark -> per-window top-N ranking inside foreachBatch ->
+    # keyed upsert sink (rank re-emitted as windows update/close).
+    from pyspark.sql import Window as W
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(1, kind="view", value=7), _row(2, kind="view", value=7),
+             _row(3, kind="view", value=8)],
+            [_row(4, kind="view", value=7), _row(5, kind="view", value=9)],
+            [_row(4000, kind="view", value=1)],  # closes the first window
+        ],
+    )
+    sink = KeyedUpsertSink(spark, str(tmp_path / "topn"), ["window_start", "rank"])
+
+    def rank_batch(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("item"))
+        ranked = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+        )
+        sink(ranked, epoch_id)
+
+    stream = (
+        spark.readStream.format("parquet").schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    counts = (
+        stream.where(F.col("kind") == "view")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("value").alias("item"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "item", "cnt")
+    )
+    q = counts.writeStream.outputMode("append").foreachBatch(rank_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.window_start.isoformat(), r.rank): (r.item, r.cnt) for r in sink.read().collect()}
+    # window [00:00, 01:00): item 7 seen 3x, items 8/9 once -> top2 = 7, 8
+    assert got[("2024-01-01T00:00:00", 1)] == (7.0, 3)
+    assert got[("2024-01-01T00:00:00", 2)] == (8.0, 1)
+
+
 def test_full_buffer_sorted_count_window(spark, tmp_path):
     # countWindowAll(5).apply(sort) — buffer 5 rows, emit them sorted
     from collections.abc import Iterator
