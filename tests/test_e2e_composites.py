@@ -147,6 +147,52 @@ def test_streaming_hot_items_pipeline(spark, tmp_path):
     assert got[("2024-01-01T00:00:00", 2)] == (8.0, 1)
 
 
+def test_stateful_op_state_survives_restart(spark, tmp_path):
+    # §2.9 crash-recovery demos (MyKeyedStateDemo00/01/02): keyed state
+    # must resume from the checkpoint — a count window whose buffer
+    # spans a restart still fires exactly once with the full window.
+    from flink_tutorial_spark.streaming.stateful import count_window_sum
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def add(i, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "key", "user", "kind", "value"])
+        from tests.test_streaming import _ARROW_SCHEMA
+
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=_ARROW_SCHEMA, preserve_index=False),
+            str(src / f"f{i}.parquet"),
+        )
+
+    fired = []
+
+    def capture(batch_df, epoch_id):
+        fired.extend(
+            (r.key, r.window_seq, r.cnt, r.sum_value) for r in batch_df.collect()
+        )
+
+    def start():
+        stream = (
+            spark.readStream.format("parquet").schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1").load(str(src))
+        )
+        out = count_window_sum(stream, "key", "ts", "value", 3)
+        return (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(capture).start()
+        )
+
+    add(0, [_row(1, "a", value=1.0), _row(2, "a", value=2.0)])  # buffer=2
+    q = start(); q.processAllAvailable(); q.stop()
+    assert fired == []  # window not yet full
+    add(1, [_row(3, "a", value=3.0)])  # 3rd row -> window fires post-restart
+    q = start(); q.processAllAvailable(); q.stop()
+    assert fired == [("a", 1, 3, 6.0)]  # buffer recovered from state store
+
+
 def test_full_buffer_sorted_count_window(spark, tmp_path):
     # countWindowAll(5).apply(sort) — buffer 5 rows, emit them sorted
     from collections.abc import Iterator
