@@ -217,6 +217,39 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_nn",
+    oracle="""
+WITH scored AS (
+    SELECT a.vec_id, b.vec_id AS nn_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+    FROM scored
+)
+SELECT vec_id, nn_id, cosine, cosine >= 0.99 AS is_near_dup
+FROM ranked WHERE rn = 1
+""",
+    tags=("datapipe", "dedup", "similarity"),
+)
+def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: nearest neighbor per vector + the
+    near-dup verdict (cosine >= threshold). The synthetic corpus plants
+    no embedding dups, so the verdict column is all-false here — the
+    operator IS the thresholded NN search; at corpus scale the all-pairs
+    scorer is replaced by the sign-LSH bucketed candidates
+    (similarity_ann_lsh machinery), NN semantics unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = S.brute_force_topk(emb, emb, k=1)
+    return nn.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nn_id"),
+        "cosine",
+        (F.col("cosine") >= 0.99).alias("is_near_dup"),
+    )
+
+
+@query(
     "text_quality",
     oracle="""
 SELECT doc_id,
