@@ -28,10 +28,10 @@ def _dec(col):
     oracle="""
 SELECT l_returnflag,
        l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
@@ -48,15 +48,22 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash aggregate pair (one shuffle of ~6 groups)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
-    charge = disc * (F.lit(1).cast("decimal(18,4)") + _dec("l_tax"))
+    # the triple product must stay within DECIMAL's 38-digit cap or the
+    # engines round the capped scale differently (seen: 6e-8 drift):
+    # (12,4)x(6,4)x(6,4) -> (26,12), exact in both engines
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+    )
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -68,7 +75,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -100,7 +107,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -111,7 +118,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     oracle="""
 SELECT n.n_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -146,7 +153,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
 
 
@@ -155,7 +162,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
 SELECT p.p_brand,
        CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_size <= 20
@@ -175,7 +182,7 @@ def broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
         )
     )
 
@@ -183,7 +190,7 @@ def broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS cnt
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -206,7 +213,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2).cast("double").alias("revenue"),
             F.count("*").alias("cnt"),
         )
     )
@@ -248,10 +255,10 @@ def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q14_promo_effect",
     oracle="""
-SELECT CAST(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+SELECT (100.0 * CAST(round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
              THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))
-             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE))
+       / CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
        AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -275,8 +282,8 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (
-                (F.lit(100.0) * F.sum(promo).cast("double"))
-                / F.sum(rev).cast("double")
+                (F.lit(100.0) * F.round(F.sum(promo), 2).cast("double"))
+                / F.round(F.sum(rev), 2).cast("double")
             ).alias("promo_revenue_pct")
         )
     )
@@ -286,7 +293,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
 SELECT c.c_mktsegment, o.o_orderstatus,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS cnt
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -304,7 +311,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .rollup("c_mktsegment", "o_orderstatus")
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
             F.count("*").alias("cnt"),
         )
     )
@@ -315,7 +322,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH cust_rev AS (
     SELECT c.c_mktsegment, c.c_custkey,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment, c.c_custkey
@@ -338,7 +345,7 @@ def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "c_custkey")
-        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"))
     )
     return top_n_per_group(
         rev,
