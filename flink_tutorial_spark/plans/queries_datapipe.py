@@ -250,6 +250,56 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ivf",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+    FROM embeddings WHERE vec_id < 20
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings e JOIN q ON e.label = q.label
+    WHERE q.query_id <> e.vec_id
+), ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("datapipe", "similarity"),
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: candidates restricted to the query's coarse
+    cluster (the `label` column stands in for a k-means assignment —
+    in production the assignment is argmin-distance over trained
+    centroids, the query shape is identical). One equi-join on the
+    cluster id: ~N/n_clusters candidates per query, co-partitioned at
+    scale. Complements sign-LSH (similarity_ann_lsh) as the second
+    standard ANN bucketing scheme."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "label",
+    )
+    scored = (
+        emb.join(F.broadcast(q), "label")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.cosine(F.col("q_vec"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    from flink_tutorial_spark.operators.topn import top_n_per_group
+
+    return top_n_per_group(
+        scored, ["query_id"], "cosine", 3, tiebreak_cols=["neighbor_id"]
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@query(
     "text_quality",
     oracle="""
 SELECT doc_id,

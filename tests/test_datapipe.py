@@ -49,6 +49,23 @@ def test_topk_numpy_equals_expr_variant(spark, sf_dir):
     assert a == b
 
 
+def test_hll_uv_within_tolerance(spark, sf_dir):
+    # UniqueVisitorWithBloom replacement: approx_count_distinct must sit
+    # within its configured rsd of the exact distinct count
+    from flink_tutorial_spark import plans
+
+    exact = {
+        r.day: r.uv for r in plans.REGISTRY["pv_uv_daily"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.day: r.uv_approx
+        for r in plans.REGISTRY["uv_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, uv in exact.items():
+        assert abs(approx[day] - uv) <= max(3, 0.05 * uv), (day, uv, approx[day])
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)

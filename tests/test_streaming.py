@@ -237,6 +237,41 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert [(r.s_user, r.value) for r in got] == [(1, 9.0)]
 
 
+def test_streaming_session_window(spark, tmp_path):
+    # EventTimeSessionWindowDemo.java:48-57 golden shape: events within
+    # the gap merge; a quiet period splits; append emits closed sessions
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(0, "a", value=1), _row(3, "a", value=1), _row(5, "a", value=1)],
+            [_row(30, "a", value=1)],                       # > 5s gap: new session
+            [_row(600, "z", value=1)],                      # close everything
+        ],
+    )
+
+    def q(stream):
+        return (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "5 seconds").alias("w"), "key")
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.col("w.start").alias("start"),
+                F.col("w.end").alias("end"),
+                "key",
+                "cnt",
+            )
+        )
+
+    got = {
+        (r.start.isoformat(), r.end.isoformat(), r.key): r.cnt
+        for r in run_stream(spark, src, q, "append").collect()
+    }
+    # session 1: rows at 0,3,5 merge -> [0, 10); session 2: [30, 35)
+    assert got[("2024-01-01T00:00:00", "2024-01-01T00:00:10", "a")] == 3
+    assert got[("2024-01-01T00:00:30", "2024-01-01T00:00:35", "a")] == 1
+
+
 def test_timer_gated_forwarding(spark, tmp_path):
     # _05_CoProcessFunctionTimers: 'switch' opens the gate 100s; data
     # inside the window forwards, outside is suppressed
