@@ -275,6 +275,36 @@ def sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_group_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("sql", "window"),
+)
+def sql_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text group windows — day11/_05_GroupWindow_ProcessTime.java:
+    42-63 / _07_GroupWindow_EventTime.java:59-75 (Tumble.over(...).on(...)):
+    the Table-API window expressed as `GROUP BY window(ts, ...)` in SQL
+    text — the whole day11 surface is this one clause."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT window(ts, '1 hour').start AS window_start,
+               event_type,
+               count(*) AS cnt,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY window(ts, '1 hour'), event_type
+        """
+    )
+
+
+@query(
     "retract_agg_final",
     oracle="""
 SELECT user_id, round(sum(value), 4) AS sum_value
