@@ -300,6 +300,121 @@ def test_timer_gated_forwarding(spark, tmp_path):
     assert got == [(1, 2.0)]
 
 
+def test_windowed_count_with_running_total(spark, tmp_path):
+    # ProcessWindowFunctionDemo01/02.java:54-102: per-window counts plus
+    # a per-key total accumulated ACROSS windows via keyed state
+    from flink_tutorial_spark.streaming.stateful import (
+        windowed_count_with_running_total,
+    )
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(1, "a"), _row(2, "a"), _row(11, "a")],   # windows 0 & 10
+            [_row(21, "a"), _row(22, "a"), _row(1, "b")],  # window 20 + key b
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: windowed_count_with_running_total(s, "key", "ts", 10),
+        "append",
+    ).collect()
+    a_rows = sorted((r.window_start, r.window_cnt, r.running_total) for r in got if r.key == "a")
+    base = int(T0.timestamp())
+    assert a_rows == [(base, 2, 2), (base + 10, 1, 3), (base + 20, 2, 5)]
+    assert [(r.window_cnt, r.running_total) for r in got if r.key == "b"] == [(1, 1)]
+
+
+def test_stream_stream_left_outer_window_join(spark, tmp_path):
+    # TumblingWindowLeftJoinDemo.java:56-84 STREAMING twin: left outer
+    # stream-stream join emits the null-padded row once the watermark
+    # closes the join window
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [
+                _row(0, user=1, kind="signup"),
+                _row(30, user=1, kind="purchase", value=5.0),
+                _row(10, user=2, kind="signup"),   # never purchases
+            ],
+            # watermark rows must pass BOTH side filters (the watermark
+            # nodes sit after them) and both sides' watermarks advance
+            # (multipleWatermarkPolicy=min); nulls emit a batch later
+            [_row(9000, user=7, kind="signup"), _row(9000, user=7, kind="purchase", value=0.0)],
+            [_row(20000, user=8, kind="signup"), _row(20000, user=8, kind="purchase", value=0.0)],
+        ],
+    )
+    stream = (
+        spark.readStream.format("parquet").schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    s = stream.where(F.col("kind") == "signup").select(
+        F.col("user").alias("s_user"), F.col("ts").alias("s_ts")
+    ).withWatermark("s_ts", "0 seconds")
+    p = stream.where(F.col("kind") == "purchase").select(
+        F.col("user").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    ).withWatermark("p_ts", "0 seconds")
+    j = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    name = f"lo_{uuid.uuid4().hex[:8]}"
+    q = j.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.s_user, r.value)
+        for r in spark.sql(f"SELECT s_user, value FROM {name} WHERE s_user IN (1, 2)").collect()
+    }
+    assert got == {(1, 5.0), (2, None)}  # unmatched side null-padded
+
+
+def test_socket_source_live(spark):
+    # SocketSourceDemo.java:20: drive the real socket source against an
+    # in-process TCP server
+    import socket
+    import threading
+    import time as _t
+
+    from flink_tutorial_spark.sources.streaming import socket_source
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        conn.sendall(b"hello spark\nhello flink\n")
+        _t.sleep(8)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    name = f"sock_{uuid.uuid4().hex[:8]}"
+    lines = socket_source(spark, "127.0.0.1", port)
+    q = lines.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        deadline = _t.time() + 20
+        rows = []
+        while _t.time() < deadline and len(rows) < 2:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+        server.close()
+    assert sorted(r.value for r in rows) == ["hello flink", "hello spark"]
+
+
 def test_keyed_upsert_sink_idempotent(spark, tmp_path):
     from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
 
