@@ -126,17 +126,32 @@ def streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 100
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        # vectorized: window boundaries via prefix sums over the Arrow
+        # batch — no per-row Python loop (the hot path at scale)
+        import numpy as np
+
         buf_cnt, buf_sum, emitted = state.get if state.exists else (0, 0.0, 0)
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
-                buf_cnt += 1
-                buf_sum += float(v)
-                if buf_cnt == n:
-                    emitted += 1
-                    out.append((key[0], emitted, buf_cnt, round(buf_sum, 4)))
-                    buf_cnt, buf_sum = 0, 0.0
+            vals = pdf.sort_values(["ts", "event_id"])["value"].to_numpy(dtype="float64")
+            if len(vals) == 0:
+                continue
+            cs = np.cumsum(vals)
+            total = buf_cnt + len(vals)
+            complete = total // n
+            if complete:
+                # index of the last element of each completed window
+                ends = (np.arange(1, complete + 1) * n) - buf_cnt - 1
+                window_sums = cs[ends].copy()
+                window_sums[1:] -= cs[ends[:-1]]
+                window_sums[0] += buf_sum
+                for i, ws in enumerate(window_sums):
+                    out.append((key[0], emitted + i + 1, n, round(float(ws), 4)))
+                emitted += complete
+                buf_sum = float(cs[-1] - cs[ends[-1]])
+            else:
+                buf_sum += float(cs[-1])
+            buf_cnt = total % n
         state.update((buf_cnt, buf_sum, emitted))
         if out:
             yield pd.DataFrame(out, columns=["key", "window_seq", "cnt", "sum_value"])
