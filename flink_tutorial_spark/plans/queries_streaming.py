@@ -163,6 +163,56 @@ def streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counted, "append")
 
 
+@query(
+    "cep_sequence_detect",
+    oracle="""
+WITH s AS (
+    SELECT user_id, ts AS s_ts FROM events WHERE event_type = 'signup'
+), m1 AS (
+    SELECT s.user_id, s.s_ts,
+           (SELECT min(c.ts) FROM events c
+            WHERE c.user_id = s.user_id AND c.event_type = 'click'
+              AND c.ts > s.s_ts AND c.ts <= s.s_ts + INTERVAL 6 HOUR) AS c_ts
+    FROM s
+), m2 AS (
+    SELECT m1.user_id, m1.s_ts,
+           (SELECT min(p.ts) FROM events p
+            WHERE p.user_id = m1.user_id AND p.event_type = 'purchase'
+              AND p.ts > m1.c_ts AND p.ts <= m1.s_ts + INTERVAL 6 HOUR) AS p_ts
+    FROM m1 WHERE m1.c_ts IS NOT NULL
+)
+SELECT user_id, s_ts AS start_ts, p_ts AS end_ts
+FROM m2 WHERE p_ts IS NOT NULL
+""",
+    tags=("streaming", "cep"),
+)
+def cep_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized CEP as a LIVE streaming query: signup ~> click ~>
+    purchase within 6 hours per user, relaxed contiguity, per-start
+    matching (every signup opens its own sequence) — the declarative
+    `detect_sequence` operator (streaming/cep.py) with an exact
+    relational oracle (correlated min-chain)."""
+    from flink_tutorial_spark.streaming.cep import detect_sequence
+
+    events = stream_table(spark, sf_dir, "events")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        (F.col("event_type") == "signup").alias("is_signup"),
+        (F.col("event_type") == "click").alias("is_click"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    out = detect_sequence(
+        flagged, "user_id", "ts", ["is_signup", "is_click", "is_purchase"], 6 * 3600
+    )
+    got = run_to_memory(out, "append")
+    return got.select(
+        F.col("key").alias("user_id"),
+        F.timestamp_micros(F.col("start_us")).alias("start_ts"),
+        F.timestamp_micros(F.col("end_us")).alias("end_ts"),
+    )
+
+
 @query("streaming_match_or_timeout", oracle=None, tags=("streaming", "cep"))
 def streaming_match_or_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order match-or-timeout as a LIVE event-time-timer query

@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -75,6 +76,82 @@ def detect_consecutive(
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn, SEQ_OUT, _SEQ_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+SEQUENCE_OUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+    ]
+)
+_SEQUENCE_STATE = StructType(
+    [
+        StructField("firsts", ArrayType(LongType())),
+        StructField("progress", ArrayType(LongType())),
+    ]
+)
+
+
+def detect_sequence(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_cols: list[str],
+    within_seconds: int,
+) -> DataFrame:
+    """Generalized CEP sequence detection, relaxed contiguity (Flink's
+    `followedBy` chain, LoginFailWithCep.scala/OrderTimeoutWithCEP.scala
+    family): each boolean step column must match in order — other events
+    may intervene — with the whole match inside `within_seconds`.
+
+    Match mode is per-start (every step-0 event opens its own in-flight
+    sequence; overlapping matches all emit) — the mode with a clean
+    relational equivalent, so the LIVE streaming operator is
+    oracle-checkable. Strict contiguity lives in detect_consecutive.
+
+    State per key: parallel arrays of in-flight (start_us, progress).
+    In-flight count is bounded by step-0 events inside the `within`
+    horizon — the watermark-expired ones drop on every batch."""
+    n_steps = len(step_cols)
+    within_us = within_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        firsts, progress = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+            flags = [pdf[c].to_numpy() for c in step_cols]
+            for i in range(len(pdf)):
+                t = int(ts_us[i])
+                keep_f, keep_p = [], []
+                for f0, p0 in zip(firsts, progress):
+                    if t - f0 > within_us:
+                        continue  # expired
+                    if flags[p0][i]:
+                        p0 += 1
+                        if p0 == n_steps:
+                            out.append((key[0], f0, t))
+                            continue  # completed; drop from in-flight
+                    keep_f.append(f0)
+                    keep_p.append(p0)
+                firsts, progress = keep_f, keep_p
+                if flags[0][i]:
+                    firsts.append(t)
+                    progress.append(1 if n_steps > 1 else 0)
+                    if n_steps == 1:
+                        out.append((key[0], t, t))
+                        firsts.pop(); progress.pop()
+        state.update((firsts, progress))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in SEQUENCE_OUT.fields])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, SEQUENCE_OUT, _SEQUENCE_STATE, "append", GroupStateTimeout.NoTimeout
     )
 
 

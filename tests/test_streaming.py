@@ -176,6 +176,48 @@ def test_detect_consecutive_streaming(spark, tmp_path):
     assert {(r.key, r.n_matched) for r in got} == {(7, 2)}
 
 
+def test_detect_sequence_overlapping_and_expiry(spark, tmp_path):
+    # generalized CEP: two overlapping signups share later click/purchase;
+    # an expired signup (outside `within`) must NOT match
+    from flink_tutorial_spark.streaming.cep import detect_sequence
+
+    src = str(tmp_path / "src")
+    base = int(T0.timestamp()) * 1_000_000
+    write_batches(
+        src,
+        [
+            [
+                _row(0, user=1, kind="signup"),
+                _row(10, user=1, kind="signup"),    # overlapping 2nd start
+                _row(20, user=1, kind="click"),
+                _row(30, user=1, kind="purchase"),
+                _row(5000, user=2, kind="signup"),  # will expire (within=100)
+            ],
+            [
+                _row(5200, user=2, kind="click"),   # 200s later: expired
+                _row(5210, user=2, kind="purchase"),
+            ],
+        ],
+    )
+
+    def q(stream):
+        flagged = stream.select(
+            "user",
+            "ts",
+            (F.col("kind") == "signup").alias("s0"),
+            (F.col("kind") == "click").alias("s1"),
+            (F.col("kind") == "purchase").alias("s2"),
+        )
+        return detect_sequence(flagged, "user", "ts", ["s0", "s1", "s2"], 100)
+
+    got = sorted(
+        (r.key, (r.start_us - base) // 1_000_000, (r.end_us - base) // 1_000_000)
+        for r in run_stream(spark, src, q, "append").collect()
+    )
+    # both signups (0s and 10s) complete on the same click+purchase
+    assert got == [(1, 0, 30), (1, 10, 30)]
+
+
 def test_match_or_timeout_streaming(spark, tmp_path):
     from flink_tutorial_spark.streaming.cep import match_or_timeout
 
