@@ -67,6 +67,19 @@ def salt_key(df: DataFrame, key_col: str, buckets: int, salted_col: str = "salte
     )
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int, sort: bool = True
+) -> None:
+    """Persist a table bucketed (and sorted) on its join key so every
+    later join/agg on that key is exchange-free (tests/test_bucketing.py
+    proves both shuffles drop). The 100 TB pattern: bucket fact tables
+    on their natural join key at ingest, pay the shuffle once."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
 def two_stage_count(df: DataFrame, key_col: str, buckets: int = 16) -> DataFrame:
     """The full salted two-stage aggregation from PageView.scala:48-59,
     106-109: count on (key, salt) then sum per key. Spark's partial

@@ -364,6 +364,43 @@ def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+SELECT s.s_name, p.p_partkey, l.l_extendedprice
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_size = 10
+  AND l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-subquery — the cheapest offer per
+    part. Catalyst decorrelates the scalar subquery into an aggregate +
+    join (visible in the plan as a second lineitem scan + groupBy), the
+    classic optimizer transformation the SURVEY notes comes free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    s = load_table(spark, sf_dir, "supplier")
+    min_price = li.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            min_price,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("s_name", "p_partkey", "l_extendedprice")
+    )
+
+
+@query(
     "rollup_revenue",
     oracle="""
 SELECT c.c_mktsegment, o.o_orderstatus,

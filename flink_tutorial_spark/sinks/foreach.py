@@ -102,6 +102,22 @@ def rolling_file_sink(
     )
 
 
+def socket_writer(host: str, port: int, column: str = "value"):
+    """writeToSocket(host, port, schema) — SocketSinkDemo.java:17
+    (at-least-once). Returns a foreachBatch callable writing one line
+    per row; test/demo-grade like the reference's."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        import socket as _socket
+
+        rows = batch_df.select(column).collect()
+        with _socket.create_connection((host, port), timeout=10) as conn:
+            for r in rows:
+                conn.sendall((str(r[0]) + "\n").encode())
+
+    return write
+
+
 def split_sinks(df: DataFrame, predicates: dict[str, "F.Column"]) -> dict[str, DataFrame]:
     """Side-output analog (OutputTag, SideOutputDemo.java:22-50): fan a
     stream into tagged sub-streams, one filtered view per tag — each can
