@@ -137,14 +137,19 @@ def minhash_lsh_dedup(
 
     Returns (doc_a, doc_b, est_jaccard >= threshold).
 
-    The signature table is persisted before the self-joins — it feeds
-    the band join and both sides of the estimate join; without
-    materialization Spark recomputes the shingle+hash pipeline three
-    times (measured 8x slower at sf0.1). At 100 TB this is the stage
-    you checkpoint to distributed storage."""
-    sig = minhash_signatures(shingle_table(docs, id_col, text_col), id_col).persist()
-    sig.count()  # eager materialize: downstream branches must HIT the
-    # cache, not race to recompute the shingle+hash pipeline per branch
+    The signature table is materialized (written to scratch parquet and
+    re-read) before the self-joins — it feeds the band join and both
+    sides of the estimate join; without materialization Spark recomputes
+    the shingle+hash pipeline per branch (measured 8x slower at sf0.1),
+    and with persist() the cache entry would pin executor storage for
+    the session lifetime. At 100 TB this scratch write is the signature
+    checkpoint to object storage."""
+    import tempfile
+
+    sig_raw = minhash_signatures(shingle_table(docs, id_col, text_col), id_col)
+    scratch = tempfile.mkdtemp(prefix="minhash_sig_") + "/sig"
+    sig_raw.write.mode("overwrite").parquet(scratch)
+    sig = docs.sparkSession.read.parquet(scratch)
     cand = lsh_candidate_pairs(sig, id_col)
     sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
     sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])

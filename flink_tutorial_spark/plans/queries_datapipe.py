@@ -236,9 +236,14 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: nearest neighbor per vector + the
     near-dup verdict (cosine >= threshold). The synthetic corpus plants
     no embedding dups, so the verdict column is all-false here — the
-    operator IS the thresholded NN search; at corpus scale the all-pairs
-    scorer is replaced by the sign-LSH bucketed candidates
-    (similarity_ann_lsh machinery), NN semantics unchanged."""
+    operator IS the thresholded NN search.
+
+    Contract note: using the WHOLE corpus as the query side is exact
+    all-pairs NN, valid only for a bounded table (embeddings stays
+    500-2000 rows at the test SFs — it is collected and broadcast).
+    At corpus scale swap the scorer for bucketed candidates
+    (similarity_ann_lsh / similarity_ivf machinery) — NN semantics and
+    the threshold verdict are unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     nn = S.brute_force_topk(emb, emb, k=1)
     return nn.select(

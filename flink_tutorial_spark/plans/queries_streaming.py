@@ -95,70 +95,14 @@ def streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIVE applyInPandasWithState query — no Spark-native equivalent
     (SURVEY §2.6). Bounded stream arrives as one batch sorted by
     (ts, event_id) per key, so emitted windows are deterministic: every
-    complete group of 100 events per key."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    out_schema = StructType(
-        [
-            StructField("key", StringType()),
-            StructField("window_seq", LongType()),
-            StructField("cnt", LongType()),
-            StructField("sum_value", DoubleType()),
-        ]
-    )
-    state_schema = StructType(
-        [
-            StructField("buf_cnt", LongType()),
-            StructField("buf_sum", DoubleType()),
-            StructField("emitted", LongType()),
-        ]
-    )
-    n = 100
-
-    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        # vectorized: window boundaries via prefix sums over the Arrow
-        # batch — no per-row Python loop (the hot path at scale)
-        import numpy as np
-
-        buf_cnt, buf_sum, emitted = state.get if state.exists else (0, 0.0, 0)
-        out = []
-        for pdf in pdfs:
-            vals = pdf.sort_values(["ts", "event_id"])["value"].to_numpy(dtype="float64")
-            if len(vals) == 0:
-                continue
-            cs = np.cumsum(vals)
-            total = buf_cnt + len(vals)
-            complete = total // n
-            if complete:
-                # index of the last element of each completed window
-                ends = (np.arange(1, complete + 1) * n) - buf_cnt - 1
-                window_sums = cs[ends].copy()
-                window_sums[1:] -= cs[ends[:-1]]
-                window_sums[0] += buf_sum
-                for i, ws in enumerate(window_sums):
-                    out.append((key[0], emitted + i + 1, n, round(float(ws), 4)))
-                emitted += complete
-                buf_sum = float(cs[-1] - cs[ends[-1]])
-            else:
-                buf_sum += float(cs[-1])
-            buf_cnt = total % n
-        state.update((buf_cnt, buf_sum, emitted))
-        if out:
-            yield pd.DataFrame(out, columns=["key", "window_seq", "cnt", "sum_value"])
+    complete group of 100 events per key. Delegates to the shared
+    vectorized operator in streaming/stateful.py."""
+    from flink_tutorial_spark.streaming.stateful import count_window_sum
 
     events = stream_table(spark, sf_dir, "events")
-    counted = events.groupBy("event_type").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    counted = count_window_sum(
+        events, "event_type", "ts", "value", 100,
+        sort_cols=["ts", "event_id"], round_to=4,
     )
     return run_to_memory(counted, "append")
 

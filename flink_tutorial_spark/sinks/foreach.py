@@ -27,29 +27,80 @@ class KeyedUpsertSink:
     """foreachBatch upsert into a keyed parquet table.
 
     Equivalent contract to JdbcSink upsert / Redis HSET / ES upsert:
-    per key, the latest row wins; replaying an epoch is a no-op."""
+    per key the winning row survives, replaying an epoch is a no-op.
+    Within one batch the winner is the max of `order_col` when given
+    (e.g. an event timestamp); without it, duplicates within a batch are
+    resolved arbitrarily — pass order_col whenever the upstream can emit
+    multiple rows per key per epoch (aggregated upstreams emit one).
 
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    Crash safety: each epoch writes a NEW versioned directory and then
+    atomically repoints a 'current' symlink (os.replace on a symlink is
+    atomic on POSIX). A crash mid-write leaves the previous version
+    intact and readable; stale versions are pruned after the swap. On a
+    real lakehouse this whole class is MERGE INTO on a transactional
+    table — same foreachBatch shape."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        order_col: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
+        self.order_col = order_col
+        os.makedirs(self.path, exist_ok=True)
+
+    def _current(self) -> str:
+        return os.path.join(self.path, "current")
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        new = batch_df.dropDuplicates(self.key_cols)
-        if os.path.exists(self.path):
-            old = self.spark.read.parquet(self.path)
+        from pyspark.sql import Window
+
+        if self.order_col:
+            w = Window.partitionBy(*self.key_cols).orderBy(F.desc(self.order_col))
+            new = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            new = batch_df.dropDuplicates(self.key_cols)
+        cur = self._current()
+        if os.path.lexists(cur) and os.path.exists(os.path.realpath(cur)):
+            old = self.spark.read.parquet(os.path.realpath(cur))
             keep = old.join(new.select(self.key_cols), self.key_cols, "left_anti")
             merged = keep.unionByName(new)
         else:
             merged = new
-        # stage-then-swap so a crash mid-write never corrupts the table
-        tmp = self.path + f".epoch{epoch_id}.tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final_df = self.spark.read.parquet(tmp)
-        final_df.write.mode("overwrite").parquet(self.path)
+        # unique per write: an epoch REPLAY must never overwrite the very
+        # directory its own input plan is lazily reading from
+        import uuid
+
+        version_dir = os.path.join(self.path, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(version_dir)
+        # atomic pointer swap: temp symlink + rename
+        tmp_link = cur + ".tmp"
+        if os.path.lexists(tmp_link):
+            os.unlink(tmp_link)
+        os.symlink(version_dir, tmp_link)
+        os.replace(tmp_link, cur)
+        # prune superseded versions (best-effort)
+        import shutil
+
+        for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            if (
+                entry.startswith("v")
+                and os.path.isdir(full)
+                and os.path.realpath(cur) != os.path.realpath(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(os.path.realpath(self._current()))
 
 
 def jdbc_upsert_writer(url: str, table: str, key_cols: list[str], properties: dict):

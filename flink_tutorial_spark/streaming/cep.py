@@ -90,6 +90,7 @@ _SEQUENCE_STATE = StructType(
     [
         StructField("firsts", ArrayType(LongType())),
         StructField("progress", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
     ]
 )
 
@@ -118,8 +119,10 @@ def detect_sequence(
     within_us = within_seconds * 1_000_000
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        firsts, progress = (
-            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        firsts, progress, lasts = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
         )
         out = []
         for pdf in pdfs:
@@ -128,25 +131,31 @@ def detect_sequence(
             flags = [pdf[c].to_numpy() for c in step_cols]
             for i in range(len(pdf)):
                 t = int(ts_us[i])
-                keep_f, keep_p = [], []
-                for f0, p0 in zip(firsts, progress):
+                keep_f, keep_p, keep_l = [], [], []
+                for f0, p0, l0 in zip(firsts, progress, lasts):
                     if t - f0 > within_us:
                         continue  # expired
-                    if flags[p0][i]:
+                    # strictly-later requirement matches the relational
+                    # oracle (c.ts > s.ts): a tie on ts never advances,
+                    # so results are stable under tie-sort order
+                    if t > l0 and flags[p0][i]:
                         p0 += 1
                         if p0 == n_steps:
                             out.append((key[0], f0, t))
                             continue  # completed; drop from in-flight
+                        l0 = t
                     keep_f.append(f0)
                     keep_p.append(p0)
-                firsts, progress = keep_f, keep_p
+                    keep_l.append(l0)
+                firsts, progress, lasts = keep_f, keep_p, keep_l
                 if flags[0][i]:
-                    firsts.append(t)
-                    progress.append(1 if n_steps > 1 else 0)
                     if n_steps == 1:
                         out.append((key[0], t, t))
-                        firsts.pop(); progress.pop()
-        state.update((firsts, progress))
+                    else:
+                        firsts.append(t)
+                        progress.append(1)
+                        lasts.append(t)
+        state.update((firsts, progress, lasts))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQUENCE_OUT.fields])
 

@@ -74,29 +74,51 @@ _COUNT_WINDOW_STATE = StructType(
 
 
 def count_window_sum(
-    df: DataFrame, key_col: str, ts_col: str, value_col: str, n: int
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n: int,
+    sort_cols: list[str] | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Keyed tumbling COUNT window (fires every n rows per key) —
     countWindow(3), CountWindowDemo.java:32; golden trace
     CountWindowAllDemo.java:33-41. No Spark native equivalent
     (SURVEY §2.6): buffer counts per key in state, emit on every n-th.
 
-    Rows are processed in (ts, value) order within each micro-batch;
+    Vectorized: window boundaries fall out of a prefix sum over each
+    Arrow batch — no per-row Python loop in the hot path. Rows process
+    in `sort_cols` order (default (ts, value)) within each micro-batch;
     cross-batch order follows arrival (same caveat as Flink's network
     nondeterminism across exchanges)."""
+    order = sort_cols or [ts_col, value_col]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        (buf_cnt, buf_sum, emitted) = state.get if state.exists else (0, 0.0, 0)
+        import numpy as np
+
+        buf_cnt, buf_sum, emitted = state.get if state.exists else (0, 0.0, 0)
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, value_col])
-            for v in pdf[value_col]:
-                buf_cnt += 1
-                buf_sum += float(v)
-                if buf_cnt == n:
-                    emitted += 1
-                    out.append((key[0], emitted, buf_cnt, buf_sum))
-                    buf_cnt, buf_sum = 0, 0.0
+            vals = pdf.sort_values(order)[value_col].to_numpy(dtype="float64")
+            if len(vals) == 0:
+                continue
+            cs = np.cumsum(vals)
+            total = buf_cnt + len(vals)
+            complete = total // n
+            if complete:
+                ends = (np.arange(1, complete + 1) * n) - buf_cnt - 1
+                window_sums = cs[ends].copy()
+                window_sums[1:] -= cs[ends[:-1]]
+                window_sums[0] += buf_sum
+                for i, ws in enumerate(window_sums):
+                    s = float(ws) if round_to is None else round(float(ws), round_to)
+                    out.append((key[0], emitted + i + 1, n, s))
+                emitted += complete
+                buf_sum = float(cs[-1] - cs[ends[-1]])
+            else:
+                buf_sum += float(cs[-1])
+            buf_cnt = total % n
         state.update((buf_cnt, buf_sum, emitted))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in COUNT_WINDOW_OUT.fields])

@@ -82,7 +82,14 @@ def run_and_compare(spark, sf_dir: str, name: str) -> list[str]:
     spec = plans.REGISTRY[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
-        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+        # rows-only check: the query must execute, produce a non-empty
+        # schema, and (for this test corpus) at least one row
+        problems = []
+        if len(spark_pdf.columns) == 0:
+            problems.append("empty schema")
+        if len(spark_pdf) == 0:
+            problems.append("rows-only query returned 0 rows")
+        return problems
     con = duckdb_connect(sf_dir)
     try:
         oracle_pdf = con.execute(spec.oracle).fetchdf()
