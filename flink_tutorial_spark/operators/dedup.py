@@ -21,6 +21,10 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -29,6 +33,19 @@ from pyspark.sql import functions as F
 N_MINHASH = 8
 N_BANDS = 4  # x 2 rows per band
 SIMHASH_BITS = 16
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir() -> str:
+    """Session-scoped scratch root, removed at interpreter exit — repeated
+    minhash runs (bench warm-ups, oracle passes) reuse one root instead of
+    leaking a mkdtemp per call for the life of the machine."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="fts_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return f"{_SCRATCH_ROOT}/{uuid.uuid4().hex[:12]}"
 
 
 def md5_long(col) -> F.Column:
@@ -144,10 +161,8 @@ def minhash_lsh_dedup(
     and with persist() the cache entry would pin executor storage for
     the session lifetime. At 100 TB this scratch write is the signature
     checkpoint to object storage."""
-    import tempfile
-
     sig_raw = minhash_signatures(shingle_table(docs, id_col, text_col), id_col)
-    scratch = tempfile.mkdtemp(prefix="minhash_sig_") + "/sig"
+    scratch = _scratch_dir() + "/sig"
     sig_raw.write.mode("overwrite").parquet(scratch)
     sig = docs.sparkSession.read.parquet(scratch)
     cand = lsh_candidate_pairs(sig, id_col)

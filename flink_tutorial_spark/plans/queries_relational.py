@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_tutorial_spark.plans.catalog import query
+from flink_tutorial_spark.plans.parity import dec_sum
 from flink_tutorial_spark.session import load_table, load_tables
 
 
@@ -110,7 +111,7 @@ def union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_type,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY user_id, event_type
 """,
@@ -122,7 +123,7 @@ def keyed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-record emission converges to this batch aggregate (update mode)."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+        F.count("*").alias("cnt"), dec_sum("value").alias("sum_value")
     )
 
 
@@ -197,7 +198,7 @@ def keyed_maxby_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed_reduce",
     oracle="""
 SELECT l_returnflag,
-       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
        max(l_extendedprice) AS max_price,
        CAST(count(*) AS BIGINT) AS cnt
 FROM lineitem
@@ -210,7 +211,7 @@ def keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative reduce is a Spark agg with map-side partial combine."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        dec_sum("l_quantity").alias("sum_qty"),
         F.max("l_extendedprice").alias("max_price"),
         F.count("*").alias("cnt"),
     )
@@ -254,7 +255,8 @@ def activity_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_agg",
     oracle="""
-SELECT event_type, CAST(count(ts) AS BIGINT) AS ct, round(sum(value), 4) AS sum_value
+SELECT event_type, CAST(count(ts) AS BIGINT) AS ct,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY event_type
 """,
@@ -267,7 +269,8 @@ def sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(
         """
-        SELECT event_type, count(ts) AS ct, round(sum(value), 4) AS sum_value
+        SELECT event_type, count(ts) AS ct,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY event_type
         """
@@ -307,7 +310,7 @@ def sql_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "retract_agg_final",
     oracle="""
-SELECT user_id, round(sum(value), 4) AS sum_value
+SELECT user_id, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events
 WHERE event_type = 'purchase'
 GROUP BY user_id
@@ -323,5 +326,5 @@ def retract_agg_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(dec_sum("value").alias("sum_value"))
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_tutorial_spark.plans.catalog import query
+from flink_tutorial_spark.plans.parity import dec_sum
 from flink_tutorial_spark.streaming.run import run_to_memory, stream_table
 
 
@@ -27,7 +28,7 @@ from flink_tutorial_spark.streaming.run import run_to_memory, stream_table
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY event_type
 """,
@@ -39,7 +40,7 @@ def streaming_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregate (the reference's update-stream trace day10/_02)."""
     events = stream_table(spark, sf_dir, "events")
     agg = events.groupBy("event_type").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+        F.count("*").alias("cnt"), dec_sum("value").alias("sum_value")
     )
     return run_to_memory(agg, "complete")
 

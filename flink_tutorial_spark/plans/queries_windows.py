@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from flink_tutorial_spark.operators.topn import top_n_per_group
 from flink_tutorial_spark.operators.windows import session_window_agg, windowed_agg
 from flink_tutorial_spark.plans.catalog import query
+from flink_tutorial_spark.plans.parity import dec_avg, dec_sum
 from flink_tutorial_spark.session import load_table
 
 # DuckDB helper: sliding-window starts aligned to the epoch, matching
@@ -86,7 +87,7 @@ def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS cnt,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -104,7 +105,7 @@ def tumbling_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         size="1 hour",
         keys=["event_type"],
-        aggs=[F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")],
+        aggs=[F.count("*").alias("cnt"), dec_sum("value").alias("sum_value")],
     )
     return out.select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
 
@@ -114,7 +115,7 @@ def tumbling_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT date_trunc('day', ts) AS window_start,
        count(*) AS cnt,
-       round(avg(value), 4) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value
 FROM events
 GROUP BY 1
 """,
@@ -133,7 +134,7 @@ def tumbling_window_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         size="1 day",
         keys=[],
-        aggs=[F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value")],
+        aggs=[F.count("*").alias("cnt"), dec_avg("value").alias("avg_value")],
     )
     return out.select(F.col("w.start").alias("window_start"), "cnt", "avg_value")
 
@@ -156,7 +157,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS cnt,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
 FROM sessioned
 GROUP BY user_id, session_id
 """
@@ -227,7 +228,7 @@ def session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         gap="30 minutes",
         keys=["user_id"],
-        aggs=[F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")],
+        aggs=[F.count("*").alias("cnt"), dec_sum("value").alias("sum_value")],
     )
     return out.select(
         "user_id",

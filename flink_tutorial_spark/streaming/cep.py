@@ -29,9 +29,7 @@ SEQ_OUT = StructType(
         StructField("n_matched", LongType()),
     ]
 )
-_SEQ_STATE = StructType(
-    [StructField("streak", LongType()), StructField("first_ts", LongType())]
-)
+_SEQ_STATE = StructType([StructField("recent", ArrayType(LongType()))])
 
 
 def detect_consecutive(
@@ -46,31 +44,58 @@ def detect_consecutive(
     LoginFailWithCep.scala:38-67 (Pattern.begin.next....within) and the
     ListState+timer variant LoginFail.scala:57-103.
 
-    State machine per key: a streak counter + streak start; any
-    non-matching event resets (strict contiguity), exceeding the time
-    bound restarts the streak at the current event. Emits one row per
-    completed n-streak. Input must arrive time-ordered per key (use a
-    watermarked, window-sorted upstream or accept arrival order, same
+    Sliding-streak semantics (Flink NFA parity): within an unbroken run
+    of flagged events, EVERY event whose (n-1)-back flagged predecessor
+    is within the time bound completes a match — overlapping matches all
+    emit, and a bound violation slides the streak start forward instead
+    of resetting it (so flags at t=0,20,40,55 with within=40, n=3 emit
+    (0,40) AND (20,55); a reset-at-current would lose the second). Any
+    non-flagged event breaks the run (strict contiguity).
+
+    State per key: the trailing <=n-1 flagged timestamps of the current
+    run. Vectorized: runs fall out of cumsum(~flag); match positions are
+    one shifted subtraction per run — no per-row Python.
+
+    Input must arrive time-ordered per key (watermarked upstream, same
     as Flink with out-of-orderness 0)."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        streak, first_ts = state.get if state.exists else (0, 0)
+        import numpy as np
+
+        carry = list(state.get[0]) if state.exists else []
         out = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                ts = int(row[ts_col].value // 1_000_000_000)
-                if bool(row[flag_col]):
-                    if streak == 0 or ts - first_ts > within_seconds:
-                        streak, first_ts = 1, ts
-                    else:
-                        streak += 1
-                    if streak >= n:
-                        out.append((key[0], first_ts, ts, streak))
-                        streak, first_ts = 0, 0
-                else:
-                    streak, first_ts = 0, 0
-        state.update((streak, first_ts))
+            ts = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+            flags = pdf[flag_col].to_numpy(dtype=bool)
+            run_id = np.cumsum(~flags)
+            flagged = np.flatnonzero(flags)
+            if len(flagged) == 0:
+                carry = []
+                continue
+            rids = run_id[flagged]
+            splits = np.flatnonzero(np.diff(rids)) + 1
+            runs = np.split(ts[flagged], splits)
+            T = runs[-1]
+            for gi, run_ts in enumerate(runs):
+                if gi == 0 and flags[0] and carry:
+                    run_ts = np.concatenate(
+                        [np.asarray(carry, dtype="int64"), run_ts]
+                    )
+                if len(run_ts) >= n:
+                    last = run_ts[n - 1 :]
+                    first = run_ts[: len(run_ts) - n + 1]
+                    ok = (last - first) <= within_seconds
+                    out.extend(
+                        (key[0], int(fb), int(lb), n)
+                        for fb, lb in zip(first[ok], last[ok])
+                    )
+                if gi == len(runs) - 1:
+                    T = run_ts
+            carry = [int(x) for x in T[-(n - 1) :]] if (flags[-1] and n > 1) else []
+        state.update((carry,))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQ_OUT.fields])
 
@@ -193,16 +218,28 @@ def timer_gated_forward(
     carried in state and compared in event time."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (open_until,) = state.get if state.exists else (0,)
         out = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                ts = int(row[ts_col].value // 1_000_000_000)
-                if row[kind_col] == control_kind:
-                    open_until = ts + open_seconds
-                elif row[kind_col] == data_kind and ts < open_until:
-                    out.append((key[0], ts, float(row["value"])))
+            ts = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+            kinds = pdf[kind_col].to_numpy()
+            # gate deadline in effect at each row = running max of every
+            # prior control's (ts + open) and the carried-in deadline —
+            # one maximum.accumulate replaces the per-row loop
+            cand = np.where(kinds == control_kind, ts + open_seconds, np.int64(-(2**62)))
+            eff = np.maximum(np.maximum.accumulate(cand), np.int64(open_until))
+            passing = (kinds == data_kind) & (ts < eff)
+            if passing.any():
+                vals = pdf["value"].to_numpy(dtype="float64")[passing]
+                out.extend(
+                    (key[0], int(t), float(v)) for t, v in zip(ts[passing], vals)
+                )
+            open_until = int(eff[-1])
         state.update((open_until,))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in GATE_OUT.fields])
@@ -253,12 +290,20 @@ def match_or_timeout(
         else:
             start_ts, start_value = state.get if state.exists else (0, 0.0)
             for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
                 pdf = pdf.sort_values(ts_col)
-                for _, row in pdf.iterrows():
-                    ts = int(row[ts_col].value // 1_000_000_000)
-                    kind = row[kind_col]
+                # column arrays once per batch (the state machine is
+                # inherently sequential per key, but plain-int loops over
+                # numpy arrays cut ~100x pandas row overhead)
+                ts_arr = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+                kind_arr = pdf[kind_col].to_numpy()
+                val_arr = pdf["value"].to_numpy(dtype="float64")
+                for i in range(len(ts_arr)):
+                    ts = int(ts_arr[i])
+                    kind = kind_arr[i]
                     if kind == start_kind:
-                        start_ts, start_value = ts, float(row["value"])
+                        start_ts, start_value = ts, float(val_arr[i])
                     elif kind == end_kind and start_ts > 0:
                         if ts - start_ts <= within_seconds:
                             out.append((key[0], start_ts, ts, "matched", start_value))

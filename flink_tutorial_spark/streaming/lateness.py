@@ -1,0 +1,146 @@
+"""allowedLateness "emit then revise" + explicit retract rows + the
+late-updating Top-N (SURVEY.md §2.6 last rows, §2.10).
+
+Reference semantics being matched:
+- allowedLateness(1m): a window fires at watermark >= end, then RE-FIRES
+  an updated result for every late row until end+lateness
+  (NetworkFlow.scala:53, _08_lateReadingsOutput.java:86-94).
+- toRetractStream: each revision arrives as a (false, old) retraction
+  plus a (true, new) insertion (day10/_02_StreamToTable_Agg.java:55-66).
+- Top-N with late updates: MapState + dual timers re-rank a window's
+  Top-N after late rows (NetworkFlow.scala:49-148).
+
+Spark-first mapping: an UPDATE-mode window aggregate with
+withWatermark(ts, lateness) keeps window state alive for exactly the
+lateness horizon — each micro-batch re-emits any window a late row
+revised (that IS Flink's re-fire). foreachBatch then makes the
+revisions explicit: diff the incoming epoch against the keyed result
+table (old row -> retract, new row -> insert), append the pair to a
+revision log, and MERGE the new rows in. The Top-N variant re-ranks
+only the windows the epoch touched — work per epoch is proportional to
+revised windows, never the full history (the NetworkFlow MapState
+cleanup analog).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+
+
+def late_window_counts(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    size: str,
+    lateness: str,
+) -> DataFrame:
+    """Windowed count with allowedLateness: update-mode emission re-fires
+    a window for late rows inside the lateness horizon; rows later than
+    watermark - lateness are dropped (the sideOutputLateData channel is
+    the dual-query audit stream, sinks/foreach.split_sinks)."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, size).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), key_col, "cnt")
+    )
+
+
+class RetractingUpsertSink:
+    """foreachBatch sink that materializes Flink's retract stream: per
+    epoch, every arriving row diffs against the keyed table — a changed
+    key appends (false, old) + (true, new) to the revision log, a fresh
+    key appends (true, new) — then the table itself is merged. The log
+    IS the toRetractStream trace; the table is its converged state."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+        self.spark = spark
+        self.table = KeyedUpsertSink(spark, os.path.join(path, "state"), key_cols)
+        self.log_path = os.path.join(path, "retract_log")
+        self.key_cols = key_cols
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        new = batch_df.dropDuplicates(self.key_cols)
+        data_cols = new.columns
+        try:
+            old = self.table.read()
+            has_old = True
+        except FileNotFoundError:
+            has_old = False
+        if has_old:
+            o = old.select(
+                *[F.col(c).alias(f"__old_{c}") if c not in self.key_cols else F.col(c)
+                  for c in data_cols],
+                F.lit(True).alias("__old_exists"),
+            )
+            joined = new.join(o, self.key_cols, "left")
+            non_keys = [c for c in data_cols if c not in self.key_cols]
+            changed = joined.where(
+                ~F.struct(*non_keys).eqNullSafe(
+                    F.struct(*[F.col(f"__old_{c}").alias(c) for c in non_keys])
+                )
+            )
+            retracts = changed.where(F.col("__old_exists")).select(
+                F.lit(False).alias("is_insert"),
+                *self.key_cols,
+                *[F.col(f"__old_{c}").alias(c) for c in non_keys],
+            )
+            inserts = changed.select(
+                F.lit(True).alias("is_insert"), *data_cols
+            )
+            log_rows = retracts.unionByName(inserts)
+        else:
+            log_rows = new.select(F.lit(True).alias("is_insert"), *data_cols)
+        (log_rows.withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(self.log_path))
+        self.table(batch_df, epoch_id)
+
+    def log(self) -> DataFrame:
+        return self.spark.read.parquet(self.log_path)
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+
+class LateTopNSink:
+    """Late-updating Top-N (NetworkFlow.scala:49-148): keeps the running
+    per-(window, key) counts in one keyed table and the per-window
+    ranking in another; every epoch re-ranks ONLY the windows it
+    touched. A late row that changes a count therefore rewrites that
+    window's Top-N rows in place — the MapState + re-rank-timer pattern
+    with epoch-proportional work."""
+
+    def __init__(self, spark: SparkSession, path: str, n: int):
+        self.spark = spark
+        self.n = n
+        self.counts = KeyedUpsertSink(
+            spark, os.path.join(path, "counts"), ["window_start", "item_key"]
+        )
+        self.ranks = KeyedUpsertSink(
+            spark, os.path.join(path, "ranks"), ["window_start", "rank"]
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        self.counts(batch_df, epoch_id)
+        touched = [r[0] for r in batch_df.select("window_start").distinct().collect()]
+        if not touched:
+            return
+        all_counts = self.counts.read().where(F.col("window_start").isin(touched))
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("cnt"), F.asc("item_key")
+        )
+        ranked = (
+            all_counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= self.n)
+        )
+        self.ranks(ranked, epoch_id)
+
+    def read(self) -> DataFrame:
+        return self.ranks.read()

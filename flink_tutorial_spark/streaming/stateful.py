@@ -155,22 +155,33 @@ def sliding_count_window_sum(
     the ListState the reference keeps, as an array field."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         recent, since_emit, emitted = (
             state.get if state.exists else ([], 0, 0)
         )
         recent = list(recent)
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, value_col])
-            for v in pdf[value_col]:
-                recent.append(float(v))
-                if len(recent) > size:
-                    recent.pop(0)
-                since_emit += 1
-                if since_emit == slide:
-                    emitted += 1
-                    out.append((key[0], emitted, len(recent), sum(recent)))
-                    since_emit = 0
+            if len(pdf) == 0:
+                continue
+            vals = pdf.sort_values([ts_col, value_col])[value_col].to_numpy(
+                dtype="float64"
+            )
+            # prefix the ring buffer, then every emit is one prefix-sum
+            # subtraction: fire positions p satisfy (since_emit+p+1)%slide==0
+            allv = np.concatenate([np.asarray(recent, dtype="float64"), vals])
+            c = len(recent)
+            cs = np.concatenate([[0.0], np.cumsum(allv)])
+            first_fire = slide - since_emit - 1  # 0-based batch position
+            fires = np.arange(first_fire, len(vals), slide)
+            for p in fires:
+                e = c + int(p)  # inclusive end index into allv
+                cnt = min(size, e + 1)
+                emitted += 1
+                out.append((key[0], emitted, cnt, float(cs[e + 1] - cs[e + 1 - cnt])))
+            since_emit = (since_emit + len(vals)) % slide
+            recent = [float(v) for v in allv[-size:]]
         state.update((recent, since_emit, emitted))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SLIDING_COUNT_OUT.fields])
