@@ -58,35 +58,43 @@ def materialize(df) -> None:
 
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
-    # JIT/codegen warm-up: run every headline query once at the smallest
+    catalog = list(plans.REGISTRY)
+    # JIT/codegen warm-up: run every catalog query once at the smallest
     # SF so timings measure steady-state execution, not first-call JVM
     # compilation (standard benchmark practice; JMH-style warm-up).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
-        for name in HEADLINE:
+        for name in catalog:
             try:
                 materialize(plans.REGISTRY[name].fn(spark, warm_dir))
             except Exception:
                 pass
 
+    # full-catalog timing (VERDICT r1 #10): headliners get best-of-2 (the
+    # comparable-to-baseline number); the rest run once so regressions
+    # anywhere in the catalog are visible round-over-round.
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in catalog:
         spec = plans.REGISTRY[name]
+        runs = 2 if name in HEADLINE else 1
         best = float("inf")
-        for _ in range(2):  # best-of-2: shields against GC/neighbor noise
+        for _ in range(runs):
             t0 = time.perf_counter()
             materialize(spec.fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    headline_total = round(sum(times[n] for n in HEADLINE), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": round(sum(times.values()), 3),
+                "value": headline_total,
                 "unit": "sec",
                 "queries": times,
+                "catalog_total_sec": round(sum(times.values()), 3),
+                "n_queries": len(times),
                 "sf": float(sf),
             }
         )

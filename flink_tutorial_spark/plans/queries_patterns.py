@@ -291,3 +291,49 @@ def temp_rise_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.where(
         F.col("prev_value").isNotNull() & (F.col("value") > F.col("prev_value"))
     ).select("user_id", "ts", "prev_value", "value")
+
+
+@query(
+    "login_fail_streak3",
+    oracle="""
+WITH seq AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), fails AS (
+    SELECT user_id, ts, rn,
+           lag(rn, 2) OVER (PARTITION BY user_id ORDER BY rn) AS rn3,
+           lag(ts, 2) OVER (PARTITION BY user_id ORDER BY rn) AS ts3
+    FROM seq WHERE event_type = 'error'
+)
+SELECT user_id, ts3 AS first_fail_ts, ts AS last_fail_ts
+FROM fails
+WHERE rn3 = rn - 2 AND ts - ts3 <= INTERVAL 2 HOUR
+""",
+    tags=("cep",),
+)
+def login_fail_streak3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict-contiguity at n=3 — the sliding-streak semantics the
+    streaming twin (streaming/cep.py detect_consecutive) implements:
+    every error whose 2-back error is strictly consecutive (rn
+    arithmetic) and within the bound completes a match; overlapping
+    matches all emit (Flink NFA parity for times(3).consecutive(),
+    LoginFailWithCep.scala:38-67 — the r1 ADVICE gap where only n=2
+    was oracle-exercised)."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    )
+    w = Window.partitionBy("user_id").orderBy("rn")
+    fails = (
+        seq.where(F.col("event_type") == "error")
+        .withColumn("rn3", F.lag("rn", 2).over(w))
+        .withColumn("ts3", F.lag("ts", 2).over(w))
+    )
+    return fails.where(
+        (F.col("rn3") == F.col("rn") - 2)
+        & (F.col("ts").cast("long") - F.col("ts3").cast("long") <= 7200)
+    ).select(
+        "user_id",
+        F.col("ts3").alias("first_fail_ts"),
+        F.col("ts").alias("last_fail_ts"),
+    )

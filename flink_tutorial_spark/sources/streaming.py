@@ -72,6 +72,38 @@ def kafka_source(
     )
 
 
+def kafka_package_coordinate(spark_version: str | None = None) -> str:
+    """Maven coordinate of the Structured Streaming Kafka connector
+    matching the running Spark (Scala 2.13 line). Pass to
+    `SparkSession.builder.config("spark.jars.packages", ...)` on a
+    machine with network/jar access — the container here has neither,
+    so the env-gated integration test (tests/test_kafka.py) carries
+    the executable proof instead."""
+    import pyspark
+
+    v = spark_version or pyspark.__version__
+    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{v}"
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+):
+    """FlinkKafkaProducer(broker, topic, schema) — KafkaSinkDemo.java:
+    22-25 (at-least-once; exactly-once via the checkpoint WAL + an
+    idempotent downstream consumer). Input needs a `value` column
+    (binary or string), optional `key`."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def sensor_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """SensorSource — streamingwithflink/util/SensorSource.java:13-35
     (10 sensors per subtask, gaussian random walk). Spark-first: rate

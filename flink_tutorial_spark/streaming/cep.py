@@ -116,6 +116,7 @@ _SEQUENCE_STATE = StructType(
         StructField("firsts", ArrayType(LongType())),
         StructField("progress", ArrayType(LongType())),
         StructField("lasts", ArrayType(LongType())),
+        StructField("vetoes", ArrayType(LongType())),
     ]
 )
 
@@ -126,34 +127,53 @@ def detect_sequence(
     ts_col: str,
     step_cols: list[str],
     within_seconds: int,
+    veto_col: str | None = None,
 ) -> DataFrame:
     """Generalized CEP sequence detection, relaxed contiguity (Flink's
     `followedBy` chain, LoginFailWithCep.scala/OrderTimeoutWithCEP.scala
     family): each boolean step column must match in order — other events
     may intervene — with the whole match inside `within_seconds`.
 
+    `veto_col` is the notFollowedBy analog (OrderTimeoutWithCEP pattern
+    family): a veto event strictly between a sequence's start and its
+    completion kills that sequence. The check runs lazily at completion
+    time against the recorded veto timestamps, so results are
+    deterministic under same-timestamp ties regardless of arrival order
+    (a veto AT the completion timestamp does not kill — matching the
+    relational NOT EXISTS with strict bounds). Scope note vs Flink: the
+    veto applies over the WHOLE open span (start, completion), which
+    equals Flink's per-gap notFollowedBy for 2-step patterns and is the
+    conjunction of all gaps for longer ones.
+
     Match mode is per-start (every step-0 event opens its own in-flight
     sequence; overlapping matches all emit) — the mode with a clean
     relational equivalent, so the LIVE streaming operator is
     oracle-checkable. Strict contiguity lives in detect_consecutive.
 
-    State per key: parallel arrays of in-flight (start_us, progress).
-    In-flight count is bounded by step-0 events inside the `within`
-    horizon — the watermark-expired ones drop on every batch."""
+    State per key: parallel arrays of in-flight (start_us, progress)
+    plus veto timestamps inside the `within` horizon. In-flight count is
+    bounded by step-0 events inside the horizon — the watermark-expired
+    ones drop on every batch."""
     n_steps = len(step_cols)
     within_us = within_seconds * 1_000_000
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        firsts, progress, lasts = (
-            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+        firsts, progress, lasts, vetoes = (
+            (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+                list(state.get[3] or []),
+            )
             if state.exists
-            else ([], [], [])
+            else ([], [], [], [])
         )
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
             flags = [pdf[c].to_numpy() for c in step_cols]
+            veto_flags = pdf[veto_col].to_numpy() if veto_col else None
             for i in range(len(pdf)):
                 t = int(ts_us[i])
                 keep_f, keep_p, keep_l = [], [], []
@@ -166,13 +186,18 @@ def detect_sequence(
                     if t > l0 and flags[p0][i]:
                         p0 += 1
                         if p0 == n_steps:
-                            out.append((key[0], f0, t))
-                            continue  # completed; drop from in-flight
+                            # vetoed iff a veto fell STRICTLY inside
+                            # (start, completion) — drop either way
+                            if not any(f0 < v < t for v in vetoes):
+                                out.append((key[0], f0, t))
+                            continue
                         l0 = t
                     keep_f.append(f0)
                     keep_p.append(p0)
                     keep_l.append(l0)
                 firsts, progress, lasts = keep_f, keep_p, keep_l
+                if veto_flags is not None and veto_flags[i]:
+                    vetoes.append(t)
                 if flags[0][i]:
                     if n_steps == 1:
                         out.append((key[0], t, t))
@@ -180,7 +205,10 @@ def detect_sequence(
                         firsts.append(t)
                         progress.append(1)
                         lasts.append(t)
-        state.update((firsts, progress, lasts))
+            if ts_us.size and vetoes:
+                horizon = int(ts_us[-1]) - within_us
+                vetoes = [v for v in vetoes if v >= horizon]
+        state.update((firsts, progress, lasts, vetoes))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQUENCE_OUT.fields])
 

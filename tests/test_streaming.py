@@ -547,3 +547,45 @@ def test_detect_consecutive_sliding_streak(spark, tmp_path):
         for r in run_stream(spark, src, q, "append").collect()
     )
     assert got == [(0, 40), (20, 55)]
+
+
+def test_detect_sequence_veto(spark, tmp_path):
+    # notFollowedBy: a veto event strictly between start and completion
+    # kills the sequence; a veto AT the completion ts does not
+    from flink_tutorial_spark.streaming.cep import detect_sequence
+
+    src = str(tmp_path / "src")
+    base = int(T0.timestamp()) * 1_000_000
+    write_batches(
+        src,
+        [
+            [
+                _row(0, user=1, kind="signup"),
+                _row(10, user=1, kind="error"),    # vetoes the 0-start
+                _row(20, user=1, kind="purchase"),
+                _row(30, user=1, kind="signup"),
+            ],
+            [
+                _row(40, user=1, kind="purchase"),  # completes the 30-start
+                _row(50, user=2, kind="signup"),
+                _row(60, user=2, kind="error"),
+                _row(60, user=2, kind="purchase"),  # veto AT completion ts: survives
+            ],
+        ],
+    )
+
+    def q(stream):
+        flagged = stream.select(
+            "user",
+            "ts",
+            (F.col("kind") == "signup").alias("s0"),
+            (F.col("kind") == "purchase").alias("s1"),
+            (F.col("kind") == "error").alias("veto"),
+        )
+        return detect_sequence(flagged, "user", "ts", ["s0", "s1"], 100, veto_col="veto")
+
+    got = sorted(
+        (r.key, (r.start_us - base) // 1_000_000, (r.end_us - base) // 1_000_000)
+        for r in run_stream(spark, src, q, "append").collect()
+    )
+    assert got == [(1, 30, 40), (2, 50, 60)]
