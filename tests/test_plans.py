@@ -71,3 +71,37 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
         plan = formatted_plan(spark, name, sf_dir)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_tpch_semi_anti_shapes(spark, sf_dir):
+    # Q4's EXISTS and Q18's HAVING-IN must plan as semi joins (no row
+    # explosion), Q16/Q21/Q22's NOT IN / NOT EXISTS as anti joins
+    for name, marker in [
+        ("tpch_q4_order_priority", "LeftSemi"),
+        ("tpch_q18_large_volume_customer", "LeftSemi"),
+        ("tpch_q16_supplier_part_count", "LeftAnti"),
+        ("tpch_q22_global_sales_opportunity", "LeftAnti"),
+    ]:
+        plan = formatted_plan(spark, name, sf_dir)
+        assert marker in plan, name
+    q21 = formatted_plan(spark, "tpch_q21_suppliers_who_kept_waiting", sf_dir)
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+
+
+def test_tpch_wide_joins_broadcast_dims(spark, sf_dir):
+    # the 5-8 table joins must broadcast every dim: exactly zero
+    # SortMergeJoins on a dim side at test SF (the fact spine may SMJ)
+    for name in [
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q9_product_type_profit", "tpch_q10_returned_items",
+    ]:
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_tpch_topn_fold_to_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT must fold to TakeOrderedAndProject — a full sort
+    # of the aggregate output would shuffle everything at 100 TB
+    for name in ["tpch_q10_returned_items", "tpch_q21_suppliers_who_kept_waiting"]:
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "TakeOrderedAndProject" in plan, name
