@@ -33,6 +33,17 @@ from pyspark.sql import functions as F
 N_MINHASH = 8
 N_BANDS = 4  # x 2 rows per band
 SIMHASH_BITS = 16
+# Universal-hash minhash family: h_i(x) = (A[i]*x + B[i]) mod P over a
+# 32-bit base hash x. P is the first prime above 2^32, so the mod wraps
+# ~A[i] (~2^30) times across the x range — each i induces a genuinely
+# different ordering (a double-hashing family h1 + i*h2 was measured
+# here to be uselessly correlated: the min was dominated by shingles
+# small in BOTH halves, 111/136 candidate pairs were false positives).
+# A[i] < 2^30 keeps A*x < 2^62: overflow-free in both engines' int64.
+# Constants are fixed so the DuckDB oracle computes the identical family.
+MINHASH_P = 4294967311
+MINHASH_A = [937164243, 562882817, 193877777, 805306457, 268435459, 931161137, 715827883, 402653189]
+MINHASH_B = [152916163, 686579203, 908090843, 33554467, 573292817, 128904811, 741103597, 310248241]
 
 _SCRATCH_ROOT: str | None = None
 
@@ -97,22 +108,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", k: int = N_MINHASH) -> DataFrame:
     """k-permutation MinHash signature per doc, wide form (m0..m{k-1}).
 
-    Each md5 yields TWO independent 60-bit hashes (hex chars 1-15 and
-    17-31), halving hash compute — k hashes cost k/2 md5 calls. One
+    ONE md5 per shingle (md5+conv dominates signature cost; was k/2
+    md5s) yields a 32-bit base hash x; the k members are the universal
+    transforms (A[i]*x + B[i]) mod MINHASH_P — pairwise-independent
+    orderings, all computed as codegen int64 arithmetic. One
     groupBy(doc) agg computes all k mins in a single pass (map-side
     combined)."""
-    assert k % 2 == 0
-    hashed = shingles
-    aggs = []
-    for s in range(k // 2):
-        hcol = f"_h{s}"
-        hashed = hashed.withColumn(hcol, F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))))
-        aggs.append(
-            F.min(F.conv(F.substring(F.col(hcol), 1, 15), 16, 10).cast("bigint")).alias(f"m{2 * s}")
-        )
-        aggs.append(
-            F.min(F.conv(F.substring(F.col(hcol), 17, 15), 16, 10).cast("bigint")).alias(f"m{2 * s + 1}")
-        )
+    assert k <= len(MINHASH_A)
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    hashed = shingles.select(F.col(id_col), x.alias("_x"))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("_x") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i in range(k)
+    ]
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -192,13 +200,26 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs, blocked on shared shingles.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|); only pairs sharing >=1 shingle
-    are ever joined. Returns (doc_a, doc_b, jaccard)."""
-    sh = shingle_table(docs, id_col, text_col)
+    are ever joined. Returns (doc_a, doc_b, jaccard).
+
+    The shingle table is hashed to 60-bit ints (8-byte join keys and
+    shuffle rows instead of ~20-char strings) and materialized to
+    scratch parquet ONCE — it feeds three plan branches (sizes + both
+    self-join sides) which would otherwise each recompute the full
+    split/transform/explode/distinct pipeline. The oracle hashes with
+    the identical md5 prefix, so even a (≈2^-61) hash collision yields
+    the same answer in both engines."""
+    sh_raw = shingle_table(docs, id_col, text_col).select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("sh")
+    )
+    scratch = _scratch_dir() + "/sh"
+    sh_raw.write.mode("overwrite").parquet(scratch)
+    sh = docs.sparkSession.read.parquet(scratch)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
-        a.join(b, ["shingle"])
+        a.join(b, ["sh"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))

@@ -57,10 +57,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shh AS (SELECT doc_id, {_MD5_LONG.format(x="shingle")} AS sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -77,13 +78,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
-_HASH_COLS = ",\n           ".join(
-    f"md5('{s}:' || shingle) AS h{s}" for s in range(D.N_MINHASH // 2)
-)
 _SIG_COLS = ",\n       ".join(
-    f"min(CAST(concat('0x', substr(h{s}, {start}, 15)) AS BIGINT)) AS m{2 * s + half}"
-    for s in range(D.N_MINHASH // 2)
-    for half, start in ((0, 1), (1, 17))
+    f"min(({D.MINHASH_A[i]} * x + {D.MINHASH_B[i]}) % {D.MINHASH_P}) AS m{i}"
+    for i in range(D.N_MINHASH)
 )
 _BAND_ROWS = "\n    UNION ALL\n".join(
     f"    SELECT doc_id, {b} AS band, md5(concat_ws(':', m{2 * b}, m{2 * b + 1})) AS bh FROM sig"
@@ -97,7 +94,7 @@ MINHASH_ORACLE = f"""
 WITH {_SHINGLES},
 hashed AS (
     SELECT doc_id,
-           {_HASH_COLS}
+           CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS x
     FROM sh
 ), sig AS (
     SELECT doc_id,
