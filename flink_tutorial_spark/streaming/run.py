@@ -36,14 +36,31 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def run_to_memory(out: DataFrame, mode: str = "append") -> DataFrame:
+def run_to_memory(
+    out: DataFrame, mode: str = "append", state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion via a memory sink;
     returns the materialized result. processAllAvailable() drains every
     micro-batch including the trailing no-data batch that fires event-
-    time timers after the final watermark update."""
+    time timers after the final watermark update.
+
+    Stateful streaming operators open one state store per shuffle
+    partition per micro-batch, so the partition count should be sized
+    to the STATE VOLUME in flight, not the batch-shuffle default (32
+    stores on a bounded local stream measured ~40% pure overhead). The
+    count is pinned into the query's checkpoint at start, so it is set
+    for the duration of this query and restored after — a production
+    deployment sizes it once per query via SPARK_GRAFT_STREAM_SHUFFLE
+    (state stores scale out with executors; 100s at cluster scale)."""
     spark = out.sparkSession
+    n = state_partitions or int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = out.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = out.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:

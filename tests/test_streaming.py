@@ -589,3 +589,79 @@ def test_detect_sequence_veto(spark, tmp_path):
         for r in run_stream(spark, src, q, "append").collect()
     )
     assert got == [(1, 30, 40), (2, 50, 60)]
+
+
+def test_early_fire_update_mode_window(spark, tmp_path):
+    # GlobalWindows + early-fire trigger analog (SURVEY §2.6 row 51,
+    # _06_GlobalWindowDemo / ContinuousEventTimeTrigger family): an
+    # UPDATE-mode window agg fires a partial result every micro-batch a
+    # window is touched, then refines it — the memory sink keeps the
+    # full firing log, so both the early fire and the revision are
+    # observable, matching Flink's early-fire output stream.
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(0), _row(10)],            # window [0,60): partial count 2
+            [_row(20), _row(70, key="b")],  # window [0,60) refined to 3
+        ],
+    )
+
+    def q(stream):
+        return (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "60 seconds").alias("w"), F.col("key"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "key", "cnt")
+        )
+
+    log = run_stream(spark, src, q, "update").collect()
+    fires = sorted(((r.ws - T0).total_seconds(), r.key, r.cnt) for r in log)
+    # early fire (a,2) for window 0, its refinement (a,3), and (b,1)
+    assert fires == [(0.0, "a", 2), (0.0, "a", 3), (60.0, "b", 1)]
+
+
+def test_socket_sink_live(spark, tmp_path):
+    # SocketSinkDemo.java:17 (writeToSocket): drive the foreachBatch
+    # socket writer against an in-process TCP server and read the lines
+    # back — the sink's live round trip
+    import socket
+    import threading
+
+    from flink_tutorial_spark.sinks.foreach import socket_writer
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    received: list[bytes] = []
+
+    def serve():
+        conn, _ = server.accept()
+        while chunk := conn.recv(4096):
+            received.append(chunk)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    src = str(tmp_path / "src")
+    write_batches(src, [[_row(0, kind="alpha"), _row(1, kind="beta")]])
+    stream = (
+        spark.readStream.format("parquet").schema(EVENT_SCHEMA).load(src)
+    )
+    q = (
+        stream.select(F.col("kind").alias("value"))
+        .writeStream.outputMode("append")
+        .foreachBatch(socket_writer("127.0.0.1", port))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t.join(timeout=10)
+    server.close()
+    lines = b"".join(received).decode().split()
+    assert sorted(lines) == ["alpha", "beta"]
