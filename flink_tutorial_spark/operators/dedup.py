@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 N_MINHASH = 8
 N_BANDS = 4  # x 2 rows per band
-SIMHASH_BITS = 16
+# 60-bit simhash (the 64-bit industry standard, clipped to the 60-bit
+# md5 half so every bit op stays sign-safe in both engines' int64):
+# random-pair collision at hamming<=3 is ~3e-14, so surviving pairs are
+# real near-dups, and the 15-bit band slices give 32k LSH buckets
+SIMHASH_BITS = 60
 # Universal-hash minhash family: h_i(x) = (A[i]*x + B[i]) mod P over a
 # 32-bit base hash x. P is the first prime above 2^32, so the mod wraps
 # ~A[i] (~2^30) times across the x range — each i induces a genuinely
@@ -238,6 +242,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_dist: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via multi-index banding: fingerprints are
+    cut into `bands` bit-slices; any pair agreeing on >=1 slice becomes
+    a candidate (pigeonhole: with 4 slices of a 16-bit fingerprint this
+    provably covers every pair with hamming distance <= 3), then the
+    exact distance filters to <= max_dist. Returns (doc_a, doc_b,
+    hamming).
+
+    Scale shape mirrors MinHash-LSH: candidates come from an equi-join
+    on (band, slice-value) — never all pairs; the fingerprint table
+    (one small row per doc) is checkpointed once for its three plan
+    branches (band explode + both distance sides)."""
+    assert SIMHASH_BITS % bands == 0
+    bits_per = SIMHASH_BITS // bands
+    mask = (1 << bits_per) - 1
+    fp_raw = simhash(docs, id_col, text_col)
+    scratch = _scratch_dir() + "/fp"
+    fp_raw.write.mode("overwrite").parquet(scratch)
+    fp = docs.sparkSession.read.parquet(scratch)
+    slices = F.array(
+        *[F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask)) for b in range(bands)]
+    )
+    bt = fp.select(F.col(id_col), F.posexplode(slices).alias("band", "bv"))
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"))
+    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_dist)
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Weighted SimHash fingerprint (SIMHASH_BITS bits) per document.
 
@@ -258,8 +316,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     fp = reduce(
         lambda x, y: x + y,
         [
-            F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0).cast("long"))
             for i in range(SIMHASH_BITS)
         ],
     )
-    return votes.select(F.col(id_col), fp.cast("int").alias("simhash"))
+    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))

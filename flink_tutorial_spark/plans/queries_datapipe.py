@@ -141,15 +141,48 @@ WITH words AS (
        {_VOTES}
     FROM hashed GROUP BY doc_id
 )
-SELECT doc_id, CAST({_FP} AS INT) AS simhash FROM votes
+SELECT doc_id, CAST({_FP} AS BIGINT) AS simhash FROM votes
 """
 
 
 @query("dedup_simhash", oracle=SIMHASH_ORACLE, tags=("datapipe", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted 16-bit SimHash fingerprint per document (fingerprint
+    """Weighted 60-bit SimHash fingerprint per document (fingerprint
     equality / small hamming ball is the near-dup blocking key)."""
     return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+_SIM_BANDS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band, (simhash >> {b * (D.SIMHASH_BITS // 4)})"
+    f" & {(1 << (D.SIMHASH_BITS // 4)) - 1} AS bv FROM fp"
+    for b in range(4)
+)
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH fp AS ({SIMHASH_ORACLE}),
+bands AS (
+{_SIM_BANDS}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = doc_a
+JOIN fp fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE, tags=("datapipe", "dedup"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via multi-index banding: 4 bit-slices as
+    LSH blocks (pigeonhole-complete for hamming <= 3), exact xor
+    popcount as the verifier — the same candidates-only join shape as
+    MinHash-LSH, completing the simhash path from fingerprint to pairs."""
+    return D.simhash_near_dup(load_table(spark, sf_dir, "documents"))
 
 
 @query(

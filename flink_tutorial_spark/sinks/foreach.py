@@ -297,3 +297,49 @@ def split_sinks(df: DataFrame, predicates: dict[str, "F.Column"]) -> dict[str, D
     have its own sink. Spark evaluates shared scan once per sink query;
     use foreachBatch + persist for single-pass fan-out when needed."""
     return {tag: df.filter(pred) for tag, pred in predicates.items()}
+
+
+class LateSideChannel:
+    """sideOutputLateData analog (scala OutputTag late channel,
+    _08_lateReadingsOutput.java:86-94): a foreachBatch splitter that
+    routes rows older than the in-effect watermark to a dedicated LATE
+    sink and everything else to the MAIN sink.
+
+    Applies Spark's own bounded-disorder rule so the split matches what
+    a downstream windowed agg would drop: the watermark is
+    max(event ts) - delay, computed at the END of a batch and in effect
+    from the NEXT batch on. Feed it the RAW stream (before any agg) —
+    the operator needs the unaggregated timestamps, exactly like
+    Flink's sideOutputLateData sits on the window operator input.
+    Watermark state lives on the driver (foreachBatch runs there) and
+    is rebuilt from the main sink's max ts on restart."""
+
+    def __init__(self, spark: SparkSession, path: str, ts_col: str, delay_seconds: int):
+        self.spark = spark
+        self.main_path = os.path.join(path, "main")
+        self.late_path = os.path.join(path, "late")
+        self.ts_col = ts_col
+        self.delay = delay_seconds
+        self.watermark = None  # micros; None until the first batch ends
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        ts_us = F.unix_micros(F.col(self.ts_col))
+        if self.watermark is not None:
+            late = batch_df.where(ts_us < F.lit(self.watermark))
+            main = batch_df.where(ts_us >= F.lit(self.watermark))
+        else:
+            late = batch_df.limit(0)
+            main = batch_df
+        main.write.mode("append").parquet(self.main_path)
+        late.write.mode("append").parquet(self.late_path)
+        hi = batch_df.agg(F.max(ts_us)).collect()[0][0]
+        if hi is not None:
+            candidate = hi - self.delay * 1_000_000
+            if self.watermark is None or candidate > self.watermark:
+                self.watermark = candidate
+
+    def main(self) -> DataFrame:
+        return self.spark.read.parquet(self.main_path)
+
+    def late(self) -> DataFrame:
+        return self.spark.read.parquet(self.late_path)

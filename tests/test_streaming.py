@@ -665,3 +665,36 @@ def test_socket_sink_live(spark, tmp_path):
     server.close()
     lines = b"".join(received).decode().split()
     assert sorted(lines) == ["alpha", "beta"]
+
+
+def test_late_side_channel(spark, tmp_path):
+    # sideOutputLateData: rows older than the in-effect watermark land
+    # in the late sink; the watermark advances at batch END (in effect
+    # next batch), matching the drop rule of a downstream windowed agg
+    from flink_tutorial_spark.sinks.foreach import LateSideChannel
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(0), _row(100)],          # batch 0: wm after = 100-10 = 90
+            [_row(50), _row(95), _row(200)],  # 50 < 90 late; 95, 200 main
+            [_row(120)],                   # wm now 190: 120 late
+        ],
+    )
+    ch = LateSideChannel(spark, str(tmp_path / "out"), "ts", delay_seconds=10)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = stream.writeStream.outputMode("append").foreachBatch(ch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    mains = sorted((r.ts - T0).total_seconds() for r in ch.main().collect())
+    lates = sorted((r.ts - T0).total_seconds() for r in ch.late().collect())
+    assert mains == [0.0, 95.0, 100.0, 200.0]
+    assert lates == [50.0, 120.0]
