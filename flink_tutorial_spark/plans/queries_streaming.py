@@ -222,3 +222,54 @@ def cep_sequence_veto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("start_us")).alias("start_ts"),
         F.timestamp_micros(F.col("end_us")).alias("end_ts"),
     )
+
+
+@query(
+    "cep_chain3",
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'
+), c AS (
+    SELECT v.user_id, v.t0,
+           (SELECT min(c.ts) FROM events c
+            WHERE c.user_id = v.user_id AND c.event_type = 'click'
+              AND c.ts > v.t0 AND c.ts <= v.t0 + INTERVAL 24 HOUR) AS t1
+    FROM v
+), p AS (
+    SELECT c.user_id, c.t0,
+           (SELECT min(p.ts) FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND p.ts > c.t1 AND p.ts <= c.t0 + INTERVAL 24 HOUR) AS t2
+    FROM c WHERE c.t1 IS NOT NULL
+)
+SELECT user_id, t0 AS start_ts, t2 AS end_ts FROM p WHERE t2 IS NOT NULL
+""",
+    tags=("streaming", "cep"),
+)
+def cep_chain3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step relaxed-contiguity CEP chain as a LIVE streaming query:
+    view ~> click ~> purchase within 24 hours (Pattern.begin.followedBy.
+    followedBy — the generalized detect_sequence at depth > 2). Oracle:
+    nested first-occurrence chain with strict step ordering and the
+    whole match inside the bound — exactly the operator's per-start
+    advance rule (first matching event strictly later than the previous
+    step, expiry at start + within)."""
+    from flink_tutorial_spark.streaming.cep import detect_sequence
+
+    events = stream_table(spark, sf_dir, "events")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        (F.col("event_type") == "view").alias("is_view"),
+        (F.col("event_type") == "click").alias("is_click"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    out = detect_sequence(
+        flagged, "user_id", "ts", ["is_view", "is_click", "is_purchase"], 24 * 3600
+    )
+    got = run_to_memory(out, "append")
+    return got.select(
+        F.col("key").alias("user_id"),
+        F.timestamp_micros(F.col("start_us")).alias("start_ts"),
+        F.timestamp_micros(F.col("end_us")).alias("end_ts"),
+    )
