@@ -97,3 +97,67 @@ def sample_frames(decoded: DataFrame, every: int = 2) -> DataFrame:
             "frame_idx"
         ),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """Resize/transcode operator shape: binary in -> binary out through
+    Arrow-batched mapInPandas. STUB transform: truncate the payload to
+    `target_bytes` (real implementation: PIL resize / ffmpeg transcode
+    behind an import-try — the Spark-side contract is identical)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [bytes(p)[:target_bytes] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return media.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: payload bytes -> a dim-dimensional vector,
+    one (doc_id, dim_idx, feature) row per dimension, through the real
+    Arrow mapInPandas path a vision/audio encoder would use. STUB
+    encoder: feature_i = md5(payload || ':' || i) 60-bit prefix mod
+    10000 / 10000 — deterministic AND SQL-expressible, so the Spark
+    plumbing is verified bit-exact by a DuckDB oracle (a luxury a real
+    encoder wouldn't have; swap the body for the model forward pass)."""
+    import hashlib
+
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("dim_idx", IntegerType()),
+            StructField("feature", DoubleType()),
+        ]
+    )
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(dim):
+                    h = hashlib.md5(raw + b":" + str(i).encode()).hexdigest()
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    vals.append(int(h[:15], 16) % 10000 / 10000.0)
+            yield pd.DataFrame({"doc_id": ids, "dim_idx": idxs, "feature": vals})
+
+    return media.mapInPandas(feature_batches, schema)

@@ -424,3 +424,25 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("payload_bytes"),
         F.col("meta.mime").alias("mime"),
     )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+WITH dims AS (SELECT unnest(range(8)) AS dim_idx)
+SELECT d.doc_id,
+       CAST(dims.dim_idx AS INT) AS dim_idx,
+       (CAST(concat('0x', substr(md5(d.text || ':' || dims.dim_idx), 1, 15)) AS BIGINT) % 10000) / 10000.0 AS feature
+FROM documents d CROSS JOIN dims
+""",
+    tags=("datapipe", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the REAL Arrow mapInPandas encoder path
+    (binary payload -> vector), verified bit-exact: the stub encoder is
+    md5-derived so DuckDB reproduces it — a real model forward pass
+    swaps in with the identical Spark-side plumbing."""
+    from flink_tutorial_spark.operators.multimodal import extract_features
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, dim=8)

@@ -100,3 +100,17 @@ def test_minhash_catches_planted_neardups_sf01(spark):
     }
     caught = len(exact_pairs & mh_pairs) / len(exact_pairs)
     assert caught >= 0.9, f"minhash missed too many true near-dups: {caught}"
+
+
+def test_resize_media_binary_roundtrip(spark):
+    # binary in -> binary out through mapInPandas: payloads truncate to
+    # the target, shorter ones pass through whole
+    from flink_tutorial_spark.operators.multimodal import attach_payload, resize_media
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "short")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: (bytes(r.payload), r.n_bytes) for r in
+           resize_media(attach_payload(docs), target_bytes=128).collect()}
+    assert out[1][1] == 128 and out[1][0] == b"x" * 128
+    assert out[2][1] == 5 and out[2][0] == b"short"
