@@ -273,3 +273,43 @@ def cep_chain3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("start_us")).alias("start_ts"),
         F.timestamp_micros(F.col("end_us")).alias("end_ts"),
     )
+
+
+@query(
+    "streaming_login_streak3",
+    oracle="""
+WITH seq AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), fails AS (
+    SELECT user_id, ts, rn,
+           lag(rn, 2) OVER (PARTITION BY user_id ORDER BY rn) AS rn3,
+           lag(ts, 2) OVER (PARTITION BY user_id ORDER BY rn) AS ts3
+    FROM seq WHERE event_type = 'error'
+)
+SELECT user_id, ts3 AS first_ts, ts AS last_ts, CAST(3 AS BIGINT) AS n_matched
+FROM fails
+WHERE rn3 = rn - 2 AND ts - ts3 <= INTERVAL 2 HOUR
+""",
+    tags=("streaming", "cep"),
+)
+def streaming_login_streak3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """times(3).consecutive() as a LIVE streaming query: three errors in
+    an unbroken run (any other event breaks it) within 2 hours, sliding-
+    streak overlap semantics — the streaming twin of the batch
+    login_fail_streak3 oracle, now hard-checked by the driver at n=3
+    (the exact gap r1 ADVICE flagged as untested beyond n=2)."""
+    from flink_tutorial_spark.streaming.cep import detect_consecutive
+
+    events = stream_table(spark, sf_dir, "events")
+    flagged = events.select(
+        "user_id", "ts", (F.col("event_type") == "error").alias("is_err")
+    )
+    out = detect_consecutive(flagged, "user_id", "ts", "is_err", n=3, within_seconds=7200)
+    got = run_to_memory(out, "append")
+    return got.select(
+        F.col("key").alias("user_id"),
+        F.timestamp_micros(F.col("first_ts")).alias("first_ts"),
+        F.timestamp_micros(F.col("last_ts")).alias("last_ts"),
+        "n_matched",
+    )

@@ -52,8 +52,8 @@ def detect_consecutive(
     (0,40) AND (20,55); a reset-at-current would lose the second). Any
     non-flagged event breaks the run (strict contiguity).
 
-    State per key: the trailing <=n-1 flagged timestamps of the current
-    run. Vectorized: runs fall out of cumsum(~flag); match positions are
+    Output first_ts/last_ts are epoch MICROS. State per key: the
+    trailing <=n-1 flagged timestamps of the current run. Vectorized: runs fall out of cumsum(~flag); match positions are
     one shifted subtraction per run — no per-row Python.
 
     Input must arrive time-ordered per key (watermarked upstream, same
@@ -68,7 +68,9 @@ def detect_consecutive(
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(ts_col)
-            ts = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+            # micros end-to-end: second-truncated bounds would disagree
+            # with the relational oracle on sub-second margins
+            ts = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
             flags = pdf[flag_col].to_numpy(dtype=bool)
             run_id = np.cumsum(~flags)
             flagged = np.flatnonzero(flags)
@@ -87,7 +89,7 @@ def detect_consecutive(
                 if len(run_ts) >= n:
                     last = run_ts[n - 1 :]
                     first = run_ts[: len(run_ts) - n + 1]
-                    ok = (last - first) <= within_seconds
+                    ok = (last - first) <= within_seconds * 1_000_000
                     out.extend(
                         (key[0], int(fb), int(lb), n)
                         for fb, lb in zip(first[ok], last[ok])

@@ -541,9 +541,9 @@ def test_detect_consecutive_sliding_streak(spark, tmp_path):
         flagged = stream.withColumn("is_fail", F.col("kind") == "fail")
         return detect_consecutive(flagged, "user", "ts", "is_fail", 3, 40)
 
-    base = int(T0.timestamp())
+    base = int(T0.timestamp()) * 1_000_000
     got = sorted(
-        (r.first_ts - base, r.last_ts - base)
+        ((r.first_ts - base) // 1_000_000, (r.last_ts - base) // 1_000_000)
         for r in run_stream(spark, src, q, "append").collect()
     )
     assert got == [(0, 40), (20, 55)]
