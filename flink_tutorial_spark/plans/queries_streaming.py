@@ -276,6 +276,97 @@ def cep_chain3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_late_topn",
+    oracle="""
+WITH counts AS (
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type AS item_key,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT window_start, item_key, cnt,
+           row_number() OVER (
+               PARTITION BY window_start ORDER BY cnt DESC, item_key ASC
+           ) AS rank
+    FROM counts
+)
+SELECT window_start, CAST(rank AS INT) AS rank, item_key, cnt
+FROM ranked WHERE rank <= 3
+""",
+    tags=("streaming", "lateness", "topn"),
+)
+def streaming_late_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-updating Top-N (NetworkFlow.scala:49-148) as a LIVE two-epoch
+    streaming query: the newer half of `events` arrives first, then the
+    older half arrives LATE (behind the epoch-1 watermark) — the update-
+    mode window count re-fires every revised window inside the
+    allowedLateness horizon and LateTopNSink re-ranks exactly the
+    windows each epoch touched. The converged ranking equals the batch
+    Top-3 per hourly window (deterministic: the horizon covers the whole
+    stream, so revisions change WHEN rows count, never WHETHER)."""
+    import glob as _glob
+    import os
+
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.session import load_table
+    from flink_tutorial_spark.streaming.lateness import (
+        LateTopNSink,
+        late_window_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+
+    root = _scratch_dir()
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    # two single-file batches, written in arrival order (file source
+    # triggers by mtime): epoch 0 = newer half, epoch 1 = older half
+    # (all of it late vs the epoch-0 watermark)
+    for i, pred in enumerate(
+        [F.col("ts") >= F.lit(cutoff), F.col("ts") < F.lit(cutoff)]
+    ):
+        stage = os.path.join(root, f"_w{i}")
+        events.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(src, f"b{i:03d}.parquet"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    agg = late_window_counts(stream, "event_type", "ts", "1 hour", "400 days")
+    sink = LateTopNSink(spark, os.path.join(root, "topn"), n=3)
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            batch_df.select(
+                "window_start", F.col("event_type").alias("item_key"), "cnt"
+            ),
+            epoch_id,
+        )
+
+    n_part = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        q = agg.writeStream.outputMode("update").foreachBatch(fb).start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sink.read().select(
+        "window_start", F.col("rank").cast("int").alias("rank"), "item_key", "cnt"
+    )
+
+
+@query(
     "streaming_login_streak3",
     oracle="""
 WITH seq AS (
