@@ -276,6 +276,114 @@ def cep_chain3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_times_range",
+    oracle="""
+WITH seq AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), fails AS (
+    SELECT user_id, ts, rn FROM seq WHERE event_type = 'error'
+), lagged AS (
+    SELECT user_id, ts, rn,
+           lag(rn, 1) OVER (PARTITION BY user_id ORDER BY rn) AS rn2,
+           lag(ts, 1) OVER (PARTITION BY user_id ORDER BY rn) AS ts2,
+           lag(rn, 2) OVER (PARTITION BY user_id ORDER BY rn) AS rn3,
+           lag(ts, 2) OVER (PARTITION BY user_id ORDER BY rn) AS ts3
+    FROM fails
+)
+SELECT user_id, ts2 AS first_ts, ts AS last_ts, CAST(2 AS BIGINT) AS n_matched
+FROM lagged WHERE rn2 = rn - 1 AND ts - ts2 <= INTERVAL 2 HOUR
+UNION ALL
+SELECT user_id, ts3 AS first_ts, ts AS last_ts, CAST(3 AS BIGINT) AS n_matched
+FROM lagged WHERE rn3 = rn - 2 AND ts - ts3 <= INTERVAL 2 HOUR
+""",
+    tags=("streaming", "cep"),
+)
+def streaming_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """times(2,3).consecutive() as a LIVE streaming query — Flink's
+    range quantifier (non-greedy): every unbroken error streak of length
+    2 AND of length 3 within 2 hours emits its own match, overlapping
+    positions included. Oracle: one lag-window arm per count, UNION ALL
+    (the arms are disjoint via n_matched)."""
+    from flink_tutorial_spark.streaming.cep import detect_consecutive
+
+    events = stream_table(spark, sf_dir, "events")
+    flagged = events.select(
+        "user_id", "ts", (F.col("event_type") == "error").alias("is_err")
+    )
+    out = detect_consecutive(
+        flagged, "user_id", "ts", "is_err", n=2, within_seconds=7200, n_max=3
+    )
+    got = run_to_memory(out, "append")
+    return got.select(
+        F.col("key").alias("user_id"),
+        F.timestamp_micros(F.col("first_ts")).alias("first_ts"),
+        F.timestamp_micros(F.col("last_ts")).alias("last_ts"),
+        "n_matched",
+    )
+
+
+@query(
+    "cep_optional_step",
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'
+), take1 AS (
+    SELECT v.user_id, v.t0,
+           (SELECT min(c.ts) FROM events c
+            WHERE c.user_id = v.user_id AND c.event_type = 'click'
+              AND c.ts > v.t0 AND c.ts <= v.t0 + INTERVAL 12 HOUR) AS t1
+    FROM v
+), take2 AS (
+    SELECT user_id, t0,
+           (SELECT min(p.ts) FROM events p
+            WHERE p.user_id = take1.user_id AND p.event_type = 'purchase'
+              AND p.ts > take1.t1 AND p.ts <= take1.t0 + INTERVAL 12 HOUR) AS t2
+    FROM take1 WHERE t1 IS NOT NULL
+), skp AS (
+    SELECT v.user_id, v.t0,
+           (SELECT min(p.ts) FROM events p
+            WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+              AND p.ts > v.t0 AND p.ts <= v.t0 + INTERVAL 12 HOUR) AS t2
+    FROM v
+)
+SELECT user_id, t0 AS start_ts, t2 AS end_ts FROM take2 WHERE t2 IS NOT NULL
+UNION
+SELECT user_id, t0 AS start_ts, t2 AS end_ts FROM skp WHERE t2 IS NOT NULL
+""",
+    tags=("streaming", "cep"),
+)
+def cep_optional_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink .optional() as a LIVE streaming query: view ~> click
+    (optional) ~> purchase within 12 hours — the NFA's take/skip
+    branches enumerated as concrete chains inside detect_sequence.
+    Oracle: UNION (distinct) of the 3-step and 2-step first-occurrence
+    chains; the Spark side applies distinct() because two branches
+    converging on the same purchase are two Flink matches but one
+    relational row."""
+    from flink_tutorial_spark.streaming.cep import detect_sequence
+
+    events = stream_table(spark, sf_dir, "events")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        (F.col("event_type") == "view").alias("is_view"),
+        (F.col("event_type") == "click").alias("is_click"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    out = detect_sequence(
+        flagged, "user_id", "ts", ["is_view", "is_click", "is_purchase"],
+        12 * 3600, optional=[False, True, False],
+    )
+    got = run_to_memory(out, "append")
+    return got.select(
+        F.col("key").alias("user_id"),
+        F.timestamp_micros(F.col("start_us")).alias("start_ts"),
+        F.timestamp_micros(F.col("end_us")).alias("end_ts"),
+    ).distinct()
+
+
+@query(
     "streaming_late_topn",
     oracle="""
 WITH counts AS (

@@ -39,6 +39,7 @@ def detect_consecutive(
     flag_col: str,
     n: int,
     within_seconds: int,
+    n_max: int | None = None,
 ) -> DataFrame:
     """Strict-contiguity CEP: n consecutive flagged events within T —
     LoginFailWithCep.scala:38-67 (Pattern.begin.next....within) and the
@@ -52,12 +53,20 @@ def detect_consecutive(
     (0,40) AND (20,55); a reset-at-current would lose the second). Any
     non-flagged event breaks the run (strict contiguity).
 
+    `n_max` is Flink's times(n, n_max) range quantifier (non-greedy):
+    every streak length m in [n, n_max] emits its own match rows with
+    n_matched = m — the NFA's branch-per-count behavior.
+
     Output first_ts/last_ts are epoch MICROS. State per key: the
-    trailing <=n-1 flagged timestamps of the current run. Vectorized: runs fall out of cumsum(~flag); match positions are
-    one shifted subtraction per run — no per-row Python.
+    trailing <=n_max-1 flagged timestamps of the current run.
+    Vectorized: runs fall out of cumsum(~flag); match positions are
+    one shifted subtraction per run per count — no per-row Python.
 
     Input must arrive time-ordered per key (watermarked upstream, same
     as Flink with out-of-orderness 0)."""
+    hi = n_max if n_max is not None else n
+    if hi < n:
+        raise ValueError("n_max must be >= n")
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -82,21 +91,27 @@ def detect_consecutive(
             runs = np.split(ts[flagged], splits)
             T = runs[-1]
             for gi, run_ts in enumerate(runs):
+                carried = 0
                 if gi == 0 and flags[0] and carry:
+                    carried = len(carry)
                     run_ts = np.concatenate(
                         [np.asarray(carry, dtype="int64"), run_ts]
                     )
-                if len(run_ts) >= n:
-                    last = run_ts[n - 1 :]
-                    first = run_ts[: len(run_ts) - n + 1]
-                    ok = (last - first) <= within_seconds * 1_000_000
-                    out.extend(
-                        (key[0], int(fb), int(lb), n)
-                        for fb, lb in zip(first[ok], last[ok])
-                    )
+                for m in range(n, hi + 1):
+                    if len(run_ts) >= m:
+                        # skip windows ending inside the carry: those
+                        # match positions already emitted last batch
+                        j0 = max(0, carried - m + 1)
+                        last = run_ts[m - 1 + j0 :]
+                        first = run_ts[j0 : len(run_ts) - m + 1]
+                        ok = (last - first) <= within_seconds * 1_000_000
+                        out.extend(
+                            (key[0], int(fb), int(lb), m)
+                            for fb, lb in zip(first[ok], last[ok])
+                        )
                 if gi == len(runs) - 1:
                     T = run_ts
-            carry = [int(x) for x in T[-(n - 1) :]] if (flags[-1] and n > 1) else []
+            carry = [int(x) for x in T[-(hi - 1) :]] if (flags[-1] and hi > 1) else []
         state.update((carry,))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQ_OUT.fields])
@@ -119,6 +134,7 @@ _SEQUENCE_STATE = StructType(
         StructField("progress", ArrayType(LongType())),
         StructField("lasts", ArrayType(LongType())),
         StructField("vetoes", ArrayType(LongType())),
+        StructField("var_ids", ArrayType(LongType())),
     ]
 )
 
@@ -130,6 +146,7 @@ def detect_sequence(
     step_cols: list[str],
     within_seconds: int,
     veto_col: str | None = None,
+    optional: list[bool] | None = None,
 ) -> DataFrame:
     """Generalized CEP sequence detection, relaxed contiguity (Flink's
     `followedBy` chain, LoginFailWithCep.scala/OrderTimeoutWithCEP.scala
@@ -152,23 +169,47 @@ def detect_sequence(
     relational equivalent, so the LIVE streaming operator is
     oracle-checkable. Strict contiguity lives in detect_consecutive.
 
-    State per key: parallel arrays of in-flight (start_us, progress)
-    plus veto timestamps inside the `within` horizon. In-flight count is
-    bounded by step-0 events inside the horizon — the watermark-expired
-    ones drop on every batch."""
+    `optional` marks steps as Flink's .optional() quantifier: each
+    optional step splits the NFA into take/skip branches. Branches are
+    enumerated as concrete chains at sequence-open time (2^k in-flight
+    per start for k optional steps, k is 1-2 in practice), each chain
+    following the same first-occurrence rule — so the output is exactly
+    the UNION of the per-chain relational oracles. Two branches
+    completing on different events are two distinct Flink matches and
+    both emit; callers wanting set-of-(start,end) semantics (the
+    relational UNION) apply distinct() downstream. Step 0 cannot be
+    optional (a match needs an anchor).
+
+    State per key: parallel arrays of in-flight (start_us, progress,
+    chain id) plus veto timestamps inside the `within` horizon.
+    In-flight count is bounded by step-0 events inside the horizon —
+    the watermark-expired ones drop on every batch."""
+    import itertools
+
     n_steps = len(step_cols)
     within_us = within_seconds * 1_000_000
+    opts = optional or [False] * n_steps
+    if len(opts) != n_steps or (opts and opts[0]):
+        raise ValueError("optional must align with step_cols; step 0 is mandatory")
+    opt_idx = [i for i, o in enumerate(opts) if o]
+    # concrete chains: one per subset of skipped optional steps
+    chains = [
+        tuple(i for i in range(n_steps) if i not in set(skip))
+        for r in range(len(opt_idx) + 1)
+        for skip in itertools.combinations(opt_idx, r)
+    ]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        firsts, progress, lasts, vetoes = (
+        firsts, progress, lasts, vetoes, var_ids = (
             (
                 list(state.get[0]),
                 list(state.get[1]),
                 list(state.get[2]),
                 list(state.get[3] or []),
+                list(state.get[4] or []),
             )
             if state.exists
-            else ([], [], [], [])
+            else ([], [], [], [], [])
         )
         out = []
         for pdf in pdfs:
@@ -178,16 +219,17 @@ def detect_sequence(
             veto_flags = pdf[veto_col].to_numpy() if veto_col else None
             for i in range(len(pdf)):
                 t = int(ts_us[i])
-                keep_f, keep_p, keep_l = [], [], []
-                for f0, p0, l0 in zip(firsts, progress, lasts):
+                keep_f, keep_p, keep_l, keep_v = [], [], [], []
+                for f0, p0, l0, v0 in zip(firsts, progress, lasts, var_ids):
                     if t - f0 > within_us:
                         continue  # expired
+                    chain = chains[v0]
                     # strictly-later requirement matches the relational
                     # oracle (c.ts > s.ts): a tie on ts never advances,
                     # so results are stable under tie-sort order
-                    if t > l0 and flags[p0][i]:
+                    if t > l0 and flags[chain[p0]][i]:
                         p0 += 1
-                        if p0 == n_steps:
+                        if p0 == len(chain):
                             # vetoed iff a veto fell STRICTLY inside
                             # (start, completion) — drop either way
                             if not any(f0 < v < t for v in vetoes):
@@ -197,20 +239,23 @@ def detect_sequence(
                     keep_f.append(f0)
                     keep_p.append(p0)
                     keep_l.append(l0)
-                firsts, progress, lasts = keep_f, keep_p, keep_l
+                    keep_v.append(v0)
+                firsts, progress, lasts, var_ids = keep_f, keep_p, keep_l, keep_v
                 if veto_flags is not None and veto_flags[i]:
                     vetoes.append(t)
                 if flags[0][i]:
-                    if n_steps == 1:
-                        out.append((key[0], t, t))
-                    else:
-                        firsts.append(t)
-                        progress.append(1)
-                        lasts.append(t)
+                    for vi, chain in enumerate(chains):
+                        if len(chain) == 1:
+                            out.append((key[0], t, t))
+                        else:
+                            firsts.append(t)
+                            progress.append(1)
+                            lasts.append(t)
+                            var_ids.append(vi)
             if ts_us.size and vetoes:
                 horizon = int(ts_us[-1]) - within_us
                 vetoes = [v for v in vetoes if v >= horizon]
-        state.update((firsts, progress, lasts, vetoes))
+        state.update((firsts, progress, lasts, vetoes, var_ids))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQUENCE_OUT.fields])
 

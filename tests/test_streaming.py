@@ -698,3 +698,69 @@ def test_late_side_channel(spark, tmp_path):
     lates = sorted((r.ts - T0).total_seconds() for r in ch.late().collect())
     assert mains == [0.0, 95.0, 100.0, 200.0]
     assert lates == [50.0, 120.0]
+
+
+def test_detect_consecutive_times_range(spark, tmp_path):
+    # Flink times(2,3).consecutive(): every streak length in [2,3] emits
+    # its own match; the carry dedup must not re-emit m=2 windows that
+    # already fired before the batch boundary
+    from flink_tutorial_spark.streaming.cep import detect_consecutive
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(0, kind="fail"), _row(20, kind="fail"), _row(40, kind="fail")],
+            [_row(55, kind="fail")],
+        ],
+    )
+
+    def q(stream):
+        flagged = stream.withColumn("is_fail", F.col("kind") == "fail")
+        return detect_consecutive(flagged, "user", "ts", "is_fail", 2, 40, n_max=3)
+
+    base = int(T0.timestamp()) * 1_000_000
+    got = sorted(
+        ((r.first_ts - base) // 1_000_000, (r.last_ts - base) // 1_000_000, r.n_matched)
+        for r in run_stream(spark, src, q, "append").collect()
+    )
+    assert got == [(0, 20, 2), (0, 40, 3), (20, 40, 2), (20, 55, 3), (40, 55, 2)]
+
+
+def test_detect_sequence_optional_step(spark, tmp_path):
+    # Flink .optional(): take/skip branches both live — user 1's branches
+    # converge on the same purchase (one distinct match), user 2's skip
+    # branch completes early and the take branch later (two matches)
+    from flink_tutorial_spark.streaming.cep import detect_sequence
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(0, user=1, kind="view"), _row(5, user=1, kind="click"),
+             _row(10, user=1, kind="purchase"), _row(20, user=1, kind="purchase"),
+             _row(0, user=2, kind="view"), _row(5, user=2, kind="purchase"),
+             _row(8, user=2, kind="click"), _row(15, user=2, kind="purchase")],
+        ],
+    )
+
+    def q(stream):
+        flagged = stream.select(
+            "user", "ts",
+            (F.col("kind") == "view").alias("is_view"),
+            (F.col("kind") == "click").alias("is_click"),
+            (F.col("kind") == "purchase").alias("is_purchase"),
+        )
+        return detect_sequence(
+            flagged, "user", "ts", ["is_view", "is_click", "is_purchase"], 60,
+            optional=[False, True, False],
+        )
+
+    base = int(T0.timestamp()) * 1_000_000
+    got = sorted(
+        set(
+            (r.key, (r.start_us - base) // 1_000_000, (r.end_us - base) // 1_000_000)
+            for r in run_stream(spark, src, q, "append").collect()
+        )
+    )
+    assert got == [(1, 0, 10), (2, 0, 5), (2, 0, 15)]
