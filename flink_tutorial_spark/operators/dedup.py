@@ -129,18 +129,41 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", k: int = N_M
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = N_BANDS, rows: int = N_MINHASH // N_BANDS
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = N_BANDS,
+    rows: int = N_MINHASH // N_BANDS,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs colliding in >=1 band become candidate pairs.
 
     The band table is a posexplode (no shuffle); candidates come from a
     self equi-join on (band, band_hash) — the only pairs materialized
-    are actual collisions."""
+    are actual collisions.
+
+    `max_band_freq` is the hot-band guard: a degenerate bucket with f
+    members (boilerplate/empty docs hashing identically) would emit
+    f*(f-1)/2 pairs — at 100 TB a single million-doc bucket is a 5e11-row
+    join output. Buckets above the cap are dropped BEFORE the join (one
+    window count over the same (band, bh) key the join shuffles on, so
+    the exchange is reused). Near-dup pairs inside a dropped bucket are
+    still found through their other bands — losing only pairs hot in
+    EVERY band, which at that frequency are boilerplate, not near-dups
+    (the standard MinHash-at-scale mitigation)."""
     band_cols = [
         F.md5(F.concat_ws(":", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
     ]
     bt = sig.select(F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+    if max_band_freq is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bh")
+        bt = (
+            bt.withColumn("_bf", F.count("*").over(w))
+            .where(F.col("_bf") <= max_band_freq)
+            .drop("_bf")
+        )
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -160,6 +183,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     candidate pairs -> estimated Jaccard (matching-minhash fraction).
@@ -177,7 +201,7 @@ def minhash_lsh_dedup(
     scratch = _scratch_dir() + "/sig"
     sig_raw.write.mode("overwrite").parquet(scratch)
     sig = docs.sparkSession.read.parquet(scratch)
-    cand = lsh_candidate_pairs(sig, id_col)
+    cand = lsh_candidate_pairs(sig, id_col, max_band_freq=max_band_freq)
     sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
     sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
     matches = reduce(
@@ -248,6 +272,7 @@ def simhash_near_dup(
     text_col: str = "text",
     bands: int = 4,
     max_dist: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via multi-index banding: fingerprints are
     cut into `bands` bit-slices; any pair agreeing on >=1 slice becomes
@@ -271,6 +296,17 @@ def simhash_near_dup(
         *[F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask)) for b in range(bands)]
     )
     bt = fp.select(F.col(id_col), F.posexplode(slices).alias("band", "bv"))
+    if max_band_freq is not None:
+        # same hot-band guard as lsh_candidate_pairs: a degenerate
+        # bit-slice bucket would pair quadratically
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bv")
+        bt = (
+            bt.withColumn("_bf", F.count("*").over(w))
+            .where(F.col("_bf") <= max_band_freq)
+            .drop("_bf")
+        )
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(

@@ -78,6 +78,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+# hot-band guard cap for the catalog query: generous enough that no
+# bucket in the synthetic corpus is dropped at sf<=0.1 (the oracle
+# proves the guarded plan is a no-op on benign data), small enough to
+# neuter a degenerate bucket at scale
+MINHASH_BAND_CAP = 1000
+
 _SIG_COLS = ",\n       ".join(
     f"min(({D.MINHASH_A[i]} * x + {D.MINHASH_B[i]}) % {D.MINHASH_P}) AS m{i}"
     for i in range(D.N_MINHASH)
@@ -102,9 +108,14 @@ hashed AS (
     FROM hashed GROUP BY doc_id
 ), bands AS (
 {_BAND_ROWS}
+), cold AS (
+    SELECT doc_id, band, bh,
+           count(*) OVER (PARTITION BY band, bh) AS bf
+    FROM bands
+    QUALIFY bf <= {MINHASH_BAND_CAP}
 ), cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM cold a JOIN cold b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, ({_MATCHES}) / {float(D.N_MINHASH)} AS est_jaccard
@@ -118,8 +129,14 @@ WHERE ({_MATCHES}) / {float(D.N_MINHASH)} >= 0.5
 @query("dedup_minhash_lsh", oracle=MINHASH_ORACLE, tags=("datapipe", "dedup"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands x 2 rows) near-dup candidate pairs with
-    estimated Jaccard — the 100TB-scale dedup path (no all-pairs join)."""
-    return D.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    estimated Jaccard — the 100TB-scale dedup path (no all-pairs join),
+    with the hot-band frequency cap active (and mirrored in the oracle:
+    both engines drop buckets larger than the cap before pairing)."""
+    return D.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_band_freq=MINHASH_BAND_CAP,
+    )
 
 
 _VOTES = ",\n       ".join(

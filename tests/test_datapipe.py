@@ -114,3 +114,25 @@ def test_resize_media_binary_roundtrip(spark):
            resize_media(attach_payload(docs), target_bytes=128).collect()}
     assert out[1][1] == 128 and out[1][0] == b"x" * 128
     assert out[2][1] == 5 and out[2][0] == b"short"
+
+
+def test_minhash_hot_band_guard(spark):
+    # a degenerate bucket (identical boilerplate docs) above the cap is
+    # dropped before the pair join; pairs in cold buckets still emit
+    words = " ".join(f"w{i}" for i in range(12))
+    boiler = [(i, words) for i in range(12)]
+    near = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+
+    uncapped = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(docs).collect()}
+    assert (100, 101) in uncapped
+    assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 66  # 12*11/2
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup(docs, max_band_freq=10).collect()
+    }
+    assert capped == {(100, 101)}
