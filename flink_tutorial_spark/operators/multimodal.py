@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata (SURVEY.md Phase 6).
 
-The container has no image/audio libraries, so the actual byte-decode
-step is a clearly-marked deterministic STUB — but everything Spark-side
-is real and tested: BinaryType schema, Arrow-batched mapInPandas with a
-bounded batch size, metadata struct propagation, and frame-sampling as
-an explode. Swapping `_decode_stub` for PIL/librosa behind an
-import-try is a one-function change.
+The byte-decode step is REAL for formats with public stdlib-parseable
+layouts (PNG/GIF/BMP/JPEG headers, WAV via the `wave` module — see
+`_decode`), uses PIL behind an import-try when installed, and falls
+back to a clearly-marked deterministic STUB for unknown bytes (which
+keeps the synthetic text-as-media corpus oracle-checkable). Everything
+Spark-side is real and tested: BinaryType schema, Arrow-batched
+mapInPandas with a bounded batch size, metadata struct propagation, and
+frame-sampling as an explode.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 binary + Arrow); mapInPandas streams batches so a partition of large
@@ -57,12 +59,75 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+try:  # PIL handles compressed formats the header sniffers can't
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:  # pragma: no cover - container has no PIL
+    _HAVE_PIL = False
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: deterministic fake dimensions derived from payload
-    length. Real implementation: PIL.Image.open(io.BytesIO(payload))
-    behind an import-try; raises NotImplementedError for real formats."""
+    """STUB fallback for unknown bytes: deterministic fake dimensions
+    derived from payload length — keeps synthetic corpora (text bytes
+    posing as media) oracle-checkable."""
     n = len(payload)
     return (64 + n % 512, 64 + (n * 7) % 512, 1 + n % 8)
+
+
+def _decode(payload: bytes) -> tuple[int, int, int]:
+    """REAL media decode, layered by capability:
+    1. stdlib header parsers for public fixed layouts — PNG (IHDR),
+       GIF (logical screen), BMP (BITMAPINFOHEADER), JPEG (SOF scan),
+       WAV (RIFF, via the `wave` module: width=sample rate,
+       height=channels, n_frames=audio frames);
+    2. PIL for anything else, when installed (import-try);
+    3. the deterministic stub for unknown bytes.
+    Returns (width, height, n_frames)."""
+    import struct
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            return int(w), int(h), 1
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return int(w), int(h), 1
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return int(w), abs(int(h)), 1
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as wf:
+                return (
+                    int(wf.getframerate()),
+                    int(wf.getnchannels()),
+                    int(wf.getnframes()),
+                )
+        if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return int(w), int(h), 1
+                i += 2 + seglen
+    except Exception:  # noqa: BLE001 - malformed header: fall through
+        pass
+    if _HAVE_PIL:  # pragma: no cover - exercised where PIL is installed
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return int(im.width), int(im.height), int(getattr(im, "n_frames", 1))
+        except Exception:  # noqa: BLE001
+            pass
+    return _decode_stub(payload)
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -71,7 +136,7 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w, h, nf = zip(*(_decode_stub(p) for p in pdf["payload"]))
+            w, h, nf = zip(*(_decode(bytes(p)) for p in pdf["payload"]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -136,3 +136,46 @@ def test_minhash_hot_band_guard(spark):
         for r in minhash_lsh_dedup(docs, max_band_freq=10).collect()
     }
     assert capped == {(100, 101)}
+
+
+def test_decode_real_media_headers(spark):
+    # real header decode through the live mapInPandas path: PNG, GIF,
+    # BMP, JPEG (SOF scan), and a stdlib-generated WAV; unknown bytes
+    # keep the deterministic stub (oracle-parity for the text corpus)
+    import io
+    import struct
+    import wave
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"\x00" * 14          # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"               # SOF0
+        + struct.pack(">HH", 480, 640) + b"\x00" * 10
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 2 * 1000)
+    wav = buf.getvalue()
+    unknown = b"just some text bytes"
+
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
+         (4, bytearray(jpeg)), (5, bytearray(wav)), (6, bytearray(unknown))],
+        "doc_id long, payload binary",
+    ).withColumn("meta", F.struct(F.lit("x").alias("mime"), F.lit(0).cast("long").alias("n_bytes")))
+
+    from flink_tutorial_spark.operators.multimodal import _decode_stub, decode_media
+
+    got = {r.doc_id: (r.width, r.height, r.n_frames) for r in decode_media(media).collect()}
+    assert got[1] == (640, 480, 1)
+    assert got[2] == (320, 200, 1)
+    assert got[3] == (800, 600, 1)
+    assert got[4] == (640, 480, 1)
+    assert got[5] == (8000, 2, 1000)
+    assert got[6] == _decode_stub(unknown)
