@@ -137,6 +137,26 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", k: int = N_M
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _drop_hot_buckets(bt: DataFrame, val_col: str, cap: int | None) -> DataFrame:
+    """Shared hot-band guard: count (band, val) bucket sizes (partial agg,
+    tiny output), collect the over-cap outliers, exclude them with a
+    literal predicate. Empty hot set (the benign-data case) returns the
+    input unchanged, so the downstream self-join plan pays nothing."""
+    if cap is None:
+        return bt
+    hot = [
+        (r["band"], r[val_col])
+        for r in bt.groupBy("band", val_col)
+        .agg(F.count("*").alias("_bf"))
+        .where(F.col("_bf") > cap)
+        .collect()
+    ]
+    if not hot:
+        return bt
+    tag = F.concat_ws("|", F.col("band").cast("string"), F.col(val_col).cast("string"))
+    return bt.where(~tag.isin([f"{b}|{v}" for b, v in hot]))
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -153,26 +173,21 @@ def lsh_candidate_pairs(
     `max_band_freq` is the hot-band guard: a degenerate bucket with f
     members (boilerplate/empty docs hashing identically) would emit
     f*(f-1)/2 pairs — at 100 TB a single million-doc bucket is a 5e11-row
-    join output. Buckets above the cap are dropped BEFORE the join (one
-    window count over the same (band, bh) key the join shuffles on, so
-    the exchange is reused). Near-dup pairs inside a dropped bucket are
-    still found through their other bands — losing only pairs hot in
-    EVERY band, which at that frequency are boilerplate, not near-dups
-    (the standard MinHash-at-scale mitigation)."""
+    join output. Hot buckets are found with one partial-aggregated count
+    (output = outlier buckets only, bounded by corpus/cap) collected as
+    a literal exclusion list: on benign data the list is EMPTY and the
+    candidate join plan is bit-identical to the unguarded one — no
+    window sort, no per-branch recompute (both measured slower). Near-
+    dup pairs inside a dropped bucket are still found through their
+    other bands — losing only pairs hot in EVERY band, which at that
+    frequency are boilerplate, not near-dups (the standard
+    MinHash-at-scale mitigation)."""
     band_cols = [
         F.md5(F.concat_ws(":", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
     ]
     bt = sig.select(F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bh"))
-    if max_band_freq is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bh")
-        bt = (
-            bt.withColumn("_bf", F.count("*").over(w))
-            .where(F.col("_bf") <= max_band_freq)
-            .drop("_bf")
-        )
+    bt = _drop_hot_buckets(bt, "bh", max_band_freq)
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -317,17 +332,9 @@ def simhash_near_dup(
         *[F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask)) for b in range(bands)]
     )
     bt = fp.select(F.col(id_col), F.posexplode(slices).alias("band", "bv"))
-    if max_band_freq is not None:
-        # same hot-band guard as lsh_candidate_pairs: a degenerate
-        # bit-slice bucket would pair quadratically
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bv")
-        bt = (
-            bt.withColumn("_bf", F.count("*").over(w))
-            .where(F.col("_bf") <= max_band_freq)
-            .drop("_bf")
-        )
+    # same hot-band guard as lsh_candidate_pairs: a degenerate
+    # bit-slice bucket would pair quadratically
+    bt = _drop_hot_buckets(bt, "bv", max_band_freq)
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(

@@ -324,6 +324,68 @@ def streaming_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_times_greedy",
+    oracle="""
+WITH seq AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), fails AS (
+    SELECT user_id, ts, rn FROM seq WHERE event_type = 'error'
+), lagged AS (
+    SELECT user_id, ts, rn,
+           lag(rn, 1) OVER (PARTITION BY user_id ORDER BY rn) AS rn2,
+           lag(ts, 1) OVER (PARTITION BY user_id ORDER BY rn) AS ts2,
+           lag(rn, 2) OVER (PARTITION BY user_id ORDER BY rn) AS rn3,
+           lag(ts, 2) OVER (PARTITION BY user_id ORDER BY rn) AS ts3
+    FROM fails
+), arms AS (
+    SELECT user_id, ts2 AS first_ts, ts AS last_ts, CAST(2 AS BIGINT) AS n_matched
+    FROM lagged WHERE rn2 = rn - 1 AND ts - ts2 <= INTERVAL 2 HOUR
+    UNION ALL
+    SELECT user_id, ts3 AS first_ts, ts AS last_ts, CAST(3 AS BIGINT) AS n_matched
+    FROM lagged WHERE rn3 = rn - 2 AND ts - ts3 <= INTERVAL 2 HOUR
+)
+SELECT user_id, first_ts, last_ts, n_matched
+FROM arms
+QUALIFY row_number() OVER (PARTITION BY user_id, first_ts
+                           ORDER BY n_matched DESC) = 1
+""",
+    tags=("streaming", "cep"),
+)
+def streaming_times_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """times(2,3).greedy() — for each match start, only the LONGEST
+    streak emits (Flink's greedy quantifier consumes as many events as
+    possible before completing). Mapping: the non-greedy range operator
+    emits every count eagerly in append mode (a greedy match is not
+    knowable until the streak ends), and greediness is the per-
+    (key, first_ts) max-count filter over the converged result — the
+    same reduction the oracle states with one QUALIFY."""
+    from pyspark.sql import Window
+
+    from flink_tutorial_spark.streaming.cep import detect_consecutive
+
+    events = stream_table(spark, sf_dir, "events")
+    flagged = events.select(
+        "user_id", "ts", (F.col("event_type") == "error").alias("is_err")
+    )
+    out = detect_consecutive(
+        flagged, "user_id", "ts", "is_err", n=2, within_seconds=7200, n_max=3
+    )
+    got = run_to_memory(out, "append")
+    w = Window.partitionBy("key", "first_ts").orderBy(F.desc("n_matched"))
+    return (
+        got.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("key").alias("user_id"),
+            F.timestamp_micros(F.col("first_ts")).alias("first_ts"),
+            F.timestamp_micros(F.col("last_ts")).alias("last_ts"),
+            "n_matched",
+        )
+    )
+
+
+@query(
     "cep_optional_step",
     oracle="""
 WITH v AS (
