@@ -328,3 +328,36 @@ def retract_agg_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(dec_sum("value").alias("sum_value"))
     )
+
+
+@query(
+    "udaf_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)),
+             6) AS w_avg_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("sql", "udaf"),
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered UDAF surface (§2.12, AggregateFunctionDemo.java:30-62):
+    quantity-weighted average discount per return flag through a pandas
+    GROUPED_AGG UDAF (Arrow whole-group batches — Flink's ACC-class
+    accumulate/getValue as one vectorized reduction). The UDAF computes
+    on exact scaled integers, so the double it returns is identical in
+    both engines regardless of partial-agg order — the ONE deliberate
+    Python-UDF query in the relational catalog, demonstrating the slow
+    path done right (everything else stays codegen, asserted by
+    test_no_python_udf_in_relational_plans)."""
+    from flink_tutorial_spark.functions import weighted_avg_udaf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg_udaf(F.col("l_discount"), F.col("l_quantity")).alias(
+            "w_avg_discount"
+        )
+    )

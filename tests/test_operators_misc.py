@@ -108,3 +108,30 @@ def test_flat_map_explode(spark):
     df = spark.createDataFrame([("a b c",)], ["line"])
     words = flat_map(df, F.split("line", " "), "word")
     assert sorted(r.word for r in words.collect()) == ["a", "b", "c"]
+
+
+def test_rich_function_lifecycle(spark):
+    # RichMapFunction contract (note/01.Souce_and_Sink.md:199-206):
+    # open() once per partition before the first batch, close() after
+    # the last; map sees the opened resource
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_tutorial_spark.functions import rich_map_in_pandas
+
+    df = spark.range(0, 100).repartition(4)
+
+    def open_fn():
+        return {"conn": uuid.uuid4().hex}
+
+    def map_fn(res, pdf):
+        pdf = pdf.copy()
+        pdf["conn"] = res["conn"]
+        return pdf
+
+    out = rich_map_in_pandas(df, "id long, conn string", open_fn, map_fn)
+    rows = out.collect()
+    assert len(rows) == 100 and all(r.conn for r in rows)
+    # one resource per partition, not per row/batch
+    assert out.select(F.countDistinct("conn")).first()[0] <= 4
