@@ -463,3 +463,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(media, dim=8)
+
+
+@query(
+    "datapipe_training_shards",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpe_tokens,
+           (len(string_split(text, ' ')) >= 20
+            AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' ')) >= 0.2) AS quality_keep,
+           (len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','is','of','and'], w)))::DOUBLE
+             / len(string_split(text, ' ')) >= 0.05) AS is_en
+    FROM documents
+), kept AS (
+    SELECT * FROM scored WHERE quality_keep AND is_en
+), keep_ids AS (
+    SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+), toks AS (
+    SELECT k.doc_id, k.bpe_tokens, k.doc_id % 32 AS bucket
+    FROM kept k JOIN keep_ids USING (doc_id)
+), packed AS (
+    SELECT bucket, bpe_tokens,
+           CAST((sum(bpe_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                 - bpe_tokens) // 4096 AS BIGINT) AS shard_seq
+    FROM toks
+)
+SELECT bucket, shard_seq,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY bucket, shard_seq
+""",
+    tags=("datapipe", "pipeline"),
+)
+def datapipe_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline: quality filter -> language
+    filter -> exact-dedup keep list -> token counting -> greedy packing
+    into ~4096-token shards. The composition IS the point: every stage
+    is one of the engine's datapipe operators, fused by Catalyst into a
+    scan + two shuffles (dedup agg + per-bucket pack).
+
+    Scale shape: shard assignment runs PER WRITER BUCKET (doc_id % 32 —
+    hundreds/thousands on a cluster), so the cumulative-sum window
+    parallelizes instead of collapsing onto one global sort — how real
+    corpus packers shard. A doc is assigned by its shard's starting
+    offset (greedy; shards may overrun the budget by one doc)."""
+    from pyspark.sql import Window
+
+    from flink_tutorial_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.lang_id(T.quality_score(T.token_stats(docs)))
+    kept = scored.where(F.col("quality_keep") & (F.col("lang_pred") == "en"))
+    keep_ids = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    toks = kept.join(keep_ids, "doc_id", "left_semi").select(
+        "doc_id", "bpe_tokens", (F.col("doc_id") % 32).alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    packed = toks.select(
+        "bucket",
+        "bpe_tokens",
+        ((F.sum("bpe_tokens").over(w) - F.col("bpe_tokens"))
+         .cast("long") / F.lit(4096)).cast("long").alias("shard_seq"),
+    )
+    return packed.groupBy("bucket", "shard_seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpe_tokens").cast("long").alias("total_tokens"),
+    )
