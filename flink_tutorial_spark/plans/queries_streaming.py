@@ -510,7 +510,7 @@ def streaming_late_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src)
     )
     agg = late_window_counts(stream, "event_type", "ts", "1 hour", "400 days")
-    sink = LateTopNSink(spark, os.path.join(root, "topn"), n=3)
+    sink = LateTopNSink(spark, os.path.join(root, "topn"), n=3, n_buckets=4)
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
         sink(
@@ -520,17 +520,19 @@ def streaming_late_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_id,
         )
 
+    # pinned for the WHOLE run: foreachBatch bodies execute during
+    # processAllAvailable and their joins/windows read the live conf —
+    # restoring right after start() would run every epoch's batch-side
+    # work at the batch default (32), pure overhead on epoch-sized state
     n_part = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     try:
         q = agg.writeStream.outputMode("update").foreachBatch(fb).start()
+        q.processAllAvailable()
+        q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return sink.read().select(
         "window_start", F.col("rank").cast("int").alias("rank"), "item_key", "cnt"
     )

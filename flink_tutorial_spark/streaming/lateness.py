@@ -115,14 +115,16 @@ class LateTopNSink:
     window's Top-N rows in place — the MapState + re-rank-timer pattern
     with epoch-proportional work."""
 
-    def __init__(self, spark: SparkSession, path: str, n: int):
+    def __init__(self, spark: SparkSession, path: str, n: int, n_buckets: int = 16):
         self.spark = spark
         self.n = n
         self.counts = KeyedUpsertSink(
-            spark, os.path.join(path, "counts"), ["window_start", "item_key"]
+            spark, os.path.join(path, "counts"), ["window_start", "item_key"],
+            n_buckets=n_buckets,
         )
         self.ranks = KeyedUpsertSink(
-            spark, os.path.join(path, "ranks"), ["window_start", "rank"]
+            spark, os.path.join(path, "ranks"), ["window_start", "rank"],
+            n_buckets=n_buckets,
         )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:

@@ -105,3 +105,25 @@ def test_tpch_topn_fold_to_take_ordered(spark, sf_dir):
     for name in ["tpch_q10_returned_items", "tpch_q21_suppliers_who_kept_waiting"]:
         plan = formatted_plan(spark, name, sf_dir)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_training_shards_plan_shape(spark, sf_dir):
+    # the end-to-end pipeline must fuse to scan + semi-join dedup +
+    # per-bucket window with NO Python in the plan (every stage is
+    # codegen expressions) and no global single-partition sort
+    plan = formatted_plan(spark, "datapipe_training_shards", sf_dir)
+    assert "LeftSemi" in plan, "dedup keep-list should plan as a semi join"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the pack window partitions by bucket (parallel); a global cumsum
+    # would need an Exchange SinglePartition — the scale-killer shape
+    assert "hashpartitioning(bucket" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_udaf_is_arrow_grouped_agg(spark, sf_dir):
+    # the one sanctioned Python UDF in the relational catalog must run
+    # as an Arrow GROUPED_AGG (AggregateInPandas), never row-at-a-time
+    plan = formatted_plan(spark, "udaf_weighted_avg", sf_dir)
+    # Spark 4.1 physical node name; older releases say AggregateInPandas
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan
