@@ -385,3 +385,59 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         ],
     )
     return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in a
+    duplicate cluster maps to the cluster's minimum doc id — the step
+    that turns pairwise LSH output into keep/drop decisions (keep ==
+    doc_id = component_id).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup clusters are small and dense (diameter
+    1-3), so the loop is a handful of equi-join rounds, never a global
+    algorithm. Labels checkpoint to scratch parquet per round (lineage
+    stays flat; the input pair plan — often a full LSH pipeline — is
+    materialized exactly once). The driver sees one scalar (changed
+    count) per round, same contract as operators/iterate.py."""
+    spark = pairs.sparkSession
+    root = _scratch_dir()
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges_raw = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges_raw.write.mode("overwrite").parquet(f"{root}/edges")
+    edges = spark.read.parquet(f"{root}/edges")
+
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels.write.mode("overwrite").parquet(f"{root}/l0")
+    labels = spark.read.parquet(f"{root}/l0")
+    for it in range(1, max_iter + 1):
+        neighbor = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels.write.mode("overwrite").parquet(f"{root}/l{it}")
+        new_labels = spark.read.parquet(f"{root}/l{it}")
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
+            .where(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))

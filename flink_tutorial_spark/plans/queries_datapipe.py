@@ -533,3 +533,36 @@ def datapipe_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("bpe_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({MINHASH_ORACLE}) mh
+), e AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), walk(n, m) AS (
+    SELECT s, s FROM e
+    UNION
+    SELECT e.d, w.m FROM walk w JOIN e ON e.s = w.n
+)
+SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component_id
+FROM walk GROUP BY n
+""",
+    tags=("datapipe", "dedup"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise LSH output: connected components
+    by min-label propagation (doc keeps iff doc_id == component_id).
+    The oracle states the same closure as a recursive CTE over the full
+    MinHash pipeline — transitive pairs (a~b, b~c) land in one
+    component even when (a,c) never collided in any band."""
+    pairs = D.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_band_freq=MINHASH_BAND_CAP,
+    )
+    return D.dedup_components(pairs)

@@ -207,3 +207,15 @@ def test_minhash_16hash_recall_vs_8hash(spark):
     recall16 = len(true_pairs & m16) / len(true_pairs)
     assert recall16 >= 0.85, f"16-hash/8-band recall regressed: {recall16}"
     assert recall16 > recall8, (recall8, recall16)
+
+
+def test_connected_components_transitive(spark):
+    # a~b, b~c, no direct a~c pair: all three must land in one component
+    # labeled by the min doc id; isolated pair forms its own component
+    from flink_tutorial_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 30)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 30: 20}
