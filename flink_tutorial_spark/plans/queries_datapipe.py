@@ -566,3 +566,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_band_freq=MINHASH_BAND_CAP,
     )
     return D.dedup_components(pairs)
+
+
+@query(
+    "datapipe_hash_sample",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST({_MD5_LONG.format(x="concat(text, ':sample:r2')")} % 100 AS BIGINT) AS bucket
+FROM documents
+WHERE {_MD5_LONG.format(x="concat(text, ':sample:r2')")} % 100 < 10
+""",
+    tags=("datapipe", "sampling"),
+)
+def datapipe_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by salted content hash — the
+    reproducible alternative to rand() sampling a training pipeline
+    needs (same docs selected on every rerun, every engine, any
+    partitioning; resalting draws a fresh independent sample). Content
+    hashing also samples duplicate texts identically, so sample-then-
+    dedup equals dedup-then-sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        D.md5_long(F.concat(F.col("text"), F.lit(":sample:r2"))), F.lit(100)
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .where(F.col("bucket") < 10)
+    )
+
+
+@query(
+    "datapipe_source_quota",
+    oracle="""
+SELECT source, doc_id,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS uniq_ratio,
+       CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')), 4) DESC, doc_id ASC
+       ) AS INT) AS rank
+FROM documents
+QUALIFY rank <= 50
+""",
+    tags=("datapipe", "sampling"),
+)
+def datapipe_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quota: the top 50 docs of each source by
+    unique-word ratio (dataset mixing with a per-domain cap — the
+    quota/mixture step after filtering). One window over the source
+    partition; ties broken by doc_id so both engines rank
+    identically."""
+    from pyspark.sql import Window
+
+    from flink_tutorial_spark.operators import text as T
+
+    docs = T.quality_score(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("uniq_ratio"), F.asc("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "uniq_ratio")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+    )
