@@ -576,3 +576,26 @@ def streaming_login_streak3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("last_ts")).alias("last_ts"),
         "n_matched",
     )
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once deduplication (the Flink dedup pattern /
+    at-least-once ingestion repair): the source unioned with itself —
+    every event arrives twice — deduped in-stream on event_id with
+    keyed state, emitting each key's first arrival only. The converged
+    output is exactly the distinct event set, stated relationally by
+    the oracle (event_id is unique in the source, so dedup of the
+    doubled stream reproduces the table)."""
+    events = stream_table(spark, sf_dir, "events")
+    doubled = events.select("event_id", "user_id", "event_type").unionByName(
+        events.select("event_id", "user_id", "event_type")
+    )
+    out = doubled.dropDuplicates(["event_id"])
+    return run_to_memory(out, "append")
