@@ -630,3 +630,71 @@ def datapipe_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 50)
     )
+
+
+@query(
+    "embedding_kmeans_assign",
+    oracle="""
+WITH c AS (
+    SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8
+), d AS (
+    SELECT e.vec_id, c.centroid_id,
+           list_sum(list_transform(generate_series(1, 64),
+               i -> (CAST(round(e.embedding[i] * 10000) AS BIGINT)
+                     - CAST(round(c.embedding[i] * 10000) AS BIGINT)) ** 2)) AS d2
+    FROM embeddings e CROSS JOIN c
+), ranked AS (
+    SELECT vec_id, centroid_id, CAST(d2 AS BIGINT) AS d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+    FROM d
+)
+SELECT vec_id, centroid_id AS cluster_id, d2 FROM ranked WHERE rn = 1
+""",
+    tags=("datapipe", "similarity"),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step (the Lloyd-iteration kernel behind IVF
+    cell construction): every vector goes to its nearest of 8 seed
+    centroids (vec_id < 8) by squared L2 distance over 4-dp QUANTIZED
+    coordinates — all-integer arithmetic, so the argmin is bit-exact in
+    any engine and any summation order (the float-parity trap exact
+    money sums dodge with decimals, solved here by quantization).
+
+    Scale shape: centroids are a handful of literal arrays compiled
+    into the plan (no join — the K x dim table rides the closure the
+    way a broadcast dim would), distances are zip_with/aggregate
+    codegen per row, and the argmin is least()+CASE — one map-only
+    stage over the corpus, then nothing: the shuffle-free version of
+    the IVF 'assign' pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (r.vec_id, [int(round(float(x) * 10000)) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    qv = F.transform(F.col("embedding"), lambda x: F.rint(x.cast("double") * 10000).cast("long"))
+    with_q = emb.select("vec_id", qv.alias("_q"))
+    dcols = []
+    for cid, cq in cents:
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.array(*[F.lit(v) for v in cq]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dcols.append(dist.alias(f"_d{cid}"))
+    scored = with_q.select("vec_id", *dcols)
+    best = F.least(*[F.col(f"_d{cid}") for cid, _ in cents])
+    cluster = F.coalesce(
+        *[
+            F.when(F.col(f"_d{cid}") == best, F.lit(cid))
+            for cid, _ in cents
+        ]
+    )
+    return scored.select(
+        "vec_id",
+        cluster.cast("long").alias("cluster_id"),
+        best.alias("d2"),
+    )
