@@ -640,8 +640,8 @@ WITH c AS (
 ), d AS (
     SELECT e.vec_id, c.centroid_id,
            list_sum(list_transform(generate_series(1, 64),
-               i -> (CAST(round(e.embedding[i] * 10000) AS BIGINT)
-                     - CAST(round(c.embedding[i] * 10000) AS BIGINT)) ** 2)) AS d2
+               i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                     - CAST(round(CAST(c.embedding[i] AS DOUBLE) * 10000) AS BIGINT)) ** 2)) AS d2
     FROM embeddings e CROSS JOIN c
 ), ranked AS (
     SELECT vec_id, centroid_id, CAST(d2 AS BIGINT) AS d2,
@@ -667,11 +667,22 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage over the corpus, then nothing: the shuffle-free version of
     the IVF 'assign' pass."""
     emb = load_table(spark, sf_dir, "embeddings")
+    import math
+
+    def _q(x: float) -> int:  # half-away-from-zero, like SQL round()
+        v = float(x) * 10000
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
     cents = sorted(
-        (r.vec_id, [int(round(float(x) * 10000)) for x in r.embedding])
+        (r.vec_id, [_q(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     )
-    qv = F.transform(F.col("embedding"), lambda x: F.rint(x.cast("double") * 10000).cast("long"))
+    # round(), not rint(): both engines must break .5 ties identically
+    # (Spark ROUND and DuckDB round() are half-away-from-zero; rint is
+    # half-to-even and diverges on exact-tie quantizations)
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 10000, 0).cast("long")
+    )
     with_q = emb.select("vec_id", qv.alias("_q"))
     dcols = []
     for cid, cq in cents:
