@@ -361,3 +361,30 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_avg_discount"
         )
     )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+""",
+    tags=("relational", "agg"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (the BMW-histogram demo's
+    analytical sibling): Spark `percentile` and DuckDB `quantile_cont`
+    share the standard (n-1)*p linear-interpolation definition, so on
+    identical sorted doubles both engines produce the identical IEEE
+    result — exact quantiles are a sort-per-group; at scale switch to
+    `approx_percentile` (t-digest) the way UV switches to HLL."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
