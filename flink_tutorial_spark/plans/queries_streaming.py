@@ -599,3 +599,56 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = doubled.dropDuplicates(["event_id"])
     return run_to_memory(out, "append")
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       s.user_id, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts - INTERVAL 5 MINUTE
+ AND p.ts <= s.ts + INTERVAL 10 MINUTE
+""",
+    tags=("streaming", "join"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join, LIVE (IntervalJoinDemo.java:58-68 as
+    the reference runs it — two unbounded keyed streams, state bounded
+    by watermark + interval width): the same equi-key + time-range plan
+    as the batch `interval_join`, executed by the streaming join
+    operator with per-side watermarks. On a bounded stream every
+    in-interval pair emits by the trailing batch, so the converged
+    result equals the batch oracle row-for-row."""
+    events = stream_table(spark, sf_dir, "events")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    got = run_to_memory(j, "append")
+    return got.select(
+        "signup_id", "purchase_id", F.col("s_user").alias("user_id"), "purchase_value"
+    )
