@@ -53,3 +53,35 @@ def test_file_stream_source_schema(spark, sf_dir, tmp_path):
     schema = load_table(spark, sf_dir, "documents").schema
     df = file_stream_source(spark, sf_dir + "/documents.parquet", schema)
     assert df.isStreaming and df.schema == schema
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    # source robustness (day10 file-connector family): PERMISSIVE keeps a
+    # malformed row null-padded with the raw line captured; DROPMALFORMED
+    # silently drops it — the production knob for dirty corpus ingestion
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,alice\nnot_an_int,bob\n3,carol\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    permissive = spark.read.csv(
+        str(p), schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = {r.name: (r.id, r._corrupt_record) for r in permissive.collect()}
+    assert rows["alice"] == (1, None)
+    assert rows["bob"][0] is None and rows["bob"][1] == "not_an_int,bob"
+    assert rows["carol"] == (3, None)
+
+    dropped = spark.read.csv(
+        str(p),
+        schema=StructType(schema.fields[:2]),
+        mode="DROPMALFORMED",
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
