@@ -709,3 +709,108 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster.cast("long").alias("cluster_id"),
         best.alias("d2"),
     )
+
+
+@query(
+    "embedding_kmeans_iterate",
+    oracle="""
+WITH qv AS (
+    SELECT vec_id, list_transform(generate_series(1, 64),
+        i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS q
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cid, q FROM qv WHERE vec_id < 8
+), d1 AS (
+    SELECT qv.vec_id, c0.cid, qv.q,
+           list_sum(list_transform(generate_series(1, 64),
+               i -> (qv.q[i] - c0.q[i]) ** 2)) AS d2
+    FROM qv CROSS JOIN c0
+), a1 AS (
+    SELECT vec_id, cid, q,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1
+), ex AS (
+    SELECT a.cid, u.i AS dim, a.q[u.i] AS val
+    FROM (SELECT * FROM a1 WHERE rn = 1) a, unnest(generate_series(1, 64)) AS u(i)
+), cent AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+    FROM ex GROUP BY cid, dim
+), c1 AS (
+    SELECT cid, list(cq ORDER BY dim) AS q FROM cent GROUP BY cid
+), d2t AS (
+    SELECT qv.vec_id, c1.cid,
+           list_sum(list_transform(generate_series(1, 64),
+               i -> (qv.q[i] - c1.q[i]) ** 2)) AS d2
+    FROM qv CROSS JOIN c1
+), a2 AS (
+    SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2t
+)
+SELECT vec_id, cid AS cluster_id, d2 FROM a2 WHERE rn = 1
+""",
+    tags=("datapipe", "similarity"),
+)
+def embedding_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd iterations, oracle-exact: assign to 8 seed
+    centroids, recompute centroids, re-assign. Iteration stays exact by
+    RE-QUANTIZING each new centroid onto the data's 4-dp grid: the
+    per-cluster sums are exact int64, the single double division
+    s/n and half-away round are bit-identical in every engine, so the
+    next iteration's distances are integer arithmetic again — the
+    general recipe for oracle-exact iterative numerics (the iterate()/
+    closeWith analog with real math inside).
+
+    Scale shape per iteration: one map-only assignment pass (literal
+    centroids) + one 64-column partial-aggregated groupBy whose output
+    is K rows — the driver touches only K x dim centroid numbers per
+    round, exactly like operators/iterate.py's per-round scalar."""
+    import math
+
+    def _q(v: float) -> int:  # half-away-from-zero on the 1e-4 grid
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 10000, 0).cast("long")
+    )
+    with_q = emb.select("vec_id", qv.alias("_q"))
+
+    def assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        dcols = []
+        for cid, cq in cents:
+            dist = F.aggregate(
+                F.zip_with(
+                    F.col("_q"),
+                    F.array(*[F.lit(v) for v in cq]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            dcols.append(dist.alias(f"_d{cid}"))
+        scored = with_q.select("vec_id", "_q", *dcols)
+        best = F.least(*[F.col(f"_d{cid}") for cid, _ in cents])
+        cluster = F.coalesce(
+            *[F.when(F.col(f"_d{cid}") == best, F.lit(cid)) for cid, _ in cents]
+        )
+        return scored.select(
+            "vec_id", "_q", cluster.cast("long").alias("cluster_id"),
+            best.alias("d2"),
+        )
+
+    cents0 = sorted(
+        (int(r.vec_id), [_q(float(x) * 10000) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    a1 = assign(cents0)
+    sums = a1.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("_q", i + 1)).alias(f"s{i}") for i in range(64)],
+    )
+    cents1 = sorted(
+        (int(r.cluster_id), [_q(r[f"s{i}"] / r.n) for i in range(64)])
+        for r in sums.collect()
+    )
+    return assign(cents1).select("vec_id", "cluster_id", "d2")
