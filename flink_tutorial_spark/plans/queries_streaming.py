@@ -652,3 +652,56 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "signup_id", "purchase_id", F.col("s_user").alias("user_id"), "purchase_value"
     )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+    FROM events
+), sess AS (
+    SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM seq
+), agg AS (
+    SELECT user_id, sid,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, cnt, sum_value
+FROM agg
+WHERE session_end <= (SELECT max(ts) FROM events)
+""",
+    tags=("streaming", "window", "session"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session window (gap 30 min), LIVE append mode
+    (EventTimeSessionWindowDemo.java:48-57): merging session state per
+    key, a session emits when the watermark passes its end (last event
+    + gap). With watermark = final max ts, exactly the sessions whose
+    end <= max ts close — each key's trailing session legitimately
+    stays open, and the oracle states the same contract via
+    gaps-and-islands sessionization + the end <= max(ts) filter."""
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("cnt"), dec_sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "append")
