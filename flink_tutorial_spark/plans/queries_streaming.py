@@ -705,3 +705,63 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "append")
+
+
+@query(
+    "streaming_hot_items",
+    oracle="""
+WITH starts AS (
+    SELECT unnest(generate_series(
+        (SELECT date_trunc('hour', min(ts)) - INTERVAL 5 HOUR FROM events),
+        (SELECT date_trunc('hour', max(ts)) FROM events),
+        INTERVAL 1 HOUR)) AS window_start
+), closed AS (
+    SELECT window_start FROM starts
+    WHERE window_start + INTERVAL 6 HOUR <= (SELECT max(ts) FROM events)
+), counts AS (
+    SELECT s.window_start,
+           CAST(json_extract_string(e.props, '$.k') AS INT) AS item_id,
+           count(*) AS cnt
+    FROM events e
+    JOIN closed s
+      ON e.ts >= s.window_start AND e.ts < s.window_start + INTERVAL 6 HOUR
+    WHERE e.event_type = 'view'
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT *,
+           CAST(row_number() OVER (
+               PARTITION BY window_start ORDER BY cnt DESC, item_id) AS INT) AS rank
+    FROM counts
+)
+SELECT window_start, item_id, cnt, rank
+FROM ranked WHERE rank <= 5
+""",
+    tags=("streaming", "window", "topn", "flagship"),
+)
+def streaming_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship HotItems pipeline LIVE (HotItems.scala:47-136 as the
+    reference actually runs it — an unbounded stream): sliding-window
+    count in append mode (a window emits when the watermark passes its
+    end — Flink's onTimer at windowEnd), then the Top-5 rank over each
+    CLOSED window. The oracle is the batch flagship restricted to
+    closed windows (end <= final watermark = max ts)."""
+    from pyspark.sql import Window
+
+    events = stream_table(spark, sf_dir, "events")
+    views = (
+        events.where(F.col("event_type") == "view")
+        .withColumn("item_id", F.get_json_object("props", "$.k").cast("int"))
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = (
+        views.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "item_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "item_id", "cnt")
+    )
+    got = run_to_memory(agg, "append")
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("item_id"))
+    return (
+        got.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("window_start", "item_id", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
