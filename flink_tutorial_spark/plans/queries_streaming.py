@@ -716,8 +716,11 @@ WITH starts AS (
         (SELECT date_trunc('hour', max(ts)) FROM events),
         INTERVAL 1 HOUR)) AS window_start
 ), closed AS (
+    -- the stream is filtered to views BEFORE the watermark, so the
+    -- final watermark (and the closed-window set) follows max VIEW ts
     SELECT window_start FROM starts
-    WHERE window_start + INTERVAL 6 HOUR <= (SELECT max(ts) FROM events)
+    WHERE window_start + INTERVAL 6 HOUR
+          <= (SELECT max(ts) FROM events WHERE event_type = 'view')
 ), counts AS (
     SELECT s.window_start,
            CAST(json_extract_string(e.props, '$.k') AS INT) AS item_id,
