@@ -768,3 +768,26 @@ def streaming_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("window_start", "item_id", "cnt", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@query("streaming_proctime_window", oracle=None, tags=("streaming", "window", "proctime"))
+def streaming_proctime_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processing-time tumbling window (ProcessingTimeWindowDemo family,
+    SURVEY §2.6/§2.8 proc-time row): each event is stamped with its
+    ARRIVAL time (current_timestamp at ingestion — Spark's processing
+    time) and counted per key in 5-second proc-time buckets. Rows-only
+    check by nature: proc-time results depend on wall-clock arrival, the
+    same nondeterminism the reference's proc-time demos have. On this
+    bounded run everything arrives within one micro-batch, so the
+    invariant the driver can still rely on is count(*) preservation
+    (sum of cnt == table rows) with a stable schema."""
+    events = stream_table(spark, sf_dir, "events")
+    stamped = events.withColumn("proc_ts", F.current_timestamp())
+    agg = (
+        stamped.groupBy(
+            F.window("proc_ts", "5 seconds").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("proc_window"), "event_type", "cnt")
+    )
+    return run_to_memory(agg, "complete")
