@@ -40,3 +40,12 @@ def read_csv(spark: SparkSession, path: str, schema: StructType, header: bool = 
     """Filesystem+CSV table connector — day10/_03_Source_File.java:30-36
     (explicit schema, never inferSchema in production)."""
     return spark.read.csv(path, schema=schema, header=header)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines table connector (the reference's Kafka-JSON table
+    format family, day10 `_11_SQL_KafkaToKafka.java:18-36` value format,
+    as a file source): explicit schema, never inference — unknown fields
+    drop, missing fields null, malformed lines follow the standard
+    PERMISSIVE/corrupt-record contract (tests/test_sources.py)."""
+    return spark.read.json(path, schema=schema)

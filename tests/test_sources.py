@@ -85,3 +85,26 @@ def test_csv_malformed_row_modes(spark, tmp_path):
         mode="DROPMALFORMED",
     )
     assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+
+def test_jsonl_source_schema_first(spark, tmp_path):
+    # JSON-lines connector: explicit schema; extra fields drop, missing
+    # fields read as null — the Kafka-JSON value-format contract
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from flink_tutorial_spark.sources.batch import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "kind": "view", "value": 2.5, "extra": "ignored"}\n'
+        '{"id": 2, "kind": "click"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("kind", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rows = {r.id: (r.kind, r.value) for r in read_jsonl(spark, str(p), schema).collect()}
+    assert rows == {1: ("view", 2.5), 2: ("click", None)}
