@@ -31,3 +31,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
     return plans.all_oracles()
+
+
+def rows_only_reason() -> dict[str, str]:
+    """For queries() entries with no oracle_sql(): WHY they are rows-only.
+
+    These checks are rows-only BY DESIGN (approximate algorithms or
+    wall-clock-dependent semantics), not missing oracles — machine-readable
+    so the driver/judge can distinguish intent from breakage.
+    """
+    return plans.rows_only_reasons()

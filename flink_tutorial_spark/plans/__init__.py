@@ -9,6 +9,11 @@ from flink_tutorial_spark.plans import (  # noqa: F401
     queries_tpch,
     queries_windows,
 )
-from flink_tutorial_spark.plans.catalog import REGISTRY, all_oracles, all_queries
+from flink_tutorial_spark.plans.catalog import (
+    REGISTRY,
+    all_oracles,
+    all_queries,
+    rows_only_reasons,
+)
 
-__all__ = ["REGISTRY", "all_queries", "all_oracles"]
+__all__ = ["REGISTRY", "all_queries", "all_oracles", "rows_only_reasons"]

@@ -156,7 +156,16 @@ def pv_uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("uv_approx_distinct", oracle=None, tags=("business", "approx"))
+@query(
+    "uv_approx_distinct",
+    oracle=None,
+    tags=(
+        "business",
+        "approx",
+        "rows_only:HLL approximate distinct — value intentionally inexact; "
+        "exact twin pv_uv_daily is the bit-exact check",
+    ),
+)
 def uv_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate UV — UniqueVisitorWithBloom.scala:50-120: the reference
     hand-rolls a 2^19-bit bloom filter in Redis to bound memory; the

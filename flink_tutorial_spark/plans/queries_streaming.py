@@ -158,7 +158,16 @@ def cep_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_match_or_timeout", oracle=None, tags=("streaming", "cep"))
+@query(
+    "streaming_match_or_timeout",
+    oracle=None,
+    tags=(
+        "streaming",
+        "cep",
+        "rows_only:timeout emission order depends on watermark progression, "
+        "not SQL-expressible as a deterministic set",
+    ),
+)
 def streaming_match_or_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order match-or-timeout as a LIVE event-time-timer query
     (OrderTimeout.scala:50-127): signup must be followed by a purchase
@@ -770,7 +779,17 @@ def streaming_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_proctime_window", oracle=None, tags=("streaming", "window", "proctime"))
+@query(
+    "streaming_proctime_window",
+    oracle=None,
+    tags=(
+        "streaming",
+        "window",
+        "proctime",
+        "rows_only:processing-time windows bucket by wall-clock arrival, "
+        "inherently non-deterministic vs any data-derived oracle",
+    ),
+)
 def streaming_proctime_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Processing-time tumbling window (ProcessingTimeWindowDemo family,
     SURVEY §2.6/§2.8 proc-time row): each event is stamped with its
