@@ -38,15 +38,23 @@ def weighted_avg_udaf(values: pd.Series, weights: pd.Series) -> float:
     one Arrow batch. Both inputs are 2-dp decimals by contract, so they
     scale exactly to int64 — the two sums are exact integers and every
     engine (and every partial-aggregation order) computes the identical
-    double ratio, which keeps the UDAF oracle-checkable bit-exactly."""
+    double ratio, which keeps the UDAF oracle-checkable bit-exactly.
+
+    Rounding is half-away-from-zero on both the input scaling and the
+    result, matching SQL round() tie-breaking (np.rint/Python round are
+    half-to-even — divergent exactly on .5 boundaries)."""
     import numpy as np
 
-    v = np.rint(values.to_numpy(dtype="float64") * 100).astype("int64")
-    w = np.rint(weights.to_numpy(dtype="float64") * 100).astype("int64")
+    def half_away(x: "np.ndarray") -> "np.ndarray":
+        return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+    v = half_away(values.to_numpy(dtype="float64") * 100).astype("int64")
+    w = half_away(weights.to_numpy(dtype="float64") * 100).astype("int64")
     den = int(w.sum())
     if den == 0:
         return float("nan")
-    return round(float(int((v * w).sum()) / (100.0 * den)), 6)
+    r = float(int((v * w).sum()) / (100.0 * den))
+    return float(np.copysign(np.floor(abs(r) * 1e6 + 0.5) / 1e6, r))
 
 
 def rich_map_in_pandas(

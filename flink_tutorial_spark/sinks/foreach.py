@@ -156,16 +156,60 @@ class KeyedUpsertSink:
         return self.spark.read.parquet(*paths)
 
 
-def _merge_sql(table: str, staging: str, cols: list[str], key_cols: list[str]) -> str:
-    """ANSI staging->target upsert as delete-then-insert inside one
-    transaction — the dialect-portable equivalent of MySQL's
-    'insert ... on duplicate key update' (JDBCSinkDemo.java:24-59)."""
-    on = " AND ".join(f"{table}.{k} = s.{k}" for k in key_cols)
+def _merge_sql(
+    table: str,
+    staging: str,
+    cols: list[str],
+    key_cols: list[str],
+    dialect: str = "postgres",
+) -> str:
+    """Dialect-aware staging->target upsert (JDBCSinkDemo.java:24-59).
+
+    - 'postgres' / 'duckdb': DELETE FROM t USING s + INSERT (both support
+      the USING clause; runs inside the caller's transaction).
+    - 'mysql': INSERT ... ON DUPLICATE KEY UPDATE — the reference's exact
+      statement; REQUIRES a unique/primary key on `key_cols`.
+    - 'ansi' (SQL Server, Oracle, DB2, ...): standard MERGE INTO.
+    """
     collist = ", ".join(cols)
+    non_keys = [c for c in cols if c not in key_cols]
+    if dialect == "mysql":
+        updates = ", ".join(f"{c} = VALUES({c})" for c in non_keys) or (
+            f"{key_cols[0]} = {key_cols[0]}"
+        )
+        return (
+            f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {updates};"
+        )
+    if dialect == "ansi":
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        sets = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+        ins_vals = ", ".join(f"s.{c}" for c in cols)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if non_keys else ""
+        return (
+            f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins_vals});"
+        )
+    # postgres / duckdb
+    on = " AND ".join(f"{table}.{k} = s.{k}" for k in key_cols)
     return (
         f"DELETE FROM {table} USING {staging} s WHERE {on}; "
         f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {staging};"
     )
+
+
+def _create_target_sql(table: str, staging: str, dialect: str) -> str | None:
+    """CREATE-if-absent for the merge target, where the dialect can say it.
+
+    'ansi' has no portable IF NOT EXISTS — return None and require the
+    target to pre-exist (documented on jdbc_upsert_writer)."""
+    if dialect in ("postgres", "duckdb", "mysql"):
+        return (
+            f"CREATE TABLE IF NOT EXISTS {table} AS "
+            f"SELECT * FROM {staging} WHERE 1 = 0"
+        )
+    return None
 
 
 def duckdb_upsert_writer(db_path: str, table: str, key_cols: list[str]):
@@ -191,14 +235,11 @@ def duckdb_upsert_writer(db_path: str, table: str, key_cols: list[str]):
         con = duckdb.connect(db_path)
         try:
             con.register("_staging", pdf)
-            con.execute(
-                f"CREATE TABLE IF NOT EXISTS {table} AS "
-                "SELECT * FROM _staging LIMIT 0"
-            )
+            con.execute(_create_target_sql(table, "_staging", "duckdb"))
             cols = list(pdf.columns)
             con.execute(
                 "BEGIN TRANSACTION; "
-                + _merge_sql(table, "_staging", cols, key_cols)
+                + _merge_sql(table, "_staging", cols, key_cols, dialect="duckdb")
                 + " COMMIT;"
             )
         finally:
@@ -207,14 +248,27 @@ def duckdb_upsert_writer(db_path: str, table: str, key_cols: list[str]):
     return write
 
 
-def jdbc_upsert_writer(url: str, table: str, key_cols: list[str], properties: dict):
+def jdbc_upsert_writer(
+    url: str,
+    table: str,
+    key_cols: list[str],
+    properties: dict,
+    dialect: str = "mysql",
+):
     """JdbcSink.sink('insert ... on duplicate key update', ...) —
     JDBCSinkDemo.java:24-59. Returns a foreachBatch callable: stages the
     deduped epoch via df.write.jdbc (overwrite — truncate-and-load, so a
     replay restages identically), then executes the staging->target
     MERGE through a JVM java.sql connection. Requires a JDBC driver jar
     on the Spark classpath (none ships in this container — the embedded
-    twin `duckdb_upsert_writer` carries the in-container test)."""
+    twin `duckdb_upsert_writer` carries the in-container test).
+
+    `dialect` picks the merge statement ('mysql' matches the reference's
+    MySQL sink; 'postgres'; 'ansi' = MERGE INTO for SQL Server/Oracle).
+    The target table is created if absent where the dialect supports
+    CREATE TABLE IF NOT EXISTS; under 'ansi' it must pre-exist. 'mysql'
+    additionally requires a unique/primary key on `key_cols` (the
+    reference's table DDL has one)."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         staging = table + "_staging"
@@ -231,7 +285,11 @@ def jdbc_upsert_writer(url: str, table: str, key_cols: list[str], properties: di
         try:
             conn.setAutoCommit(False)
             stmt = conn.createStatement()
-            for piece in _merge_sql(table, staging, deduped.columns, key_cols).split(";"):
+            create = _create_target_sql(table, staging, dialect)
+            pieces = ([create] if create else []) + _merge_sql(
+                table, staging, deduped.columns, key_cols, dialect=dialect
+            ).split(";")
+            for piece in pieces:
                 if piece.strip():
                     stmt.execute(piece)
             conn.commit()
@@ -320,7 +378,22 @@ class LateSideChannel:
         self.late_path = os.path.join(path, "late")
         self.ts_col = ts_col
         self.delay = delay_seconds
-        self.watermark = None  # micros; None until the first batch ends
+        # micros; None until the first batch ends. On restart, rebuild
+        # from the main sink so already-routed rows keep their verdicts.
+        self.watermark = self._rebuild_watermark()
+
+    def _rebuild_watermark(self) -> int | None:
+        if not os.path.isdir(self.main_path):
+            return None
+        try:
+            hi = (
+                self.spark.read.parquet(self.main_path)
+                .agg(F.max(F.unix_micros(F.col(self.ts_col))))
+                .collect()[0][0]
+            )
+        except Exception:  # empty/corrupt dir — start fresh like first run
+            return None
+        return None if hi is None else hi - self.delay * 1_000_000
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         ts_us = F.unix_micros(F.col(self.ts_col))

@@ -56,7 +56,15 @@ class RetractingUpsertSink:
     epoch, every arriving row diffs against the keyed table — a changed
     key appends (false, old) + (true, new) to the revision log, a fresh
     key appends (true, new) — then the table itself is merged. The log
-    IS the toRetractStream trace; the table is its converged state."""
+    IS the toRetractStream trace; the table is its converged state.
+
+    Exactly-once on replay: the log is partitioned by epoch and an epoch
+    directory is written at most once (skipped when its _SUCCESS marker
+    exists). Replaying an epoch after a crash either rewrites the same
+    diff (crash before the log committed — the table merge hadn't run
+    yet, so the diff is unchanged) or skips the write (crash after),
+    so the trace never duplicates — matching the idempotence of the
+    keyed table itself."""
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
         self.spark = spark
@@ -96,8 +104,10 @@ class RetractingUpsertSink:
             log_rows = retracts.unionByName(inserts)
         else:
             log_rows = new.select(F.lit(True).alias("is_insert"), *data_cols)
-        (log_rows.withColumn("epoch", F.lit(int(epoch_id)))
-         .write.mode("append").parquet(self.log_path))
+        # epoch partition dir: written before the table merge, at most once
+        epoch_dir = os.path.join(self.log_path, f"epoch={int(epoch_id)}")
+        if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            log_rows.write.mode("overwrite").parquet(epoch_dir)
         self.table(batch_df, epoch_id)
 
     def log(self) -> DataFrame:

@@ -51,7 +51,13 @@ def run_to_memory(
     count is pinned into the query's checkpoint at start, so it is set
     for the duration of this query and restored after — a production
     deployment sizes it once per query via SPARK_GRAFT_STREAM_SHUFFLE
-    (state stores scale out with executors; 100s at cluster scale)."""
+    (state stores scale out with executors; 100s at cluster scale).
+
+    NOT thread-safe: the pin temporarily mutates the session-global
+    spark.sql.shuffle.partitions, so a query started concurrently in the
+    same session during that window inherits the pinned value. Fine for
+    the single-threaded driver/test harness this serves; concurrent
+    callers should use an isolated session (spark.newSession())."""
     spark = out.sparkSession
     n = state_partitions or int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")

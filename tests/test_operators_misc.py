@@ -135,3 +135,38 @@ def test_rich_function_lifecycle(spark):
     assert len(rows) == 100 and all(r.conn for r in rows)
     # one resource per partition, not per row/batch
     assert out.select(F.countDistinct("conn")).first()[0] <= 4
+
+
+def test_merge_sql_dialects():
+    from flink_tutorial_spark.sinks.foreach import _create_target_sql, _merge_sql
+
+    cols, keys = ["k", "ts", "v"], ["k"]
+    pg = _merge_sql("t", "s", cols, keys, dialect="postgres")
+    assert "DELETE FROM t USING s" in pg and "INSERT INTO t (k, ts, v)" in pg
+    my = _merge_sql("t", "s", cols, keys, dialect="mysql")
+    assert "ON DUPLICATE KEY UPDATE" in my and "ts = VALUES(ts)" in my
+    assert "DELETE" not in my  # the reference's exact MySQL statement shape
+    an = _merge_sql("t", "s", cols, keys, dialect="ansi")
+    assert an.startswith("MERGE INTO t t USING s s ON (t.k = s.k)")
+    assert "WHEN MATCHED THEN UPDATE SET" in an
+    assert "WHEN NOT MATCHED THEN INSERT (k, ts, v)" in an
+    assert _create_target_sql("t", "s", "ansi") is None  # must pre-exist
+    assert "IF NOT EXISTS" in _create_target_sql("t", "s", "mysql")
+
+
+def test_retract_log_replay_idempotent(spark, tmp_path):
+    """Replaying an epoch must not duplicate retract-log rows (at-least-once
+    foreachBatch redelivery -> exactly-once trace)."""
+    from flink_tutorial_spark.streaming.lateness import RetractingUpsertSink
+
+    sink = RetractingUpsertSink(spark, str(tmp_path / "r"), ["k"])
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    sink(b0, 0)
+    b1 = spark.createDataFrame([("a", 5)], "k string, v int")
+    sink(b1, 1)
+    n_before = sink.log().count()  # 2 inserts + (retract,insert) pair = 4
+    assert n_before == 4
+    sink(b1, 1)  # crash-replay of epoch 1: log already committed -> no-op
+    assert sink.log().count() == n_before
+    assert sink.log().where("epoch = 1").count() == 2
+    assert sink.read().where("k = 'a'").first().v == 5
