@@ -454,6 +454,37 @@ def cep_optional_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _ts_midpoint(spark: SparkSession, sf_dir: str, events: DataFrame):
+    """Midpoint of events.ts for the on-time/late split — from the
+    parquet footer min/max stats (driver-side metadata read, no Spark
+    job; the exact split point is arbitrary, any mid value yields the
+    same converged result). Falls back to a Spark agg when stats are
+    absent."""
+    import datetime
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        if isinstance(lo, datetime.datetime):  # nanos surface as datetimes
+            return lo + (hi - lo) / 2
+        # raw int64 nanos -> micros -> naive datetime (matches load_table)
+        mid_us = (lo // 1000) + ((hi // 1000) - (lo // 1000)) // 2
+        return datetime.datetime.fromtimestamp(
+            mid_us / 1_000_000, datetime.timezone.utc
+        ).replace(tzinfo=None)  # naive UTC == session tz (session.py:65)
+    except Exception:
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        return lo + (hi - lo) / 2
+
+
 @query(
     "streaming_late_topn",
     oracle="""
@@ -495,21 +526,25 @@ def streaming_late_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    cutoff = lo + (hi - lo) / 2
+    cutoff = _ts_midpoint(spark, sf_dir, events)
 
     root = _scratch_dir()
     src = os.path.join(root, "src")
     os.makedirs(src, exist_ok=True)
     # two single-file batches, written in arrival order (file source
     # triggers by mtime): epoch 0 = newer half, epoch 1 = older half
-    # (all of it late vs the epoch-0 watermark)
-    for i, pred in enumerate(
-        [F.col("ts") >= F.lit(cutoff), F.col("ts") < F.lit(cutoff)]
-    ):
-        stage = os.path.join(root, f"_w{i}")
-        events.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    # (all of it late vs the epoch-0 watermark). One partitioned job
+    # writes both: repartition on the epoch flag -> one file per epoch.
+    stage = os.path.join(root, "_staged")
+    (
+        events.withColumn("_late", (F.col("ts") < F.lit(cutoff)).cast("int"))
+        .repartition(2, "_late")
+        .write.mode("overwrite")
+        .partitionBy("_late")
+        .parquet(stage)
+    )
+    for i, flag in enumerate((0, 1)):  # arrival order: on-time, then late
+        part = _glob.glob(os.path.join(stage, f"_late={flag}", "part-*.parquet"))[0]
         os.replace(part, os.path.join(src, f"b{i:03d}.parquet"))
 
     stream = (

@@ -58,19 +58,29 @@ class KeyedUpsertSink:
         key_cols: list[str],
         order_col: str | None = None,
         n_buckets: int = 16,
+        bucket_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
         self.order_col = order_col
         self.n_buckets = n_buckets
+        # bucket on a key PREFIX to co-locate rows that must be rewritten
+        # (and recomputed) together — e.g. all items of one window for a
+        # per-window ranking. Default: the full key.
+        self.bucket_cols = bucket_cols or key_cols
         os.makedirs(os.path.join(self.path, "links"), exist_ok=True)
 
     def _link(self, bucket: int) -> str:
         return os.path.join(self.path, "links", f"b{bucket}")
 
     def _bucket_expr(self) -> F.Column:
-        return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
+        return F.pmod(F.hash(*self.bucket_cols), F.lit(self.n_buckets))
+
+    def _finalize_merged(self, merged: DataFrame) -> DataFrame:
+        """Hook: recompute derived columns over the merged bucket contents
+        (runs inside the same write job). Identity by default."""
+        return merged
 
     def _live_bucket_paths(self) -> dict[int, str]:
         out = {}
@@ -92,26 +102,33 @@ class KeyedUpsertSink:
             )
         else:
             new = batch_df.dropDuplicates(self.key_cols)
-        new = new.withColumn("_bucket", self._bucket_expr())
-        dirty = sorted(r[0] for r in new.select("_bucket").distinct().collect())
-        if not dirty:
-            return
-        live = self._live_bucket_paths()
-        old_paths = [live[b] for b in dirty if b in live]
-        if old_paths:
-            old = self.spark.read.parquet(*old_paths).withColumn(
-                "_bucket", self._bucket_expr()
-            )
-            keep = old.join(new.select(self.key_cols), self.key_cols, "left_anti")
-            merged = keep.unionByName(new)
-        else:
-            merged = new
-        # unique per write: an epoch REPLAY must never overwrite the very
-        # directory its own input plan is lazily reading from
-        import uuid
+        # persist: `new` feeds three branches (dirty-bucket collect, the
+        # anti-join probe, the merged union) — without it a streaming
+        # micro-batch plan (stateful agg included) re-executes per branch
+        new = new.withColumn("_bucket", self._bucket_expr()).persist()
+        try:
+            dirty = sorted(r[0] for r in new.select("_bucket").distinct().collect())
+            if not dirty:
+                return
+            live = self._live_bucket_paths()
+            old_paths = [live[b] for b in dirty if b in live]
+            if old_paths:
+                old = self.spark.read.parquet(*old_paths).withColumn(
+                    "_bucket", self._bucket_expr()
+                )
+                keep = old.join(new.select(self.key_cols), self.key_cols, "left_anti")
+                merged = keep.unionByName(new)
+            else:
+                merged = new
+            merged = self._finalize_merged(merged)
+            # unique per write: an epoch REPLAY must never overwrite the very
+            # directory its own input plan is lazily reading from
+            import uuid
 
-        version_dir = os.path.join(self.path, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").partitionBy("_bucket").parquet(version_dir)
+            version_dir = os.path.join(self.path, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(version_dir)
+        finally:
+            new.unpersist()
         prev = {}  # bucket -> superseded realpath (retained one epoch)
         for b in dirty:
             target = os.path.join(version_dir, f"_bucket={b}")

@@ -86,13 +86,18 @@ def test_late_updating_topn(spark, tmp_path):
     assert first[(w0, 1)] == "y" and first[(w0, 2)] == "x"
     assert first[(w1, 1)] == "m"
 
-    w1_path_before = dict(sink.ranks._live_bucket_paths())
+    paths_before = dict(sink.table._live_bucket_paths())
     # late revision: x jumps to 4 -> overtakes y; window w1 untouched
     b1 = spark.createDataFrame([(w0, "x", 4)], ["window_start", "item_key", "cnt"])
     sink(b1, 1)
     got = {(r.window_start, r.rank): r.item_key for r in sink.read().collect()}
     assert got[(w0, 1)] == "x" and got[(w0, 2)] == "y"
     assert got[(w1, 1)] == "m"
+    # epoch-proportional: only w0's bucket was rewritten; any bucket not
+    # holding w0 keeps its pre-epoch pointer untouched
+    paths_after = dict(sink.table._live_bucket_paths())
+    dirty = {b for b in paths_before if paths_before[b] != paths_after.get(b)}
+    assert len(dirty) <= 1
 
 
 def test_streaming_late_topn_end_to_end(spark, tmp_path):
