@@ -86,19 +86,39 @@ def main() -> None:
 
     headline_total = round(sum(times[n] for n in HEADLINE), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": headline_total,
-                "unit": "sec",
-                "queries": times,
-                "catalog_total_sec": round(sum(times.values()), 3),
-                "n_queries": len(times),
-                "sf": float(sf),
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": headline_total,
+        "unit": "sec",
+        "queries": times,
+        "catalog_total_sec": round(sum(times.values()), 3),
+        "n_queries": len(times),
+        "sf": float(sf),
+    }
+    # Full per-query map: persisted to a file (committed each round) and
+    # printed on a NON-final line for human logs.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL_local.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+    print("FULL " + json.dumps(full))
+    # The driver keeps only the last 2000 chars of stdout and parses the
+    # final JSON line; a 101-query map overflows that buffer (observed:
+    # BENCH_r02..r04 all have parsed=null with a 2000-char tail). So the
+    # LAST line is a compact summary that always fits: headline per-query
+    # map + catalog totals, compact separators. Guard: if it ever exceeds
+    # 1900 chars, drop the per-query map rather than overflow.
+    summary = dict(full)
+    summary["queries"] = {n: times[n] for n in HEADLINE if n in times}
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        summary.pop("queries")
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -51,7 +51,9 @@ def login_fail_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fails.where(
         (F.col("rn2") == F.col("rn") - 1)
-        & (F.col("ts").cast("long") - F.col("ts2").cast("long") <= 1800)
+        # timestamp_ntz - timestamp_ntz => day-time interval (castable to no
+        # numeric in Spark 4.1; compare against an interval literal instead)
+        & (F.col("ts") - F.col("ts2") <= F.expr("INTERVAL 30 MINUTES"))
     ).select(
         "user_id",
         F.col("ts2").alias("first_fail_ts"),
@@ -340,7 +342,7 @@ def login_fail_streak3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fails.where(
         (F.col("rn3") == F.col("rn") - 2)
-        & (F.col("ts").cast("long") - F.col("ts3").cast("long") <= 7200)
+        & (F.col("ts") - F.col("ts3") <= F.expr("INTERVAL 2 HOURS"))
     ).select(
         "user_id",
         F.col("ts3").alias("first_fail_ts"),

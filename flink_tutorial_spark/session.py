@@ -32,10 +32,14 @@ BROADCAST_DIMS = ("region", "nation")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: columns stored as TIMESTAMP(NANOS) in the testdata parquet; Spark
-#: reads them as epoch-nanos longs (nanosAsLong) and we restore proper
-#: TimestampType here. DuckDB performs the identical truncation to
-#: microseconds, so oracle comparisons stay bit-exact.
+#: event-time columns in the testdata parquet. Two generations of the
+#: driver's testdata exist: TIMESTAMP(NANOS) (read as epoch-nanos longs
+#: via nanosAsLong; restored to TimestampType here) and timestamp[us]
+#: without timezone (read as TIMESTAMP_NTZ; normalized to TimestampType
+#: here — required because Spark 4.1 rejects withWatermark on
+#: TIMESTAMP_NTZ, and with the session timezone pinned to UTC the cast
+#: is value-identical). DuckDB truncates/compares the same micros, so
+#: oracle comparisons stay bit-exact either way.
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -94,16 +98,28 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (parquet scan; pushdown/pruning apply)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_event_time(df, name)
+
+
+def normalize_event_time(df: DataFrame, name: str) -> DataFrame:
+    """Restore proper TimestampType on the event-time columns for either
+    testdata generation (see NANO_TS_COLUMNS)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     for col in NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+        if col not in df.columns:
+            continue
+        dt = df.schema[col].dataType
+        if isinstance(dt, LongType):
             # integer `div`, not float `/`: epoch-nanos (~1.7e18) exceed
             # double's 2^53 integer range and would silently lose micros
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # session tz is UTC, so this relabels the same micros value
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

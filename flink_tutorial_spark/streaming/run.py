@@ -12,10 +12,9 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import StructType
 
-from flink_tutorial_spark.session import NANO_TS_COLUMNS, ensure_runtime_confs
+from flink_tutorial_spark.session import ensure_runtime_confs, normalize_event_time
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -30,10 +29,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .load(sf_dir)
     )
-    for col in NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    # NTZ -> TimestampType matters doubly here: Spark 4.1 refuses
+    # withWatermark on TIMESTAMP_NTZ event-time columns
+    return normalize_event_time(df, name)
 
 
 def run_to_memory(
