@@ -139,6 +139,121 @@ _SEQUENCE_STATE = StructType(
 )
 
 
+def _sequence_advance_batch(
+    key0,
+    pdf: pd.DataFrame,
+    st: tuple | None,
+    chains: list[tuple],
+    step_cols: list[str],
+    ts_col: str,
+    veto_col: str | None,
+    within_us: int,
+) -> tuple[list[tuple], tuple]:
+    """One micro-batch of the vectorized NFA advance (detect_sequence's
+    core; module-level so the micro-benchmark test can drive it on a
+    raw pandas frame). Takes and returns the keyed state as plain-list
+    parallel arrays (firsts, progress, lasts, vetoes, var_ids); returns
+    the completed-match rows for this batch.
+
+    Because each in-flight branch advances on the FIRST step-s event
+    strictly after its last-advance time, the whole advance is a
+    per-(chain, step) `searchsorted` of all branch last-times into that
+    step's sorted event-time array — O(chains x steps) numpy calls per
+    batch instead of O(events x in-flight) Python iterations."""
+    import numpy as np
+
+    if st is not None:
+        firsts = np.asarray(list(st[0] or []), dtype=np.int64)
+        progress = np.asarray(list(st[1] or []), dtype=np.int64)
+        lasts = np.asarray(list(st[2] or []), dtype=np.int64)
+        vetoes = np.asarray(list(st[3] or []), dtype=np.int64)
+        var_ids = np.asarray(list(st[4] or []), dtype=np.int64)
+    else:
+        firsts = progress = lasts = var_ids = np.empty(0, dtype=np.int64)
+        vetoes = np.empty(0, dtype=np.int64)
+    out: list[tuple] = []
+    if len(pdf):
+        pdf = pdf.sort_values(ts_col)
+        # micros end-to-end (sub-second margins must agree with the
+        # relational oracle)
+        ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+        # per step column: sorted event times where the flag is set
+        step_ts = [ts_us[pdf[c].to_numpy(dtype=bool)] for c in step_cols]
+        if veto_col:
+            batch_veto = ts_us[pdf[veto_col].to_numpy(dtype=bool)]
+            # strict (start, end) bounds make tie order irrelevant, so
+            # the whole batch's vetoes can be merged upfront
+            vetoes = np.sort(np.concatenate([vetoes, batch_veto]))
+        starts = step_ts[0]
+        batch_last = int(ts_us[-1])
+        keep_f, keep_p, keep_l, keep_v = [], [], [], []
+        for vi, chain in enumerate(chains):
+            if len(chain) == 1:
+                # degenerate chain (every non-anchor step skipped):
+                # each anchor event IS a complete match
+                out.extend((key0, int(t), int(t)) for t in starts)
+                continue
+            sel = var_ids == vi
+            f = np.concatenate([firsts[sel], starts])
+            p = np.concatenate([progress[sel], np.ones(len(starts), dtype=np.int64)])
+            last = np.concatenate([lasts[sel], starts])
+            alive = np.ones(len(f), dtype=bool)
+            for s in range(1, len(chain)):
+                act = np.flatnonzero(alive & (p == s))
+                if act.size == 0:
+                    continue
+                arr = step_ts[chain[s]]
+                if len(arr) == 0:
+                    continue
+                # first step-s event STRICTLY after the branch's
+                # last-advance time (the oracle's c.ts > prev.ts)
+                j = np.searchsorted(arr, last[act], side="right")
+                found = j < len(arr)
+                nt = arr[np.minimum(j, len(arr) - 1)]
+                # candidate advance past the horizon = the NFA saw an
+                # expiring event first -> branch dies unmatched
+                expired = found & (nt - f[act] > within_us)
+                adv = found & ~expired
+                last[act[adv]] = nt[adv]
+                p[act[adv]] = s + 1
+                alive[act[expired]] = False
+            done = alive & (p == len(chain))
+            if done.any():
+                df_, de_ = f[done], last[done]
+                if vetoes.size:
+                    # vetoed iff any veto falls STRICTLY inside
+                    # (start, completion)
+                    n_in = np.searchsorted(vetoes, de_, side="left") - np.searchsorted(
+                        vetoes, df_, side="right"
+                    )
+                    ok = n_in <= 0
+                else:
+                    ok = np.ones(int(done.sum()), dtype=bool)
+                out.extend((key0, int(a), int(b)) for a, b in zip(df_[ok], de_[ok]))
+            # in-flight survivors: unfinished and still inside the
+            # horizon at batch end (an in-batch event past the horizon
+            # would have expired them event-at-a-time)
+            kept = alive & (p < len(chain)) & (batch_last - f <= within_us)
+            keep_f.append(f[kept])
+            keep_p.append(p[kept])
+            keep_l.append(last[kept])
+            keep_v.append(np.full(int(kept.sum()), vi, dtype=np.int64))
+        firsts = np.concatenate(keep_f) if keep_f else np.empty(0, dtype=np.int64)
+        progress = np.concatenate(keep_p) if keep_p else np.empty(0, dtype=np.int64)
+        lasts = np.concatenate(keep_l) if keep_l else np.empty(0, dtype=np.int64)
+        var_ids = np.concatenate(keep_v) if keep_v else np.empty(0, dtype=np.int64)
+        if vetoes.size:
+            vetoes = vetoes[vetoes >= batch_last - within_us]
+    new_st = (
+        [int(x) for x in firsts],
+        [int(x) for x in progress],
+        [int(x) for x in lasts],
+        [int(x) for x in vetoes],
+        [int(x) for x in var_ids],
+    )
+    return out, new_st
+
+
 def detect_sequence(
     df: DataFrame,
     key_col: str,
@@ -183,7 +298,18 @@ def detect_sequence(
     State per key: parallel arrays of in-flight (start_us, progress,
     chain id) plus veto timestamps inside the `within` horizon.
     In-flight count is bounded by step-0 events inside the horizon —
-    the watermark-expired ones drop on every batch."""
+    the watermark-expired ones drop on every batch.
+
+    Vectorized NFA advance (no per-event Python loop): because each
+    in-flight branch advances on the FIRST step-s event strictly after
+    its last-advance time, the whole advance is a per-(chain, step)
+    `searchsorted` of all branch last-times into that step's sorted
+    event-time array — O(chains x steps) numpy calls per batch instead
+    of O(events x in-flight) Python iterations. Expiry (first candidate
+    advance falls outside the `within` horizon), completion, and the
+    strict (start, end) veto interval check are all computed as array
+    masks; results are byte-identical to the event-at-a-time NFA (the
+    test suite pins this against a pure-Python reference)."""
     import itertools
 
     n_steps = len(step_cols)
@@ -200,62 +326,14 @@ def detect_sequence(
     ]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        firsts, progress, lasts, vetoes, var_ids = (
-            (
-                list(state.get[0]),
-                list(state.get[1]),
-                list(state.get[2]),
-                list(state.get[3] or []),
-                list(state.get[4] or []),
-            )
-            if state.exists
-            else ([], [], [], [], [])
-        )
+        st = tuple(state.get) if state.exists else None
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
-            flags = [pdf[c].to_numpy() for c in step_cols]
-            veto_flags = pdf[veto_col].to_numpy() if veto_col else None
-            for i in range(len(pdf)):
-                t = int(ts_us[i])
-                keep_f, keep_p, keep_l, keep_v = [], [], [], []
-                for f0, p0, l0, v0 in zip(firsts, progress, lasts, var_ids):
-                    if t - f0 > within_us:
-                        continue  # expired
-                    chain = chains[v0]
-                    # strictly-later requirement matches the relational
-                    # oracle (c.ts > s.ts): a tie on ts never advances,
-                    # so results are stable under tie-sort order
-                    if t > l0 and flags[chain[p0]][i]:
-                        p0 += 1
-                        if p0 == len(chain):
-                            # vetoed iff a veto fell STRICTLY inside
-                            # (start, completion) — drop either way
-                            if not any(f0 < v < t for v in vetoes):
-                                out.append((key[0], f0, t))
-                            continue
-                        l0 = t
-                    keep_f.append(f0)
-                    keep_p.append(p0)
-                    keep_l.append(l0)
-                    keep_v.append(v0)
-                firsts, progress, lasts, var_ids = keep_f, keep_p, keep_l, keep_v
-                if veto_flags is not None and veto_flags[i]:
-                    vetoes.append(t)
-                if flags[0][i]:
-                    for vi, chain in enumerate(chains):
-                        if len(chain) == 1:
-                            out.append((key[0], t, t))
-                        else:
-                            firsts.append(t)
-                            progress.append(1)
-                            lasts.append(t)
-                            var_ids.append(vi)
-            if ts_us.size and vetoes:
-                horizon = int(ts_us[-1]) - within_us
-                vetoes = [v for v in vetoes if v >= horizon]
-        state.update((firsts, progress, lasts, vetoes, var_ids))
+            rows, st = _sequence_advance_batch(
+                key[0], pdf, st, chains, step_cols, ts_col, veto_col, within_us
+            )
+            out.extend(rows)
+        state.update(st if st is not None else ([], [], [], [], []))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQUENCE_OUT.fields])
 
@@ -357,6 +435,8 @@ def match_or_timeout(
     on the input stream."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         out = []
         if state.hasTimedOut:
             start_ts, start_value = state.get
@@ -368,21 +448,46 @@ def match_or_timeout(
                 if len(pdf) == 0:
                     continue
                 pdf = pdf.sort_values(ts_col)
-                # column arrays once per batch (the state machine is
-                # inherently sequential per key, but plain-int loops over
-                # numpy arrays cut ~100x pandas row overhead)
                 ts_arr = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
                 kind_arr = pdf[kind_col].to_numpy()
                 val_arr = pdf["value"].to_numpy(dtype="float64")
-                for i in range(len(ts_arr)):
-                    ts = int(ts_arr[i])
-                    kind = kind_arr[i]
-                    if kind == start_kind:
-                        start_ts, start_value = ts, float(val_arr[i])
-                    elif kind == end_kind and start_ts > 0:
-                        if ts - start_ts <= within_seconds:
-                            out.append((key[0], start_ts, ts, "matched", start_value))
-                        start_ts, start_value = 0, 0.0
+                # vectorized alternating machine: an end event consumes
+                # the LAST start seen since the previous end (later
+                # starts overwrite earlier pending ones), emitting
+                # "matched" iff within the horizon. Pair each end with
+                # the last start POSITION before it via searchsorted,
+                # valid only when that start is after the previous end.
+                start_pos = np.flatnonzero(kind_arr == start_kind)
+                end_pos = np.flatnonzero(kind_arr == end_kind)
+                if end_pos.size:
+                    j = np.searchsorted(start_pos, end_pos) - 1
+                    prev_end = np.concatenate(
+                        [np.asarray([-1], dtype=np.int64), end_pos[:-1]]
+                    )
+                    sp = start_pos[np.maximum(j, 0)] if start_pos.size else np.zeros(
+                        end_pos.size, dtype=np.int64
+                    )
+                    has_batch = (j >= 0) & (start_pos.size > 0) & (sp > prev_end)
+                    e_ts = ts_arr[end_pos]
+                    s_ts = np.where(has_batch, ts_arr[sp], 0)
+                    s_val = np.where(has_batch, val_arr[sp], 0.0)
+                    # first end may instead consume the carried start
+                    if not has_batch[0] and start_ts > 0:
+                        s_ts[0], s_val[0] = start_ts, start_value
+                        has_batch[0] = True
+                    ok = has_batch & (e_ts - s_ts <= within_seconds)
+                    out.extend(
+                        (key[0], int(a), int(b), "matched", float(v))
+                        for a, b, v in zip(s_ts[ok], e_ts[ok], s_val[ok])
+                    )
+                # pending after the batch: last start after the last end
+                last_end = end_pos[-1] if end_pos.size else -1
+                tail = start_pos[start_pos > last_end]
+                if tail.size:
+                    start_ts = int(ts_arr[tail[-1]])
+                    start_value = float(val_arr[tail[-1]])
+                elif end_pos.size:
+                    start_ts, start_value = 0, 0.0
             if start_ts > 0:
                 state.update((start_ts, start_value))
                 state.setTimeoutTimestamp((start_ts + within_seconds) * 1000)

@@ -1,0 +1,157 @@
+"""Pin the vectorized NFA advance (`_sequence_advance_batch`) against a
+pure-Python event-at-a-time reference (the pre-r6 implementation), and
+micro-benchmark the speedup on a single hot key (VERDICT r5 #2: the
+per-event loop was the engine's one row-at-a-time path; a hot key was
+single-thread Python).
+
+No SparkSession needed — the helper is driven directly on pandas frames,
+which is exactly what applyInPandasWithState hands it per key per batch.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flink_tutorial_spark.streaming.cep import _sequence_advance_batch
+
+
+def _reference_nfa(key0, pdf, st, chains, step_cols, ts_col, veto_col, within_us):
+    """Event-at-a-time NFA: the original detect_sequence inner loop,
+    kept verbatim as the correctness/timing reference."""
+    firsts, progress, lasts, vetoes, var_ids = (
+        (list(st[0]), list(st[1]), list(st[2]), list(st[3] or []), list(st[4] or []))
+        if st is not None
+        else ([], [], [], [], [])
+    )
+    out = []
+    pdf = pdf.sort_values(ts_col)
+    ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+    flags = [pdf[c].to_numpy() for c in step_cols]
+    veto_flags = pdf[veto_col].to_numpy() if veto_col else None
+    for i in range(len(pdf)):
+        t = int(ts_us[i])
+        keep_f, keep_p, keep_l, keep_v = [], [], [], []
+        for f0, p0, l0, v0 in zip(firsts, progress, lasts, var_ids):
+            if t - f0 > within_us:
+                continue  # expired
+            chain = chains[v0]
+            if t > l0 and flags[chain[p0]][i]:
+                p0 += 1
+                if p0 == len(chain):
+                    if not any(f0 < v < t for v in vetoes):
+                        out.append((key0, f0, t))
+                    continue
+                l0 = t
+            keep_f.append(f0)
+            keep_p.append(p0)
+            keep_l.append(l0)
+            keep_v.append(v0)
+        firsts, progress, lasts, var_ids = keep_f, keep_p, keep_l, keep_v
+        if veto_flags is not None and veto_flags[i]:
+            vetoes.append(t)
+        if flags[0][i]:
+            for vi, chain in enumerate(chains):
+                if len(chain) == 1:
+                    out.append((key0, t, t))
+                else:
+                    firsts.append(t)
+                    progress.append(1)
+                    lasts.append(t)
+                    var_ids.append(vi)
+    if ts_us.size and vetoes:
+        horizon = int(ts_us[-1]) - within_us
+        vetoes = [v for v in vetoes if v >= horizon]
+    return out, (firsts, progress, lasts, vetoes, var_ids)
+
+
+def _random_frame(n, seed, p_steps, p_veto=0.0, tie_every=0):
+    rng = np.random.default_rng(seed)
+    # seconds-spaced nanosecond timestamps with optional exact ties
+    secs = np.cumsum(rng.integers(0, 3, size=n))
+    if tie_every:
+        secs[::tie_every] = secs[1::tie_every][: len(secs[::tie_every])]
+    ts = pd.Series(secs * 1_000_000_000, name="ts").astype("int64")
+    data = {"ts": ts}
+    for i, p in enumerate(p_steps):
+        data[f"s{i}"] = rng.random(n) < p
+    if p_veto:
+        data["veto"] = rng.random(n) < p_veto
+    return pd.DataFrame(data)
+
+
+CASES = [
+    # (step probs, within_s, veto, optional-chains)
+    (dict(p_steps=(0.1, 0.1, 0.1)), 50, None, [(0, 1, 2)]),
+    (dict(p_steps=(0.2, 0.15)), 20, "veto", [(0, 1)]),
+    (dict(p_steps=(0.1, 0.1, 0.1)), 40, None, [(0, 1, 2), (0, 2)]),  # step1 optional
+    (dict(p_steps=(0.3, 0.3)), 5, None, [(0, 1), (0,)]),  # step1 optional, deg. chain
+]
+
+
+@pytest.mark.parametrize("kwargs,within,veto,chains", CASES)
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_vectorized_matches_reference(kwargs, within, veto, chains, seed):
+    """Vectorized advance is byte-identical to the event-at-a-time NFA
+    across random frames, multi-batch state carry, ties, and vetoes."""
+    if veto:
+        kwargs = dict(kwargs, p_veto=0.05)
+    pdf = _random_frame(4000, seed, tie_every=7, **kwargs)
+    step_cols = [f"s{i}" for i in range(len(kwargs["p_steps"]))]
+    within_us = within * 1_000_000
+    # split into 3 batches to exercise carried state
+    cuts = [0, 1500, 2900, len(pdf)]
+    st_v = st_r = None
+    out_v, out_r = [], []
+    for a, b in zip(cuts, cuts[1:]):
+        batch = pdf.iloc[a:b].reset_index(drop=True)
+        rows_v, st_v = _sequence_advance_batch(
+            7, batch, st_v, chains, step_cols, "ts", veto, within_us
+        )
+        rows_r, st_r = _reference_nfa(
+            7, batch, st_r, chains, step_cols, "ts", veto, within_us
+        )
+        out_v.extend(rows_v)
+        out_r.extend(rows_r)
+    assert sorted(out_v) == sorted(out_r)
+    # carried state must agree as multisets of (first, progress, last, chain)
+    zv = sorted(zip(st_v[0], st_v[1], st_v[2], st_v[4]))
+    zr = sorted(zip(st_r[0], st_r[1], st_r[2], st_r[4]))
+    assert zv == zr
+    assert sorted(st_v[3]) == sorted(st_r[3])
+
+
+def test_vectorized_speedup_hot_key():
+    """>=3x faster than the event-at-a-time NFA on one hot key (VERDICT
+    r5 #2 done-criterion), measured on the same frame."""
+    pdf = _random_frame(100_000, 42, p_steps=(0.05, 0.05, 0.05))
+    chains = [(0, 1, 2)]
+    step_cols = ["s0", "s1", "s2"]
+    within_us = 60 * 1_000_000
+
+    t0 = time.perf_counter()
+    out_v, _ = _sequence_advance_batch(1, pdf, None, chains, step_cols, "ts", None, within_us)
+    t_vec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out_r, _ = _reference_nfa(1, pdf, None, chains, step_cols, "ts", None, within_us)
+    t_ref = time.perf_counter() - t0
+
+    assert sorted(out_v) == sorted(out_r)
+    assert t_ref / t_vec >= 3.0, f"speedup only {t_ref / t_vec:.1f}x ({t_ref:.2f}s vs {t_vec:.2f}s)"
+
+
+def test_vectorized_scales_to_1m_events_single_key():
+    """A single-key 1M-event batch — the hot-key ceiling the old loop
+    could not clear — completes in interactive time."""
+    pdf = _random_frame(1_000_000, 7, p_steps=(0.02, 0.02, 0.02))
+    t0 = time.perf_counter()
+    out, st = _sequence_advance_batch(
+        1, pdf, None, [(0, 1, 2)], ["s0", "s1", "s2"], "ts", None, 120 * 1_000_000
+    )
+    elapsed = time.perf_counter() - t0
+    assert len(out) > 0
+    assert elapsed < 5.0, f"1M-event advance took {elapsed:.1f}s"
