@@ -699,6 +699,96 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_left_outer_join",
+    oracle="""
+WITH s AS (SELECT * FROM events WHERE event_type = 'signup'),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts,
+       p.event_id AS purchase_id, p.value AS purchase_value
+FROM s LEFT JOIN p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 10 MINUTE
+WHERE s.ts + INTERVAL 10 MINUTE <
+      LEAST((SELECT max(ts) FROM s), (SELECT max(ts) FROM p))
+""",
+    tags=("streaming", "join", "outer"),
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM left-outer join, LIVE (TumblingWindowLeftJoinDemo.
+    java:56-84 — the reference coGroups both window buffers and hand-
+    emits (left, null) when the right buffer is empty): Spark's native
+    left-outer stream-stream join does exactly that — an unmatched left
+    row is held in state until the watermark passes its join horizon
+    (s_ts + 10 min), then emitted null-padded in a later micro-batch
+    (here the trailing no-data batch that follows the final watermark
+    update).
+
+    Determinism contract (same closed-window convention as
+    streaming_session_window): each side's watermark node sits after
+    its event_type filter, and the query watermark is their MIN, so
+    only left rows whose horizon closed under that achieved watermark
+    have their matched-vs-null status decided — the result and the
+    oracle both filter to `s_ts + 10min < least(max signup ts, max
+    purchase ts)`. On an unbounded stream the same plan runs with no
+    filter; every left row's status resolves when the watermark passes
+    it. State is bounded by the interval width per side."""
+    events = stream_table(spark, sf_dir, "events")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "0 seconds")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    j = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    got = run_to_memory(j, "append")
+    # achieved watermark on the bounded run = min over both sides' max
+    # event time (computed batch-side; the streaming result's status is
+    # decided only inside this horizon)
+    from flink_tutorial_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bound = (
+        ev.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "signup", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("wm")
+        )
+        .first()["wm"]
+    )
+    return got.where(
+        F.col("s_ts") + F.expr("INTERVAL 10 MINUTES") < F.lit(bound)
+    ).select(
+        "signup_id",
+        F.col("s_user").alias("user_id"),
+        F.col("s_ts").alias("signup_ts"),
+        "purchase_id",
+        "purchase_value",
+    )
+
+
+@query(
     "streaming_session_window",
     oracle="""
 WITH seq AS (
