@@ -103,8 +103,8 @@ def main() -> None:
         with open(full_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
-    except OSError:
-        pass
+    except OSError as e:
+        print(f"WARNING: could not write {full_path}: {e}", file=sys.stderr)
     print("FULL " + json.dumps(full))
     # The driver keeps only the last 2000 chars of stdout and parses the
     # final JSON line; a 101-query map overflows that buffer (observed:
@@ -113,7 +113,11 @@ def main() -> None:
     # map + catalog totals, compact separators. Guard: if it ever exceeds
     # 1900 chars, drop the per-query map rather than overflow.
     summary = dict(full)
+    # `queries` here is the HEADLINE subset only; n_queries/catalog_total_sec
+    # still describe the full catalog, whose complete map is in
+    # BENCH_FULL_local.json. n_headline_queries makes the trim explicit.
     summary["queries"] = {n: times[n] for n in HEADLINE if n in times}
+    summary["n_headline_queries"] = len(summary["queries"])
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:
         summary.pop("queries")

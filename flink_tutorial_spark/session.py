@@ -105,10 +105,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def normalize_event_time(df: DataFrame, name: str) -> DataFrame:
     """Restore proper TimestampType on the event-time columns for either
-    testdata generation (see NANO_TS_COLUMNS)."""
+    testdata generation (see NANO_TS_COLUMNS).
+
+    PRECONDITION: the NTZ->timestamp relabel is value-identical only
+    under a UTC session timezone, so this enforces the engine's runtime
+    confs on the frame's own session rather than trusting the caller to
+    have gone through load_table."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
+    ensure_runtime_confs(df.sparkSession)
     for col in NANO_TS_COLUMNS.get(name, ()):
         if col not in df.columns:
             continue

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 
 try:  # version guard: Spark 4.1+ AND protobuf (the state-server wire
     # protocol dependency — absent in this container, so the A/B test
-    # skips here and runs on any standard Spark 4.1 deployment)
+    # skips here and runs on any standard Spark 4.1 deployment).
+    # Re-probed on the Spark 4.1.2 container (r6): the
+    # pyspark.sql.streaming.stateful_processor import now succeeds, but
+    # google.protobuf is still not installed and pyspark.zip vendors no
+    # copy, so transformWithStateInPandas's state-server client cannot
+    # start; the guard (and the applyInPandasWithState fallback) stays.
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

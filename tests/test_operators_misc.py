@@ -4,6 +4,7 @@ late-data watermark behavior, bucketize."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_tutorial_spark.operators.iterate import iterate
@@ -152,6 +153,54 @@ def test_merge_sql_dialects():
     assert "WHEN NOT MATCHED THEN INSERT (k, ts, v)" in an
     assert _create_target_sql("t", "s", "ansi") is None  # must pre-exist
     assert "IF NOT EXISTS" in _create_target_sql("t", "s", "mysql")
+
+
+def _exec_merge_on_duckdb(dialect: str) -> list[tuple]:
+    """Execute a dialect branch's generated SQL against live DuckDB:
+    seed target {1: old, 2: keep}, stage {1: new, 3: ins}, merge TWICE
+    (idempotent-replay contract), return the converged target."""
+    import duckdb
+
+    from flink_tutorial_spark.sinks.foreach import _merge_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INT, ts INT, v DOUBLE)")
+    con.execute("INSERT INTO t VALUES (1, 10, 1.0), (2, 20, 2.0)")
+    con.execute("CREATE TABLE s (k INT, ts INT, v DOUBLE)")
+    con.execute("INSERT INTO s VALUES (1, 11, 9.0), (3, 30, 3.0)")
+    sql = _merge_sql("t", "s", ["k", "ts", "v"], ["k"], dialect=dialect)
+    con.execute(f"BEGIN TRANSACTION; {sql} COMMIT;")
+    con.execute(f"BEGIN TRANSACTION; {sql} COMMIT;")  # replay: same result
+    return con.execute("SELECT k, ts, v FROM t ORDER BY k").fetchall()
+
+
+def test_merge_postgres_branch_executes_on_duckdb():
+    """The postgres-dialect DELETE USING + INSERT pair is live-executed
+    (DuckDB shares the USING syntax): updated, kept, and inserted keys
+    converge and a replayed epoch changes nothing."""
+    assert _exec_merge_on_duckdb("postgres") == [
+        (1, 11, 9.0),
+        (2, 20, 2.0),
+        (3, 30, 3.0),
+    ]
+
+
+def test_merge_ansi_branch_executes_on_duckdb():
+    """ANSI MERGE INTO executed live where the engine supports it
+    (DuckDB >= 1.4). On older DuckDB (1.0.0 in the current container,
+    which predates MERGE) this skips — the string-shape assert above
+    still covers the branch; this test auto-activates when the
+    container's DuckDB gains MERGE."""
+    import duckdb
+
+    ver = tuple(int(x) for x in duckdb.__version__.split(".")[:2])
+    if ver < (1, 4):
+        pytest.skip(f"duckdb {duckdb.__version__} predates MERGE INTO (needs >= 1.4)")
+    assert _exec_merge_on_duckdb("ansi") == [
+        (1, 11, 9.0),
+        (2, 20, 2.0),
+        (3, 30, 3.0),
+    ]
 
 
 def test_retract_log_replay_idempotent(spark, tmp_path):
