@@ -368,7 +368,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     words = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
-    h = md5_long(F.col("word"))
+    # hash ONCE per word row before the aggregate: the 60 per-bit vote
+    # expressions below must test a materialized column, not each embed
+    # their own md5 call (codegen does not CSE across aggregate exprs)
+    words = words.select(id_col, md5_long(F.col("word")).alias("h"))
+    h = F.col("h")
     votes = words.groupBy(id_col).agg(
         *[
             F.sum(
