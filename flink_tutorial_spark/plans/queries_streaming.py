@@ -646,6 +646,38 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup (dropDuplicatesWithinWatermark —
+    the variant you actually run on an unbounded stream): plain
+    dropDuplicates keeps every key seen forever, so its state grows
+    with total input; within-watermark dedup keeps a key only until
+    the watermark passes its event time + delay, bounding state by the
+    duplicate-arrival horizon (here 10 minutes) regardless of stream
+    length — the production contract for at-least-once ingestion
+    repair at 100x volumes.
+
+    Exactness on the bounded run: the doubled stream delivers each
+    duplicate at the SAME event time as its original, always inside
+    any horizon, so first arrivals emit and every duplicate drops —
+    the converged output is exactly the distinct event set."""
+    events = stream_table(spark, sf_dir, "events")
+    doubled = events.select("event_id", "user_id", "event_type", "ts").unionByName(
+        events.select("event_id", "user_id", "event_type", "ts")
+    )
+    out = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return run_to_memory(out, "append").select("event_id", "user_id", "event_type")
+
+
+@query(
     "streaming_interval_join",
     oracle="""
 SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
