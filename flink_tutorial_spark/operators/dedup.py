@@ -409,7 +409,14 @@ def dedup_components(
     algorithm. Labels checkpoint to scratch parquet per round (lineage
     stays flat; the input pair plan — often a full LSH pipeline — is
     materialized exactly once). The driver sees one scalar (changed
-    count) per round, same contract as operators/iterate.py."""
+    count) per round, same contract as operators/iterate.py.
+
+    Per-round cost is ONE join+agg+write job plus a scan-count of the
+    just-written labels: each node's previous label rides through the
+    aggregation in a `self` column (exactly one non-null per node), so
+    convergence detection reads the new parquet instead of re-joining
+    new-vs-old — at corpus scale that's a checkpoint-file scan, not a
+    second shuffle."""
     spark = pairs.sparkSession
     root = _scratch_dir()
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -419,29 +426,28 @@ def dedup_components(
     edges_raw.write.mode("overwrite").parquet(f"{root}/edges")
     edges = spark.read.parquet(f"{root}/edges")
 
+    # round-0 labels derive trivially from the checkpointed edges —
+    # no checkpoint of their own needed
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    labels.write.mode("overwrite").parquet(f"{root}/l0")
-    labels = spark.read.parquet(f"{root}/l0")
     for it in range(1, max_iter + 1):
-        neighbor = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
+        label_type = labels.schema["label"].dataType
+        neighbor = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"),
+            "label",
+            F.lit(None).cast(label_type).alias("self"),
         )
+        mine = labels.select("node", "label", F.col("label").alias("self"))
         new_labels = (
-            labels.unionByName(neighbor)
+            mine.unionByName(neighbor)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("self").alias("old"))
         )
         new_labels.write.mode("overwrite").parquet(f"{root}/l{it}")
         new_labels = spark.read.parquet(f"{root}/l{it}")
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
-            .where(F.col("label") != F.col("_old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
