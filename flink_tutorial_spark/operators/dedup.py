@@ -364,7 +364,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """Weighted SimHash fingerprint (SIMHASH_BITS bits) per document.
 
     Every token votes +1/-1 per bit position of its 60-bit hash; the
-    sign vector packs into an int fingerprint. One explode + one agg."""
+    sign vector packs into an int fingerprint. One explode + one agg.
+    (A 3-counters-per-int64 packed-field variant was measured ~10%
+    SLOWER warm than these 60 plain codegen'd sums — the per-row
+    packing arithmetic costs more than the extra aggregate slots save —
+    so the simple formulation stays.)"""
     words = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
