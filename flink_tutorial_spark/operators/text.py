@@ -73,3 +73,44 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     collapsed whitespace) — the dedup/near-dup join key primitive."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
     return docs.withColumn("fingerprint", md5_long(normalized))
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    `min_overlap` distinct n-gram shingles with a held-out benchmark
+    set (the eval-leakage check every training-data pipeline runs
+    before a corpus ships).
+
+    Scale shape: the benchmark side is small BY CONTRACT (an eval set),
+    so its hashed shingle set broadcasts — the corpus-side shingle
+    table is filtered map-side with NO corpus shuffle; the only shuffle
+    is the per-doc overlap count on `id_col`. Shingles are distinct per
+    (doc, shingle) on both sides, so a plain count(*) after the join
+    equals the distinct-overlap count (and matches the oracle row-for-
+    row even under 60-bit hash collisions, because both engines count
+    the same joined rows).
+
+    Returns (id_col, n_overlap) for contaminated docs only."""
+    from flink_tutorial_spark.operators.dedup import md5_long, shingle_table
+
+    sh = shingle_table(docs, id_col, text_col, n).select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("h")
+    )
+    bench = (
+        shingle_table(bench_docs, id_col, text_col, n)
+        .select(md5_long(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    return (
+        sh.join(F.broadcast(bench), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )

@@ -422,6 +422,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH {_SHINGLES},
+shh AS (SELECT doc_id, {_MD5_LONG.format(x="shingle")} AS h FROM sh),
+bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 17 = 0),
+corpus AS (SELECT doc_id, h FROM shh WHERE doc_id % 17 <> 0)
+SELECT c.doc_id, CAST(count(*) AS INT) AS n_overlap
+FROM corpus c JOIN bench b ON c.h = b.h
+GROUP BY c.doc_id
+HAVING count(*) >= 5
+""",
+    tags=("datapipe", "text", "decontamination"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 5 distinct
+    3-gram shingles with the held-out benchmark slice (doc_id % 17 = 0
+    stands in for the eval set) — the leakage check a training corpus
+    runs before shipping. The benchmark shingle set broadcasts (small
+    by contract), so the corpus is filtered map-side with no corpus
+    shuffle; see operators/text.ngram_decontaminate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return T.ngram_decontaminate(corpus, bench, min_overlap=5)
+
+
+@query(
     "multimodal_payload_meta",
     oracle="""
 SELECT doc_id,
