@@ -114,3 +114,42 @@ def ngram_decontaminate(
         .agg(F.count("*").cast("int").alias("n_overlap"))
         .where(F.col("n_overlap") >= min_overlap)
     )
+
+
+def repetition_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition: fraction of duplicated n-gram
+    shingles (the Gopher/C4-style repeated-n-gram quality rule; heavy
+    repetition marks boilerplate/spam).
+
+    Entirely map-side — the shingle list, its distinct count, and the
+    ratio are array expressions per row, so the operator adds ZERO
+    shuffle at any corpus size (the relational statement of the same
+    quantity needs an explode + two-level aggregation).
+
+    rep_ratio = 1 - distinct_shingles / total_shingles (0 for docs
+    shorter than n words); rep_keep <= 0.2 is the composite rule."""
+    with_words = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_words")
+    )
+    words = F.col("_words")
+    shingle_arr = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(shingle_arr)
+    nd = F.size(F.array_distinct(shingle_arr))
+    ratio = F.when(total > 0, F.lit(1.0) - nd.cast("double") / total).otherwise(
+        F.lit(0.0)
+    )
+    return with_words.select(
+        F.col(id_col),
+        F.round(ratio, 4).alias("rep_ratio"),
+        (ratio <= 0.2).alias("rep_keep"),
+    )

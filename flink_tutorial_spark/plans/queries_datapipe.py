@@ -422,6 +422,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_ratio",
+    oracle=f"""
+WITH {_SHINGLES},
+cnt AS (
+    SELECT doc_id, count(*) AS total, count(DISTINCT shingle) AS nd
+    FROM s0 WHERE w2 IS NOT NULL GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(COALESCE(1 - nd::DOUBLE / total, 0), 4) AS rep_ratio,
+       COALESCE(1 - nd::DOUBLE / total, 0) <= 0.2 AS rep_keep
+FROM documents d LEFT JOIN cnt USING (doc_id)
+""",
+    tags=("datapipe", "text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio per document (Gopher/C4 boilerplate rule),
+    computed entirely map-side with array expressions — zero shuffle at
+    any corpus size, where the relational statement needs explode + a
+    two-level aggregation. See operators/text.repetition_ratio."""
+    return T.repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "decontaminate_ngram_overlap",
     oracle=f"""
 WITH {_SHINGLES},
