@@ -219,3 +219,48 @@ def test_connected_components_transitive(spark):
     )
     got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 30: 20}
+
+
+def test_ngram_decontaminate_edges(spark):
+    # overlap counts are exact; docs below the threshold or sharing
+    # nothing with the benchmark never emit; short docs contribute no
+    # shingles at all
+    from flink_tutorial_spark.operators.text import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # 2 shared
+            (2, "completely unrelated words here entirely"),     # 0 shared
+            (3, "too short"),                                    # < n words
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sat and jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_overlap for r in
+           ngram_decontaminate(corpus, bench, min_overlap=2).collect()}
+    # shared 3-grams: "the quick brown", "quick brown fox",
+    # "jumps over the", "over the lazy", "the lazy dog" = 5
+    assert got == {1: 5}
+    none = ngram_decontaminate(corpus, bench.limit(0), min_overlap=1).collect()
+    assert none == []  # empty benchmark -> nothing contaminated
+
+
+def test_repetition_ratio_edges(spark):
+    from flink_tutorial_spark.operators.text import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),  # heavy repetition
+            (2, "all distinct words in this document right here"),
+            (3, "x y"),  # shorter than n -> ratio 0, keep
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.rep_ratio, r.rep_keep) for r in repetition_ratio(docs).collect()}
+    # doc 1: 10 shingles, 3 distinct -> 0.7 ratio, dropped
+    assert got[1] == (0.7, False)
+    assert got[2] == (0.0, True)
+    assert got[3] == (0.0, True)
