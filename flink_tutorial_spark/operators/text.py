@@ -153,3 +153,81 @@ def repetition_ratio(
         F.round(ratio, 4).alias("rep_ratio"),
         (ratio <= 0.2).alias("rep_keep"),
     )
+
+
+def funnel_stats(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group funnel accounting for the cleaning pipeline: documents
+    surviving each stage (quality rule -> language filter -> exact
+    dedup) plus the token volume the final keep set retains.
+
+    The dedup-canonical flag is decided AMONG THE KEPT SET — if the
+    minimum-id copy of a text failed quality/language, the smallest
+    surviving copy is canonical, so counts never leak documents that an
+    earlier stage already dropped.
+
+    Scale shape: stage flags are map-side column expressions; canonical
+    is one window over md5(text) (the dedup shuffle key itself); the
+    groupBy is partial-aggregable. Two shuffles total, no collect."""
+    from pyspark.sql import Window
+
+    scored = lang_id(quality_score(token_stats(docs)))
+    q = F.col("quality_keep")
+    lk = q & (F.col("lang_pred") == "en")
+    w = Window.partitionBy(F.md5("text"))
+    canon = F.col("doc_id") == F.min(F.when(lk, F.col("doc_id"))).over(w)
+    flagged = scored.select(
+        "doc_id", group_col, "bpe_tokens", q.alias("quality_keep"),
+        lk.alias("lang_keep"), (lk & canon).alias("final_keep"),
+    )
+
+    def _cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    return flagged.groupBy(group_col).agg(
+        F.count("*").alias("n_total"),
+        _cnt(F.col("quality_keep")).alias("n_quality"),
+        _cnt(F.col("lang_keep")).alias("n_lang"),
+        _cnt(F.col("final_keep")).alias("n_dedup"),
+        F.coalesce(
+            F.sum(F.when(F.col("final_keep"), F.col("bpe_tokens"))), F.lit(0)
+        ).cast("bigint").alias("tokens_kept"),
+    )
+
+
+def temperature_rebalance(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    salt: str = ":mix:r6",
+) -> DataFrame:
+    """Temperature-based domain-mix rebalancing at alpha = 0.5: flatten
+    a skewed domain distribution toward uniform by downsampling each
+    domain to n_i = min(c_i, ceil(sqrt(c_min * c_i))) — the
+    count^alpha reweighting pretraining mixes use. sqrt() is IEEE-exact
+    on every engine, so the alpha=0.5 case has no pow() ulp hazard and
+    the keep rule is bit-reproducible.
+
+    Selection is a deterministic salted-hash threshold (all-integer
+    compare, overflow-safe to c_i ~ 1e12), NOT a per-domain rank: the
+    filter stays map-side after one tiny broadcast-joined counts
+    aggregate, where rank-per-domain would collapse each domain onto a
+    single partition at 100 TB. Kept counts are hash-binomial around
+    n_i; duplicate texts get identical verdicts, so dedup-then-rebalance
+    equals rebalance-then-dedup."""
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("c_lang"))
+    cmin = counts.agg(F.min("c_lang").alias("c_min"))
+    targets = counts.crossJoin(F.broadcast(cmin)).select(
+        domain_col, "c_lang",
+        F.least(
+            F.col("c_lang"),
+            F.ceil(F.sqrt(F.col("c_min") * F.col("c_lang"))),
+        ).alias("n_target"),
+    )
+    h = F.pmod(
+        md5_long(F.concat(F.col(text_col), F.lit(salt))), F.lit(1000000)
+    )
+    return (
+        docs.join(F.broadcast(targets), domain_col)
+        .where(h * F.col("c_lang") < F.col("n_target") * F.lit(1000000))
+        .select("doc_id", domain_col, "c_lang", "n_target")
+    )

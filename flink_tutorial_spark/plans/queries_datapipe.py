@@ -864,3 +864,91 @@ def embedding_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in sums.collect()
     )
     return assign(cents1).select("vec_id", "cluster_id", "d2")
+
+
+@query(
+    "datapipe_funnel_stats",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, source, text,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpe_tokens,
+           (len(string_split(text, ' ')) >= 20
+            AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' ')) >= 0.2) AS quality_keep,
+           (len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','is','of','and'], w)))::DOUBLE
+             / len(string_split(text, ' ')) >= 0.05) AS is_en
+    FROM documents
+), flagged AS (
+    SELECT *, quality_keep AND is_en AS lang_keep,
+           quality_keep AND is_en AND doc_id = min(CASE WHEN quality_keep AND is_en
+               THEN doc_id END) OVER (PARTITION BY md5(text)) AS final_keep
+    FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (quality_keep) AS BIGINT) AS n_quality,
+       CAST(count(*) FILTER (lang_keep) AS BIGINT) AS n_lang,
+       CAST(count(*) FILTER (final_keep) AS BIGINT) AS n_dedup,
+       CAST(COALESCE(sum(bpe_tokens) FILTER (final_keep), 0) AS BIGINT) AS tokens_kept
+FROM flagged
+GROUP BY source
+""",
+    tags=("datapipe", "pipeline"),
+)
+def datapipe_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source funnel accounting for the cleaning pipeline: how many
+    documents survive each stage (quality rule -> language filter ->
+    exact dedup) and how many tokens the final keep set retains. The
+    observability twin of datapipe_training_shards: a corpus build at
+    scale reports exactly this table per ingest batch, so operators see
+    WHERE volume is lost instead of one opaque final count.
+
+    Scale shape: stage flags are pure map-side column expressions; the
+    dedup-canonical flag is one window over md5(text) (the same shuffle
+    key the dedup itself needs), then a partial-aggregable groupBy on
+    source. Two shuffles total at any corpus size; no driver collect.
+    See operators/text.funnel_stats.
+    """
+    return T.funnel_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "datapipe_mix_rebalance",
+    oracle=f"""
+WITH c AS (
+    SELECT lang, count(*) AS c_lang FROM documents GROUP BY lang
+), t AS (
+    SELECT lang, c_lang,
+           least(c_lang, CAST(ceil(sqrt((SELECT min(c_lang) FROM c) * c_lang))
+                 AS BIGINT)) AS n_target
+    FROM c
+)
+SELECT d.doc_id, d.lang, t.c_lang, t.n_target
+FROM documents d JOIN t USING (lang)
+WHERE ({_MD5_LONG.format(x="concat(text, ':mix:r6')")} % 1000000) * t.c_lang
+      < t.n_target * 1000000
+""",
+    tags=("datapipe", "sampling"),
+)
+def datapipe_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain-mix rebalancing (alpha = 0.5): flatten a
+    skewed language/domain distribution toward uniform by downsampling
+    head domains to n_i = min(c_i, ceil(sqrt(c_min * c_i))) — the
+    count^alpha reweighting pretraining mixes use (alpha=1 keeps the
+    natural mix, alpha=0 forces uniform; sqrt is the IEEE-exact alpha=0.5
+    case, so Spark and the oracle agree bit-for-bit with no pow() ulp
+    hazard). On this corpus en (218 at sf0.01) is cut toward the fr
+    floor while tail langs pass through whole.
+
+    Selection is a deterministic salted-hash threshold, not a rank:
+    keep iff hash(text) % 1e6 * c_i < n_i * 1e6 (all-integer compare,
+    overflow-safe to c_i ~ 1e12). That keeps the operator map-side —
+    one tiny counts aggregate broadcast back — instead of a
+    rank-per-domain window, which at 100 TB would collapse each domain
+    onto a single partition. Kept counts are hash-binomial around n_i;
+    the rule itself is exact and rerun-stable, and duplicate texts get
+    identical verdicts (dedup-then-rebalance == rebalance-then-dedup).
+    See operators/text.temperature_rebalance.
+    """
+    return T.temperature_rebalance(load_table(spark, sf_dir, "documents"))

@@ -264,3 +264,60 @@ def test_repetition_ratio_edges(spark):
     assert got[1] == (0.7, False)
     assert got[2] == (0.0, True)
     assert got[3] == (0.0, True)
+
+
+def test_funnel_stats_stages_and_dedup(spark):
+    # duplicates collapse to ONE canonical doc in n_dedup; a text that
+    # fails an earlier stage contributes 0 to every later stage (the
+    # canonical flag is guarded to kept docs, so a dropped group can
+    # never resurrect a doc into n_dedup); tokens_kept coalesces to 0
+    # for an all-dropped group
+    from flink_tutorial_spark.operators.text import funnel_stats
+
+    good = "the fox is one of the animals and the dog is one of the pets " * 2
+    nonen = " ".join(f"wort{i}" for i in range(25))  # 25 words, not en
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "s1", len(good)),   # canonical copy
+            (2, good, "en", "s1", len(good)),   # dup of 1 -> dropped
+            (3, nonen, "de", "s1", len(nonen)),  # passes quality, fails lang
+            (4, "tiny", "en", "s2", 4),         # fails quality
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r.source: r for r in funnel_stats(docs).collect()}
+    s1 = got["s1"]
+    assert (s1.n_total, s1.n_quality, s1.n_lang, s1.n_dedup) == (3, 3, 2, 1)
+    assert s1.tokens_kept > 0
+    s2 = got["s2"]
+    assert (s2.n_total, s2.n_quality, s2.n_lang, s2.n_dedup) == (1, 0, 0, 0)
+    assert s2.tokens_kept == 0  # coalesce guards the all-dropped group
+
+
+def test_temperature_rebalance_edges(spark):
+    from flink_tutorial_spark.operators.text import temperature_rebalance
+
+    # single domain: c_min == c -> target == c -> hash threshold is
+    # always satisfied (h % 1e6 * c < c * 1e6), every doc kept
+    uni = spark.createDataFrame(
+        [(i, f"text number {i}", "en") for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    out = temperature_rebalance(uni)
+    assert out.count() == 40
+    assert out.select("n_target").distinct().collect()[0].n_target == 40
+
+    # skewed domains: target math is ceil(sqrt(c_min * c_i)) capped at
+    # c_i, and the filter is deterministic across reruns
+    skew = spark.createDataFrame(
+        [(i, f"doc {i}", "en" if i < 90 else "fr") for i in range(100)],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r.lang: r for r in
+           temperature_rebalance(skew).select("lang", "c_lang", "n_target")
+           .distinct().collect()}
+    assert (got["en"].c_lang, got["en"].n_target) == (90, 30)  # ceil(sqrt(10*90))
+    assert (got["fr"].c_lang, got["fr"].n_target) == (10, 10)
+    a = sorted(r.doc_id for r in temperature_rebalance(skew).collect())
+    b = sorted(r.doc_id for r in temperature_rebalance(skew).collect())
+    assert a == b and len(a) > 0
