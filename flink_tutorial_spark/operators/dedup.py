@@ -272,7 +272,14 @@ def ngram_jaccard_pairs(
     self-join sides) which would otherwise each recompute the full
     split/transform/explode/distinct pipeline. The oracle hashes with
     the identical md5 prefix, so even a (≈2^-61) hash collision yields
-    the same answer in both engines."""
+    the same answer in both engines.
+
+    Measured rejection (r6): AllPairs-style prefix filtering (sorted
+    per-doc shingle arrays, prefix-explode candidate join, map-side
+    array_intersect scoring) produced identical pairs but ran 2.3x
+    SLOWER at sf0.1 (3.43s vs 1.50s) — collect_set + array overhead
+    exceeds the pair-agg it avoids while shingle frequencies stay low.
+    Revisit only if a corpus shows hot shared shingles."""
     sh_raw = shingle_table(docs, id_col, text_col).select(
         F.col(id_col), md5_long(F.col("shingle")).alias("sh")
     )
