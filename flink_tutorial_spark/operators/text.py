@@ -231,3 +231,48 @@ def temperature_rebalance(
         .where(h * F.col("c_lang") < F.col("n_target") * F.lit(1000000))
         .select("doc_id", domain_col, "c_lang", "n_target")
     )
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 4,
+    keep_below: float = 0.3,
+) -> DataFrame:
+    """Cross-document boilerplate signal: the fraction of a document's
+    distinct n-gram shingles that are corpus-common (document frequency
+    >= min_df) — the CCNet/C4-style rule that catches shared headers,
+    footers, and templates which within-document repetition_ratio
+    cannot see. Docs shorter than n words score 0 and keep.
+
+    Scale shape: shingles are hashed to 60-bit ints map-side; DF is one
+    groupBy(shingle) aggregate, the DF lookup joins back on the same
+    key it was grouped by (co-partitioned, no extra exchange under
+    AQE), then one groupBy(doc). Two shuffle keys total — the same
+    shape every DF-based corpus statistic needs, never all-pairs."""
+    from flink_tutorial_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(docs, id_col, text_col, n).select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("sh")
+    )
+    df_tab = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_tab, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("df") >= min_df, 1)).alias("common"),
+        )
+    )
+    ratio = F.coalesce(F.col("common") / F.col("total"), F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(ratio, 4).alias("boiler_ratio"),
+            (ratio <= keep_below).alias("boiler_keep"),
+        )
+    )

@@ -952,3 +952,29 @@ def datapipe_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/text.temperature_rebalance.
     """
     return T.temperature_rebalance(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_boilerplate_ratio",
+    oracle=f"""
+WITH {_SHINGLES},
+shh AS (SELECT doc_id, {_MD5_LONG.format(x="shingle")} AS h FROM sh),
+df AS (SELECT h, count(*) AS df FROM shh GROUP BY h),
+per_doc AS (
+    SELECT s.doc_id, count(*) AS total,
+           count(*) FILTER (df >= 4) AS common
+    FROM shh s JOIN df USING (h) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       round(COALESCE(common::DOUBLE / total, 0), 4) AS boiler_ratio,
+       COALESCE(common::DOUBLE / total, 0) <= 0.3 AS boiler_keep
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+""",
+    tags=("datapipe", "text", "quality"),
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-common shingle fraction per document (document frequency
+    >= 4 across the corpus) — the cross-document boilerplate rule that
+    complements within-document text_repetition_ratio. See
+    operators/text.boilerplate_ratio for the two-shuffle scale shape."""
+    return T.boilerplate_ratio(load_table(spark, sf_dir, "documents"))

@@ -321,3 +321,25 @@ def test_temperature_rebalance_edges(spark):
     a = sorted(r.doc_id for r in temperature_rebalance(skew).collect())
     b = sorted(r.doc_id for r in temperature_rebalance(skew).collect())
     assert a == b and len(a) > 0
+
+
+def test_boilerplate_ratio_edges(spark):
+    from flink_tutorial_spark.operators.text import boilerplate_ratio
+
+    shared = "this exact header appears in many documents"
+    docs = spark.createDataFrame(
+        [(i, shared + f" u{i}a u{i}b u{i}c") for i in range(4)]
+        + [(99, "totally fresh content nobody else shares at all"),
+           (100, "ab cd")],  # < 3 words -> no shingles -> 0.0, keep
+        ["doc_id", "text"],
+    )
+    # min_df=4: only shingles fully inside the shared prefix reach df>=4
+    got = {r.doc_id: (r.boiler_ratio, r.boiler_keep)
+           for r in boilerplate_ratio(docs, min_df=4, keep_below=0.3).collect()}
+    assert got[99] == (0.0, True)
+    assert got[100] == (0.0, True)
+    # templated docs: 10 words -> 8 shingles, the 5 inside the 7-word
+    # shared prefix are corpus-common, the 3 touching the unique tail
+    # are not -> ratio 5/8, dropped at 0.3
+    for i in range(4):
+        assert got[i] == (round(5 / 8, 4), False)
