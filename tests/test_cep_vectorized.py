@@ -73,7 +73,9 @@ def _random_frame(n, seed, p_steps, p_veto=0.0, tie_every=0):
     # seconds-spaced nanosecond timestamps with optional exact ties
     secs = np.cumsum(rng.integers(0, 3, size=n))
     if tie_every:
-        secs[::tie_every] = secs[1::tie_every][: len(secs[::tie_every])]
+        a, b = secs[::tie_every], secs[1::tie_every]
+        m = min(len(a), len(b))
+        a[:m] = b[:m]  # numpy views: writes through to secs
     ts = pd.Series(secs * 1_000_000_000, name="ts").astype("int64")
     data = {"ts": ts}
     for i, p in enumerate(p_steps):
@@ -155,3 +157,63 @@ def test_vectorized_scales_to_1m_events_single_key():
     elapsed = time.perf_counter() - t0
     assert len(out) > 0
     assert elapsed < 5.0, f"1M-event advance took {elapsed:.1f}s"
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hs
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=hs.integers(0, 2**31 - 1),
+        n=hs.integers(5, 400),
+        n_steps=hs.integers(1, 4),
+        within=hs.integers(1, 60),
+        veto=hs.booleans(),
+        tie_every=hs.sampled_from([0, 2, 5]),
+        cut_frac=hs.tuples(hs.floats(0.1, 0.9), hs.floats(0.1, 0.9)),
+    )
+    def test_vectorized_matches_reference_property(
+        seed, n, n_steps, within, veto, tie_every, cut_frac
+    ):
+        """Property form of the equivalence pin: ANY random frame, step
+        density, window, optional-step chain set, tie pattern, and batch
+        split must produce identical matches and carried state."""
+        rng = np.random.default_rng(seed)
+        p_steps = tuple(rng.uniform(0.05, 0.4) for _ in range(n_steps))
+        pdf = _random_frame(
+            n, seed, p_steps=p_steps, p_veto=0.1 if veto else 0.0,
+            tie_every=tie_every,
+        )
+        full = tuple(range(n_steps))
+        chains = [full]
+        if n_steps >= 3:
+            chains.append((0,) + tuple(range(2, n_steps)))  # step1 optional
+        step_cols = [f"s{i}" for i in range(n_steps)]
+        veto_col = "veto" if veto else None
+        within_us = within * 1_000_000
+        cuts = sorted({0, int(n * cut_frac[0]), int(n * cut_frac[1]), n})
+        st_v = st_r = None
+        out_v, out_r = [], []
+        for a, b in zip(cuts, cuts[1:]):
+            batch = pdf.iloc[a:b].reset_index(drop=True)
+            rows_v, st_v = _sequence_advance_batch(
+                1, batch, st_v, chains, step_cols, "ts", veto_col, within_us
+            )
+            rows_r, st_r = _reference_nfa(
+                1, batch, st_r, chains, step_cols, "ts", veto_col, within_us
+            )
+            out_v.extend(rows_v)
+            out_r.extend(rows_r)
+        assert sorted(out_v) == sorted(out_r)
+        zv = sorted(zip(st_v[0], st_v[1], st_v[2], st_v[4]))
+        zr = sorted(zip(st_r[0], st_r[1], st_r[2], st_r[4]))
+        assert zv == zr
+        assert sorted(st_v[3]) == sorted(st_r[3])
