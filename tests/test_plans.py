@@ -84,8 +84,12 @@ def test_tpch_semi_anti_shapes(spark, sf_dir):
     ]:
         plan = formatted_plan(spark, name, sf_dir)
         assert marker in plan, name
+    # Q21 is decorrelated (r6): the EXISTS/NOT-EXISTS pair becomes two
+    # per-order aggregates joined on orderkey — no pair-level semi/anti
+    # joins remain, and the supplier name lookup stays broadcast
     q21 = formatted_plan(spark, "tpch_q21_suppliers_who_kept_waiting", sf_dir)
-    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "LeftSemi" not in q21 and "LeftAnti" not in q21
+    assert "BroadcastHashJoin" in q21
 
 
 def test_tpch_wide_joins_broadcast_dims(spark, sf_dir):
