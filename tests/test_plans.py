@@ -131,3 +131,51 @@ def test_udaf_is_arrow_grouped_agg(spark, sf_dir):
     # Spark 4.1 physical node name; older releases say AggregateInPandas
     assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan, plan[:800]
     assert "BatchEvalPython" not in plan
+
+
+def test_aqe_skew_join_rewrite(spark):
+    """AQE's skew-join split is live at runtime: a hot-key join replans
+    as SortMergeJoin(skew=true) once the skewed-partition thresholds are
+    crossed — the engine's first line of defense at 100 TB before manual
+    salting (operators/partitioning.two_stage_count). Also pins the
+    known AQE constraint: a downstream aggregate on the join key reuses
+    the join's partitioning, so the skew split is (correctly) skipped
+    there — THAT shape is what the salting fallback is for."""
+    import pyspark.sql.functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 != 0, 0).otherwise(F.col("id") % 101).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        [row] = j.collect()
+        assert row.s is not None
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+
+        # partition-reuse suppression: aggregate on the join key after
+        # the join -> AQE must NOT split (it would force a re-shuffle)
+        g = left.join(right, "k").groupBy("k").agg(F.count("*").alias("n"))
+        g.collect()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in gplan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
