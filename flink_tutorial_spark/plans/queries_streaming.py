@@ -967,3 +967,48 @@ def streaming_proctime_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("proc_window"), "event_type", "cnt")
     )
     return run_to_memory(agg, "complete")
+
+
+@query(
+    "streaming_quality_gate",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpe_tokens,
+       (len(string_split(text, ' ')) >= 20
+        AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' ')) >= 0.2) AS quality_keep,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','is','of','and'], w)))::DOUBLE
+             / len(string_split(text, ' ')) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS lang_pred,
+       (len(string_split(text, ' ')) >= 20
+        AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' ')) >= 0.2
+        AND len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','is','of','and'], w)))::DOUBLE
+             / len(string_split(text, ' ')) >= 0.05) AS gate_keep
+FROM documents
+""",
+    tags=("streaming", "datapipe", "text"),
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline quality gate running LIVE on a document stream:
+    the SAME operators/text.py column expressions (token_stats ->
+    quality_score -> lang_id) applied to a readStream source — the
+    batch/stream unification Flink's Table API promises, held here by
+    construction because the gate is stateless codegen projection. The
+    converged append-mode output is bit-identical to the batch oracle;
+    at production scale this is the shape of a streaming ingest filter
+    (no state, no watermark, per-batch throughput = scan throughput)."""
+    from flink_tutorial_spark.operators import text as T
+
+    docs = stream_table(spark, sf_dir, "documents")
+    scored = T.lang_id(T.quality_score(T.token_stats(docs)))
+    out = scored.select(
+        "doc_id",
+        "bpe_tokens",
+        "quality_keep",
+        "lang_pred",
+        (F.col("quality_keep") & (F.col("lang_pred") == "en")).alias("gate_keep"),
+    )
+    return run_to_memory(out, "append")
