@@ -978,3 +978,49 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     complements within-document text_repetition_ratio. See
     operators/text.boilerplate_ratio for the two-shuffle scale shape."""
     return T.boilerplate_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "datapipe_incremental_ingest",
+    oracle="""
+WITH batch AS (
+    SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE doc_id % 10 = 9
+), corpus AS (
+    SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id % 10 <> 9
+), batch_canon AS (
+    SELECT fingerprint, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_in_batch
+    FROM batch GROUP BY fingerprint
+)
+SELECT b.doc_id, b.fingerprint, b.n_in_batch
+FROM batch_canon b LEFT JOIN corpus c USING (fingerprint)
+WHERE c.fingerprint IS NULL
+""",
+    tags=("datapipe", "dedup", "ingest"),
+)
+def datapipe_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest: dedupe the NEW batch within itself
+    (keep-min per content fingerprint) and anti-join it against the
+    existing corpus's fingerprint set, admitting only genuinely new
+    content — the daily-ingest operation of a living training corpus
+    (the batch is the doc_id%10==9 slice; production swaps in the
+    arrival partition).
+
+    Scale shape: the within-batch keep-min groupBy and the anti-join
+    both key on the content fingerprint, so the whole operation rides
+    ONE shuffle key; the big side (corpus fingerprints, billions of
+    rows at 100 TB) is a 2-column projection of the stored fingerprint
+    index, never the raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 9
+    batch = docs.where(is_batch).select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    corpus_fp = (
+        docs.where(~is_batch).select(F.md5("text").alias("fingerprint")).distinct()
+    )
+    batch_canon = batch.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_in_batch")
+    )
+    return batch_canon.join(corpus_fp, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint", "n_in_batch"
+    )
