@@ -91,8 +91,25 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # shuffle/sort. The shingle SET is identical to the SQL oracle's
     # unnest+lead construction.
     with_words = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
-    words = F.col("_words")
-    shingle_arr = F.when(
+    return (
+        with_words.select(
+            F.col(id_col),
+            F.explode(shingle_array_expr(F.col("_words"), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def shingle_array_expr(words: F.Column, n: int = 3) -> F.Column:
+    """n-word shingle ARRAY from a pre-materialized words array column —
+    the single definition both shingle_table and text.repetition_ratio
+    build on (one place to keep in sync with the SQL oracle's
+    unnest+lead construction). Callers MUST pass a materialized array
+    column (e.g. split() aliased in a prior select), not the split()
+    expression itself — higher-order-function lambdas re-evaluate their
+    input per element (O(len^2), measured 3x slower). Docs shorter than
+    n words yield an empty array."""
+    return F.when(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(words) - n),
@@ -101,10 +118,6 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        with_words.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
-        .distinct()
-    )
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -130,19 +130,12 @@ def repetition_ratio(
 
     rep_ratio = 1 - distinct_shingles / total_shingles (0 for docs
     shorter than n words); rep_keep <= 0.2 is the composite rule."""
+    from flink_tutorial_spark.operators.dedup import shingle_array_expr
+
     with_words = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_words")
     )
-    words = F.col("_words")
-    shingle_arr = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shingle_arr = shingle_array_expr(F.col("_words"), n)
     total = F.size(shingle_arr)
     nd = F.size(F.array_distinct(shingle_arr))
     ratio = F.when(total > 0, F.lit(1.0) - nd.cast("double") / total).otherwise(

@@ -416,6 +416,64 @@ _TIMEOUT_STATE = StructType(
 )
 
 
+def _match_advance_batch(
+    ts_arr,
+    kind_arr,
+    val_arr,
+    start_kind: str,
+    end_kind: str,
+    within_seconds: int,
+    start_ts: int,
+    start_value: float,
+):
+    """One sorted batch of the match-or-timeout alternating machine,
+    vectorized (extracted so tests can pin it against an event-at-a-time
+    reference — see tests/test_cep_vectorized.py).
+
+    Semantics: a later start overwrites a pending earlier one; an end
+    consumes the pending start (emitting "matched" iff within the
+    horizon, silently otherwise — the timeout branch fires via the
+    event-time timer between batches, not here). Returns
+    (matches, carried) with matches = [(s_ts, e_ts, value)] and
+    carried = the (start_ts, start_value) pending after the batch
+    (0, 0.0 when none)."""
+    import numpy as np
+
+    out = []
+    start_pos = np.flatnonzero(kind_arr == start_kind)
+    end_pos = np.flatnonzero(kind_arr == end_kind)
+    if end_pos.size:
+        # pair each end with the last start POSITION before it via
+        # searchsorted, valid only when that start is after the
+        # previous end
+        j = np.searchsorted(start_pos, end_pos) - 1
+        prev_end = np.concatenate([np.asarray([-1], dtype=np.int64), end_pos[:-1]])
+        sp = start_pos[np.maximum(j, 0)] if start_pos.size else np.zeros(
+            end_pos.size, dtype=np.int64
+        )
+        has_batch = (j >= 0) & (start_pos.size > 0) & (sp > prev_end)
+        e_ts = ts_arr[end_pos]
+        s_ts = np.where(has_batch, ts_arr[sp], 0)
+        s_val = np.where(has_batch, val_arr[sp], 0.0)
+        # first end may instead consume the carried start
+        if not has_batch[0] and start_ts > 0:
+            s_ts[0], s_val[0] = start_ts, start_value
+            has_batch[0] = True
+        ok = has_batch & (e_ts - s_ts <= within_seconds)
+        out.extend(
+            (int(a), int(b), float(v)) for a, b, v in zip(s_ts[ok], e_ts[ok], s_val[ok])
+        )
+    # pending after the batch: last start after the last end
+    last_end = end_pos[-1] if end_pos.size else -1
+    tail = start_pos[start_pos > last_end]
+    if tail.size:
+        start_ts = int(ts_arr[tail[-1]])
+        start_value = float(val_arr[tail[-1]])
+    elif end_pos.size:
+        start_ts, start_value = 0, 0.0
+    return out, (start_ts, start_value)
+
+
 def match_or_timeout(
     df: DataFrame,
     key_col: str,
@@ -435,8 +493,6 @@ def match_or_timeout(
     on the input stream."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         out = []
         if state.hasTimedOut:
             start_ts, start_value = state.get
@@ -454,40 +510,16 @@ def match_or_timeout(
                 # vectorized alternating machine: an end event consumes
                 # the LAST start seen since the previous end (later
                 # starts overwrite earlier pending ones), emitting
-                # "matched" iff within the horizon. Pair each end with
-                # the last start POSITION before it via searchsorted,
-                # valid only when that start is after the previous end.
-                start_pos = np.flatnonzero(kind_arr == start_kind)
-                end_pos = np.flatnonzero(kind_arr == end_kind)
-                if end_pos.size:
-                    j = np.searchsorted(start_pos, end_pos) - 1
-                    prev_end = np.concatenate(
-                        [np.asarray([-1], dtype=np.int64), end_pos[:-1]]
-                    )
-                    sp = start_pos[np.maximum(j, 0)] if start_pos.size else np.zeros(
-                        end_pos.size, dtype=np.int64
-                    )
-                    has_batch = (j >= 0) & (start_pos.size > 0) & (sp > prev_end)
-                    e_ts = ts_arr[end_pos]
-                    s_ts = np.where(has_batch, ts_arr[sp], 0)
-                    s_val = np.where(has_batch, val_arr[sp], 0.0)
-                    # first end may instead consume the carried start
-                    if not has_batch[0] and start_ts > 0:
-                        s_ts[0], s_val[0] = start_ts, start_value
-                        has_batch[0] = True
-                    ok = has_batch & (e_ts - s_ts <= within_seconds)
-                    out.extend(
-                        (key[0], int(a), int(b), "matched", float(v))
-                        for a, b, v in zip(s_ts[ok], e_ts[ok], s_val[ok])
-                    )
-                # pending after the batch: last start after the last end
-                last_end = end_pos[-1] if end_pos.size else -1
-                tail = start_pos[start_pos > last_end]
-                if tail.size:
-                    start_ts = int(ts_arr[tail[-1]])
-                    start_value = float(val_arr[tail[-1]])
-                elif end_pos.size:
-                    start_ts, start_value = 0, 0.0
+                # "matched" iff within the horizon — see
+                # _match_advance_batch (reference-pinned by tests)
+                rows, (start_ts, start_value) = _match_advance_batch(
+                    ts_arr, kind_arr, val_arr,
+                    start_kind, end_kind, within_seconds,
+                    start_ts, start_value,
+                )
+                out.extend(
+                    (key[0], a, b, "matched", v) for a, b, v in rows
+                )
             if start_ts > 0:
                 state.update((start_ts, start_value))
                 state.setTimeoutTimestamp((start_ts + within_seconds) * 1000)

@@ -217,3 +217,54 @@ if HAVE_HYP:
         zr = sorted(zip(st_r[0], st_r[1], st_r[2], st_r[4]))
         assert zv == zr
         assert sorted(st_v[3]) == sorted(st_r[3])
+
+
+def _reference_match_machine(ts, kinds, vals, start_kind, end_kind, within, carried):
+    """Event-at-a-time alternating start/end machine — the behavioral
+    spec for _match_advance_batch: a later start overwrites a pending
+    one; an end consumes the pending start, emitting iff within the
+    horizon (beyond-horizon ends consume silently; the timeout row is
+    the timer branch's job between batches)."""
+    start_ts, start_val = carried
+    out = []
+    for t, k, v in zip(ts, kinds, vals):
+        if k == start_kind:
+            start_ts, start_val = int(t), float(v)
+        elif k == end_kind:
+            if start_ts > 0:
+                if t - start_ts <= within:
+                    out.append((start_ts, int(t), start_val))
+                start_ts, start_val = 0, 0.0
+    return out, (start_ts, start_val)
+
+
+def test_match_advance_matches_reference():
+    """Multi-event-per-batch pairing paths (carried-start splice, ends
+    without starts, consecutive ends, beyond-horizon consumption, batch
+    splits) pinned against the event-at-a-time reference."""
+    from flink_tutorial_spark.streaming.cep import _match_advance_batch
+
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        n = int(rng.integers(1, 40))
+        kinds = rng.choice(["start", "end", "other"], size=n, p=[0.4, 0.4, 0.2])
+        ts = np.cumsum(rng.integers(1, 30, size=n)).astype(np.int64)
+        vals = rng.random(n)
+        within = int(rng.integers(5, 120))
+        carried = (0, 0.0) if trial % 3 else (1, 0.5)  # pending start pre-batch
+        cut = int(rng.integers(0, n + 1))
+        out_v, st_v = [], carried
+        out_r, st_r = [], carried
+        for a, b in ((0, cut), (cut, n)):
+            if a == b:
+                continue
+            rows, st_v = _match_advance_batch(
+                ts[a:b], kinds[a:b], vals[a:b], "start", "end", within, *st_v
+            )
+            out_v.extend(rows)
+            rows_r, st_r = _reference_match_machine(
+                ts[a:b], kinds[a:b], vals[a:b], "start", "end", within, st_r
+            )
+            out_r.extend(rows_r)
+        assert out_v == out_r, (trial, out_v, out_r)
+        assert st_v == st_r, (trial, st_v, st_r)

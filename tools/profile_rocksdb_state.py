@@ -66,6 +66,7 @@ def main() -> None:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     per_batch = args.keys // args.batches
+    assert per_batch > 0, "--keys must be >= --batches"
     # ~1 KiB payload per key: 16x a 64-char sha2 hex digest. No
     # coalesce: single-task 250 MB parquet writes would blow the
     # deliberately tiny heap before streaming even starts.
@@ -123,7 +124,9 @@ def main() -> None:
     }
     print("RESULT " + json.dumps(result))
     if args.provider == "rocksdb":
-        assert result["state_rows"] == args.keys, result
+        # the generator writes per_batch * batches rows, which floors
+        # --keys when it is not divisible by --batches
+        assert result["state_rows"] == per_batch * args.batches, result
         assert logical_state > jvm_max, (
             f"logical state {logical_state} bytes does not exceed heap {jvm_max} — "
             "raise --keys for a meaningful >heap profile"
