@@ -1024,3 +1024,36 @@ def datapipe_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_canon.join(corpus_fp, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint", "n_in_batch"
     )
+
+
+@query(
+    "datapipe_eval_split",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val' ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, source,
+           {_MD5_LONG.format(x="concat(text, ':split:r6')")} % 100 AS h
+    FROM documents
+)
+""",
+    tags=("datapipe", "sampling"),
+)
+def datapipe_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split by salted CONTENT hash
+    — the split every training pipeline needs, made rerun-stable
+    (same doc -> same split on any engine/partitioning) and
+    duplicate-stable: exact-duplicate texts land in the SAME split, so
+    a train/eval leak cannot enter through the split itself (the
+    remaining near-dup leakage is what decontaminate_ngram_overlap and
+    the dedup family are for). Pure map-side projection — zero shuffle
+    at any corpus size; resalting draws an independent split."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(
+        D.md5_long(F.concat(F.col("text"), F.lit(":split:r6"))), F.lit(100)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h < 98, "train").when(h < 99, "val").otherwise("test").alias("split"),
+    )
