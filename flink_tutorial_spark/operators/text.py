@@ -200,8 +200,11 @@ def temperature_rebalance(
     on every engine, so the alpha=0.5 case has no pow() ulp hazard and
     the keep rule is bit-reproducible.
 
-    Selection is a deterministic salted-hash threshold (all-integer
-    compare, overflow-safe to c_i ~ 1e12), NOT a per-domain rank: the
+    Selection is a deterministic salted-hash threshold (the all-integer
+    keep compare h * c_i < n_i * 1e6 is overflow-safe to c_i ~ 1e12;
+    the target itself multiplies c_min * c_i as double before sqrt so
+    the product cannot overflow int64 under ANSI mode), NOT a
+    per-domain rank: the
     filter stays map-side after one tiny broadcast-joined counts
     aggregate, where rank-per-domain would collapse each domain onto a
     single partition at 100 TB. Kept counts are hash-binomial around
@@ -213,7 +216,7 @@ def temperature_rebalance(
         domain_col, "c_lang",
         F.least(
             F.col("c_lang"),
-            F.ceil(F.sqrt(F.col("c_min") * F.col("c_lang"))),
+            F.ceil(F.sqrt(F.col("c_min").cast("double") * F.col("c_lang"))),
         ).alias("n_target"),
     )
     h = F.pmod(

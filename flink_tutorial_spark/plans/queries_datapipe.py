@@ -920,7 +920,8 @@ WITH c AS (
     SELECT lang, count(*) AS c_lang FROM documents GROUP BY lang
 ), t AS (
     SELECT lang, c_lang,
-           least(c_lang, CAST(ceil(sqrt((SELECT min(c_lang) FROM c) * c_lang))
+           least(c_lang, CAST(ceil(sqrt(
+                 CAST((SELECT min(c_lang) FROM c) AS DOUBLE) * c_lang))
                  AS BIGINT)) AS n_target
     FROM c
 )
@@ -943,7 +944,9 @@ def datapipe_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Selection is a deterministic salted-hash threshold, not a rank:
     keep iff hash(text) % 1e6 * c_i < n_i * 1e6 (all-integer compare,
-    overflow-safe to c_i ~ 1e12). That keeps the operator map-side —
+    overflow-safe to c_i ~ 1e12; the c_min * c_i product inside sqrt
+    is computed as double on both engines so it cannot overflow
+    int64). That keeps the operator map-side —
     one tiny counts aggregate broadcast back — instead of a
     rank-per-domain window, which at 100 TB would collapse each domain
     onto a single partition. Kept counts are hash-binomial around n_i;

@@ -32,6 +32,11 @@ try:  # version guard: Spark 4.1+ AND protobuf (the state-server wire
     # google.protobuf is still not installed and pyspark.zip vendors no
     # copy, so transformWithStateInPandas's state-server client cannot
     # start; the guard (and the applyInPandasWithState fallback) stays.
+    # r7: `pip install protobuf` was attempted in-container and fails —
+    # the sandbox has no package index ("No matching distribution found
+    # for protobuf"), so this is environment-final, not a TODO: the tws
+    # path activates automatically on any deployment that has protobuf,
+    # and nothing further can be done from inside this container.
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -190,7 +190,10 @@ def test_merge_ansi_branch_executes_on_duckdb():
     (DuckDB >= 1.4). On older DuckDB (1.0.0 in the current container,
     which predates MERGE) this skips — the string-shape assert above
     still covers the branch; this test auto-activates when the
-    container's DuckDB gains MERGE."""
+    container's DuckDB gains MERGE. r7: `pip install --upgrade duckdb`
+    fails in-container (no package index), so the skip is
+    environment-final here; nothing further can be done from inside
+    this sandbox."""
     import duckdb
 
     ver = tuple(int(x) for x in duckdb.__version__.split(".")[:2])
