@@ -160,28 +160,67 @@ def cep_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_match_or_timeout",
-    oracle=None,
-    tags=(
-        "streaming",
-        "cep",
-        "rows_only:timeout emission order depends on watermark progression, "
-        "not SQL-expressible as a deterministic set",
-    ),
+    oracle="""
+WITH ev AS (
+    SELECT user_id, ts, event_type, value FROM events
+    WHERE event_type IN ('signup', 'purchase')
+), wm AS (
+    SELECT max(ts) AS w FROM ev
+), nx AS (
+    SELECT user_id, ts, event_type, value,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS n_ts,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+               AS n_kind
+    FROM ev
+)
+SELECT user_id,
+       ts AS start_ts,
+       CASE WHEN n_ts IS NOT NULL AND n_ts <= ts + INTERVAL 15 MINUTE
+            THEN n_ts ELSE ts + INTERVAL 15 MINUTE END AS end_ts,
+       CASE WHEN n_ts IS NOT NULL AND n_ts <= ts + INTERVAL 15 MINUTE
+            THEN 'matched' ELSE 'timeout' END AS status,
+       value
+FROM nx, wm
+WHERE event_type = 'signup'
+  AND (CASE
+         WHEN n_ts IS NOT NULL AND n_ts <= ts + INTERVAL 15 MINUTE
+           THEN n_kind = 'purchase'
+         WHEN n_ts IS NOT NULL THEN TRUE
+         ELSE (epoch_us(ts) + 900000000) // 1000 < epoch_us(w) // 1000
+       END)
+""",
+    tags=("streaming", "cep"),
 )
 def streaming_match_or_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order match-or-timeout as a LIVE event-time-timer query
-    (OrderTimeout.scala:50-127): signup must be followed by a purchase
-    within 15 minutes, else the EventTimeTimeout branch (== onTimer)
-    emits a timeout row after the watermark passes. Rows-only check:
-    state-overwrite on re-signup is arrival-order semantics, matching
-    the reference's state machine rather than a relational expression."""
+    (OrderTimeout.scala:50-127 / OrderTimeoutWithCEP.scala:38-71):
+    signup must be followed by a purchase within 15 minutes, else the
+    EventTimeTimeout branch (== onTimer) emits a timeout row after the
+    watermark passes start+15min.
+
+    Exact oracle via the closed-horizon determinism contract (r7, the
+    streaming_left_outer_join recipe): each signup's fate is a pure
+    function of the user's NEXT signup-or-purchase event — a purchase
+    within the horizon matches, a signup within it overwrites (no row),
+    anything later proves the timeout. A start with no successor times
+    out iff its deadline ms-floors strictly below the achieved
+    watermark (Spark fires event-time timers on
+    `timeoutTimestamp < watermark`, both in ms), which the oracle's
+    epoch_us(..)//1000 compare mirrors exactly."""
     from flink_tutorial_spark.streaming.cep import match_or_timeout
 
     events = stream_table(spark, sf_dir, "events")
     relevant = events.where(F.col("event_type").isin("signup", "purchase"))
     wm = relevant.withWatermark("ts", "0 seconds")
     out = match_or_timeout(wm, "user_id", "ts", "event_type", "signup", "purchase", 900)
-    return run_to_memory(out, "append")
+    got = run_to_memory(out, "append")
+    return got.select(
+        F.col("key").alias("user_id"),
+        F.timestamp_micros(F.col("start_ts")).alias("start_ts"),
+        F.timestamp_micros(F.col("end_ts")).alias("end_ts"),
+        "status",
+        "value",
+    )
 
 
 @query(

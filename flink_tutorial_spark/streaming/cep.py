@@ -422,7 +422,7 @@ def _match_advance_batch(
     val_arr,
     start_kind: str,
     end_kind: str,
-    within_seconds: int,
+    within_us: int,
     start_ts: int,
     start_value: float,
 ):
@@ -430,48 +430,61 @@ def _match_advance_batch(
     vectorized (extracted so tests can pin it against an event-at-a-time
     reference — see tests/test_cep_vectorized.py).
 
-    Semantics: a later start overwrites a pending earlier one; an end
-    consumes the pending start (emitting "matched" iff within the
-    horizon, silently otherwise — the timeout branch fires via the
-    event-time timer between batches, not here). Returns
-    (matches, carried) with matches = [(s_ts, e_ts, value)] and
-    carried = the (start_ts, start_value) pending after the batch
+    Deterministic event-order semantics (r7, the closed-horizon
+    contract that makes the converged output batching-independent and
+    therefore exactly SQL-expressible): every start's fate is a pure
+    function of the NEXT start-or-end event of the same key —
+      * next is an end  within the horizon -> emit ("matched", next_ts)
+      * next is a start within the horizon -> overwritten, no row
+      * next is beyond the horizon          -> emit ("timeout", s+T)
+        in-batch (the event proves the watermark will pass s+T; the
+        timer would emit the identical row between batches, so firing
+        early here makes the converged output order-independent)
+      * no next event in the batch          -> carried as pending; the
+        EventTimeTimeout timer decides between batches.
+    Rows not of start/end kind are ignored. Timestamps are int64
+    MICROSECONDS (full parquet precision — truncating to seconds made
+    the horizon compare diverge from a relational oracle). Returns
+    (rows, carried) with rows = [(s_us, e_us, status, value)] and
+    carried = the (start_us, start_value) pending after the batch
     (0, 0.0 when none)."""
     import numpy as np
 
+    sel = np.flatnonzero((kind_arr == start_kind) | (kind_arr == end_kind))
+    if sel.size == 0:
+        return [], (start_ts, start_value)
+    t = ts_arr[sel]
+    v = val_arr[sel]
+    is_start = kind_arr[sel] == start_kind
     out = []
-    start_pos = np.flatnonzero(kind_arr == start_kind)
-    end_pos = np.flatnonzero(kind_arr == end_kind)
-    if end_pos.size:
-        # pair each end with the last start POSITION before it via
-        # searchsorted, valid only when that start is after the
-        # previous end
-        j = np.searchsorted(start_pos, end_pos) - 1
-        prev_end = np.concatenate([np.asarray([-1], dtype=np.int64), end_pos[:-1]])
-        sp = start_pos[np.maximum(j, 0)] if start_pos.size else np.zeros(
-            end_pos.size, dtype=np.int64
-        )
-        has_batch = (j >= 0) & (start_pos.size > 0) & (sp > prev_end)
-        e_ts = ts_arr[end_pos]
-        s_ts = np.where(has_batch, ts_arr[sp], 0)
-        s_val = np.where(has_batch, val_arr[sp], 0.0)
-        # first end may instead consume the carried start
-        if not has_batch[0] and start_ts > 0:
-            s_ts[0], s_val[0] = start_ts, start_value
-            has_batch[0] = True
-        ok = has_batch & (e_ts - s_ts <= within_seconds)
+    # resolve the carried pending against the batch's first machine event
+    if start_ts > 0:
+        t0 = int(t[0])
+        if t0 - start_ts > within_us:
+            out.append((start_ts, start_ts + within_us, "timeout", start_value))
+        elif not is_start[0]:
+            out.append((start_ts, t0, "matched", start_value))
+        # else: an in-horizon start overwrites the carried one, no row
+    # every batch start except the last has its next event in-batch:
+    # classify all of them in one shot
+    idx = np.flatnonzero(is_start[:-1])
+    if idx.size:
+        s_t, s_v, n_t = t[idx], v[idx], t[idx + 1]
+        in_h = n_t - s_t <= within_us
+        matched = in_h & ~is_start[idx + 1]
+        timed_out = ~in_h
+        emit = matched | timed_out
+        e_t = np.where(matched, n_t, s_t + within_us)
+        status = np.where(matched, "matched", "timeout")
         out.extend(
-            (int(a), int(b), float(v)) for a, b, v in zip(s_ts[ok], e_ts[ok], s_val[ok])
+            (int(a), int(b), str(st), float(val))
+            for a, b, st, val, em in zip(s_t, e_t, status, s_v, emit)
+            if em
         )
-    # pending after the batch: last start after the last end
-    last_end = end_pos[-1] if end_pos.size else -1
-    tail = start_pos[start_pos > last_end]
-    if tail.size:
-        start_ts = int(ts_arr[tail[-1]])
-        start_value = float(val_arr[tail[-1]])
-    elif end_pos.size:
-        start_ts, start_value = 0, 0.0
-    return out, (start_ts, start_value)
+    # pending after the batch: only a trailing start can be undecided
+    if is_start[-1]:
+        return out, (int(t[-1]), float(v[-1]))
+    return out, (0, 0.0)
 
 
 def match_or_timeout(
@@ -490,39 +503,44 @@ def match_or_timeout(
     EventTimeTimeout + setTimeoutTimestamp IS Flink's
     registerEventTimeTimer: the timeout branch fires when the watermark
     passes start_ts + T, exactly like onTimer. Requires withWatermark
-    on the input stream."""
+    on the input stream.
+
+    Output timestamps are int64 MICROSECONDS. The converged output is
+    deterministic (batching-independent) — see _match_advance_batch —
+    so a bounded run admits an exact relational oracle: per start, the
+    LEAD start-or-end event within the horizon decides matched vs
+    overwritten; otherwise timeout, emitted iff (start+T) in ms floors
+    strictly below the achieved watermark (Spark fires event-time
+    timers on `timeoutTimestamp < watermark`, both ms-floored)."""
+    within_us = within_seconds * 1_000_000
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         out = []
         if state.hasTimedOut:
             start_ts, start_value = state.get
-            out.append((key[0], start_ts, start_ts + within_seconds, "timeout", start_value))
+            out.append((key[0], start_ts, start_ts + within_us, "timeout", start_value))
             state.remove()
         else:
             start_ts, start_value = state.get if state.exists else (0, 0.0)
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
-                pdf = pdf.sort_values(ts_col)
-                ts_arr = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+                # deterministic order: ts, then kind ascending (stable
+                # mergesort) so equal-ts start/end pairs always process
+                # end-first, mirroring the oracle's ORDER BY ts, kind
+                pdf = pdf.sort_values([ts_col, kind_col], kind="mergesort")
+                ts_arr = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
                 kind_arr = pdf[kind_col].to_numpy()
                 val_arr = pdf["value"].to_numpy(dtype="float64")
-                # vectorized alternating machine: an end event consumes
-                # the LAST start seen since the previous end (later
-                # starts overwrite earlier pending ones), emitting
-                # "matched" iff within the horizon — see
-                # _match_advance_batch (reference-pinned by tests)
                 rows, (start_ts, start_value) = _match_advance_batch(
                     ts_arr, kind_arr, val_arr,
-                    start_kind, end_kind, within_seconds,
+                    start_kind, end_kind, within_us,
                     start_ts, start_value,
                 )
-                out.extend(
-                    (key[0], a, b, "matched", v) for a, b, v in rows
-                )
+                out.extend((key[0], a, b, s, v) for a, b, s, v in rows)
             if start_ts > 0:
                 state.update((start_ts, start_value))
-                state.setTimeoutTimestamp((start_ts + within_seconds) * 1000)
+                state.setTimeoutTimestamp((start_ts + within_us) // 1000)
             else:
                 state.remove() if state.exists else None
         if out:

@@ -236,20 +236,26 @@ if HAVE_HYP:
 
 def _reference_match_machine(ts, kinds, vals, start_kind, end_kind, within, carried):
     """Event-at-a-time alternating start/end machine — the behavioral
-    spec for _match_advance_batch: a later start overwrites a pending
-    one; an end consumes the pending start, emitting iff within the
-    horizon (beyond-horizon ends consume silently; the timeout row is
-    the timer branch's job between batches)."""
+    spec for _match_advance_batch (r7 deterministic semantics): before
+    each start/end event, an overdue pending start (gap > within) emits
+    its timeout row in place of the timer; then a start overwrites the
+    pending one (no row) and an end consumes it as "matched". The fate
+    of every start is thus a pure function of the next start-or-end
+    event, which is what makes the converged operator output exactly
+    SQL-expressible."""
     start_ts, start_val = carried
     out = []
     for t, k, v in zip(ts, kinds, vals):
+        if k != start_kind and k != end_kind:
+            continue
+        if start_ts > 0 and t - start_ts > within:
+            out.append((start_ts, start_ts + within, "timeout", start_val))
+            start_ts, start_val = 0, 0.0
         if k == start_kind:
             start_ts, start_val = int(t), float(v)
-        elif k == end_kind:
-            if start_ts > 0:
-                if t - start_ts <= within:
-                    out.append((start_ts, int(t), start_val))
-                start_ts, start_val = 0, 0.0
+        elif start_ts > 0:
+            out.append((start_ts, int(t), "matched", start_val))
+            start_ts, start_val = 0, 0.0
     return out, (start_ts, start_val)
 
 

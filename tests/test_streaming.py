@@ -237,8 +237,9 @@ def test_match_or_timeout_streaming(spark, tmp_path):
         return match_or_timeout(wm, "user", "ts", "kind", "create", "pay", 900)
 
     got = {r.key: (r.status, r.start_ts) for r in run_stream(spark, src, q, "append").collect()}
-    assert got[1] == ("matched", base)
-    assert got[2] == ("timeout", base + 10)
+    # start_ts is reported in int64 microseconds (full parquet precision)
+    assert got[1] == ("matched", base * 1_000_000)
+    assert got[2] == ("timeout", (base + 10) * 1_000_000)
 
 
 def test_stream_stream_interval_join(spark, tmp_path):
