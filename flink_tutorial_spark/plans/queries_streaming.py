@@ -976,6 +976,121 @@ def streaming_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_adclick_blacklist",
+    oracle="""
+WITH c AS (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+           ts, event_id,
+           row_number() OVER (
+               PARTITION BY user_id,
+                            CAST(json_extract_string(props, '$.k') AS BIGINT),
+                            date_trunc('day', ts)
+               ORDER BY ts, event_id) AS rk
+    FROM events WHERE event_type = 'click'
+), wm AS (
+    -- the downstream window agg's watermark node sits on the MAIN
+    -- channel (post-filter), so closed windows follow max main-row ts
+    SELECT max(ts) AS w FROM c WHERE rk <= 1
+), main AS (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS wend,
+           item_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM c WHERE rk <= 1
+    GROUP BY 1, 2
+)
+SELECT 'main' AS channel, wend AS ts, item_id,
+       CAST(NULL AS BIGINT) AS user_id, cnt
+FROM main WHERE wend <= (SELECT w FROM wm)
+UNION ALL
+SELECT 'warning' AS channel, ts, item_id, user_id, CAST(NULL AS BIGINT) AS cnt
+FROM c WHERE rk = 2
+""",
+    tags=("streaming", "cep", "business", "side-output"),
+)
+def streaming_adclick_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-click blacklist LIVE with its side-output warning channel —
+    AdClickAnalysis.scala:39-123, the last flagship reference composite
+    that existed only as a batch query: a keyed stateful filter passes
+    each (user, ad, day)'s first MAX_CLICKS clicks, emits ONE warning
+    on the crossing click (OutputTag side output), suppresses the rest;
+    the surviving clicks then roll up in a tumbling 1-hour count per ad
+    (the reference's per-province window aggregate — this schema's ad
+    id is the dimension).
+
+    The MAIN path runs as a single live query with CHAINED stateful
+    operators — applyInPandasWithState -> re-watermark -> windowed agg
+    (Spark 3.5+/4.x multi-stateful support; the first chained-stateful
+    query in this catalog), exactly the topology the reference builds
+    with process() .keyBy() .window(). The WARNING channel is a second
+    live run of the same filter (one operator, two sinks needs
+    foreachBatch fan-out in production — sinks/foreach.py:370 — but two
+    independent live queries keep the catalog contract of one
+    DataFrame). Closed-horizon contract: window rows emit when the
+    watermark (max main-channel ts, since the watermark node sits after
+    the channel filter) passes the window end; warnings are plain
+    append rows, all emitted. The daily reset is the day key dimension;
+    state GC'd by EventTimeTimeout — see
+    streaming/stateful.blacklist_filter."""
+    from flink_tutorial_spark.streaming.stateful import blacklist_filter
+
+    MAX_CLICKS = 1
+
+    def filtered():
+        events = stream_table(spark, sf_dir, "events")
+        clicks = (
+            events.where(F.col("event_type") == "click")
+            .withColumn("item_id", F.get_json_object("props", "$.k").cast("long"))
+            .withColumn("day", F.date_trunc("day", F.col("ts")))
+            .withWatermark("ts", "0 seconds")
+        )
+        return blacklist_filter(
+            clicks, "user_id", "item_id", "ts", "day", MAX_CLICKS
+        )
+
+    agg = (
+        filtered()
+        .where(F.col("channel") == "main")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "item_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.lit("main").alias("channel"),
+            F.col("w.end").alias("ts"),
+            "item_id",
+            F.lit(None).cast("long").alias("user_id"),
+            "cnt",
+        )
+    )
+    # Spark's global-watermark correctness check conservatively rejects
+    # ANY timer-bearing fmgws upstream of a stateful op (a timer branch
+    # COULD emit rows older than the watermark). Ours provably cannot:
+    # the EventTimeTimeout branch only GCs state (state.remove(), no
+    # yield), and data-branch rows carry their input rows' timestamps,
+    # which passed the source watermark's late filter in the same
+    # micro-batch. Safe to disable for this one query start.
+    chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prev = spark.conf.get(chk)
+    spark.conf.set(chk, "false")
+    try:
+        main_rows = run_to_memory(agg, "append")
+    finally:
+        spark.conf.set(chk, prev)
+    warn_rows = run_to_memory(
+        filtered()
+        .where(F.col("channel") == "warning")
+        .select(
+            F.lit("warning").alias("channel"),
+            "ts",
+            "item_id",
+            "user_id",
+            F.lit(None).cast("long").alias("cnt"),
+        ),
+        "append",
+    )
+    return main_rows.unionByName(warn_rows)
+
+
+@query(
     "streaming_proctime_window",
     oracle=None,
     tags=(

@@ -765,3 +765,55 @@ def test_detect_sequence_optional_step(spark, tmp_path):
         )
     )
     assert got == [(1, 0, 10), (2, 0, 5), (2, 0, 15)]
+
+
+def test_blacklist_filter_daily_reset_and_side_output(spark, tmp_path):
+    """AdClickAnalysis.scala:85-123 semantics: first max_count clicks per
+    (user, ad, day) pass on the main channel, the crossing click emits
+    one warning, later clicks are suppressed (also across batches), and
+    the count resets on the next event-time day."""
+    from flink_tutorial_spark.streaming.stateful import blacklist_filter
+
+    src = str(tmp_path / "src")
+    d2 = 86_400
+    write_batches(
+        src,
+        [
+            [
+                _row(10, user=1, value=5.0),
+                _row(20, user=1, value=5.0),
+                _row(30, user=1, value=5.0),  # crossing -> warning
+                _row(40, user=1, value=5.0),  # suppressed
+                _row(15, user=2, value=5.0),  # other user unaffected
+            ],
+            [
+                _row(50, user=1, value=5.0),  # carried state -> suppressed
+                _row(d2 + 10, user=1, value=5.0),  # new day -> reset
+                _row(d2 + 20, user=1, value=5.0),
+                _row(d2 + 30, user=1, value=5.0),  # crossing again
+            ],
+        ],
+    )
+
+    def q(stream):
+        clicks = (
+            stream.withColumn("ad", F.col("value").cast("long"))
+            .withColumn("day", F.date_trunc("day", F.col("ts")))
+            .withWatermark("ts", "0 seconds")
+        )
+        return blacklist_filter(clicks, "user", "ad", "ts", "day", 2, order_col="value")
+
+    rows = run_stream(spark, src, q, "append").collect()
+    base = int(T0.timestamp())
+    got = sorted((r.channel, r.user_id, int(r.ts.timestamp()) - base) for r in rows)
+    assert got == sorted(
+        [
+            ("main", 1, 10),
+            ("main", 1, 20),
+            ("warning", 1, 30),
+            ("main", 2, 15),
+            ("main", 1, d2 + 10),
+            ("main", 1, d2 + 20),
+            ("warning", 1, d2 + 30),
+        ]
+    )
