@@ -268,31 +268,65 @@ def minhash_lsh_dedup(
     )
 
 
+#: auto-dispatch crossover for ngram_jaccard_pairs: switch to prefix
+#: filtering when the size-weighted mean shingle doc-frequency
+#: (sum(df^2)/sum(df) — the expected bucket size a shingle row lands
+#: in, i.e. blocked-join candidate rows per input row) exceeds this.
+#: Set from the r7 10x scale study (SCALING.md): blocked wins at
+#: avg_df ~2 (sf0.01), ties at ~10 (sf0.1: 2.08s vs 1.93s), loses
+#: 1.8x at ~90 (sf1: 29.5s vs 16.2s).
+PREFIX_DISPATCH_AVG_DF = 25.0
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    strategy: str | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, blocked on shared shingles.
+    """Exact n-gram Jaccard near-dup pairs. Returns
+    (doc_a, doc_b, jaccard) with jaccard = |A∩B| / (|A|+|B|-|A∩B|).
 
-    jaccard = |A∩B| / (|A|+|B|-|A∩B|); only pairs sharing >=1 shingle
-    are ever joined. Returns (doc_a, doc_b, jaccard).
+    Two physical strategies with identical output, chosen per-corpus
+    from shingle doc-frequency stats (strategy=None -> auto; "block" /
+    "prefix" force one — AQE-spirit: pick the plan from data stats, at
+    the cost of one small agg over the already-materialized table):
+
+    * "block": pairs sharing >=1 shingle via shingle self-join + pair
+      agg. Cost ~ sum(df^2) over shingles — optimal while shingle
+      doc-frequencies stay low (large vocabularies), catastrophic once
+      the shingle space saturates and every shingle is hot.
+    * "prefix": AllPairs prefix filtering (Bayardo et al., WWW'07,
+      "Scaling Up All Pairs Similarity Search"): index only each doc's
+      first |d| - ceil(t|d|) + 1 shingles in ascending global-frequency
+      order — any pair with J >= t provably shares a prefix shingle —
+      then score candidates exactly, map-side, with array_intersect on
+      per-doc sorted arrays after a min/max-size pigeonhole cut
+      (J <= min/max). Candidates come only from RARE shingles, so cost
+      stays near-linear even when the shingle space saturates.
+
+    r7 measurement (10x scale study, SCALING.md): on the 31-word-vocab
+    corpus the shingle space saturates (weighted avg df ~10 at sf0.1 ->
+    ~90 at sf1) and "block" went super-linear (exponent 1.2; 29.5s at
+    sf1); "prefix" runs 1.8x faster there (16.2s, exponent ~0.9) while
+    tying at sf0.1 (1.9s vs 2.1s) and losing at sf0.01 where bucket
+    sizes are tiny — hence the measured dispatch constant, replacing
+    r6's unconditional rejection of prefix filtering (measured at
+    sf0.1 only, where its verdict was borderline-correct and remains
+    so). Residual super-linearity under saturation is inherent to
+    EXACT all-pairs Jaccard — real corpora (open vocabularies) keep
+    avg df near-constant as they grow; a corpus that saturates belongs
+    on the minhash-LSH path (measured exponent 0.53) with this
+    operator as the per-candidate verifier.
 
     The shingle table is hashed to 60-bit ints (8-byte join keys and
     shuffle rows instead of ~20-char strings) and materialized to
-    scratch parquet ONCE — it feeds three plan branches (sizes + both
-    self-join sides) which would otherwise each recompute the full
-    split/transform/explode/distinct pipeline. The oracle hashes with
-    the identical md5 prefix, so even a (≈2^-61) hash collision yields
-    the same answer in both engines.
-
-    Measured rejection (r6): AllPairs-style prefix filtering (sorted
-    per-doc shingle arrays, prefix-explode candidate join, map-side
-    array_intersect scoring) produced identical pairs but ran 2.3x
-    SLOWER at sf0.1 (3.43s vs 1.50s) — collect_set + array overhead
-    exceeds the pair-agg it avoids while shingle frequencies stay low.
-    Revisit only if a corpus shows hot shared shingles."""
+    scratch parquet ONCE — it feeds every downstream branch, which
+    would otherwise each recompute the split/transform/explode/distinct
+    pipeline. The oracle hashes with the identical md5 prefix, so even
+    a (≈2^-61) hash collision yields the same answer in both engines.
+    The oracle is strategy-independent."""
     sh_raw = shingle_table(docs, id_col, text_col).select(
         F.col(id_col), md5_long(F.col("shingle")).alias("sh")
     )
@@ -300,19 +334,91 @@ def ngram_jaccard_pairs(
     sh_raw.write.mode("overwrite").parquet(scratch)
     sh = docs.sparkSession.read.parquet(scratch)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-    inter = (
-        a.join(b, ["sh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
+
+    if strategy is None:
+        stats = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .agg((F.sum(F.col("df") * F.col("df")) / F.sum("df")).alias("avg_df"))
+            .first()
+        )
+        strategy = (
+            "prefix"
+            if (stats["avg_df"] or 0.0) > PREFIX_DISPATCH_AVG_DF
+            else "block"
+        )
+
+    if strategy == "block":
+        a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+        b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+        inter = (
+            a.join(b, ["sh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
+                    "jaccard"
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    # prefix strategy. Prefix length |d| - ceil(t*|d|) + 1 with an
+    # epsilon guard so double rounding can only LENGTHEN the prefix
+    # (shorter would break the no-false-negative guarantee).
+    from pyspark.sql import Window
+
+    df_tab = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "sh")
+    pre = (
+        sh.join(df_tab, "sh")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+        )
+    )
+    cand = (
+        pre.select(F.col(id_col).alias("doc_a"), "sh")
+        .join(pre.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
+        # pigeonhole size cut: J <= min(|A|,|B|) / max(|A|,|B|)
+        .where(
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb") - F.lit(1e-9)
+        )
+    )
+    arr = sh.groupBy(id_col).agg(F.sort_array(F.collect_list("sh")).alias("arr"))
+    return (
+        cand.join(
+            arr.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("i"),
+            "na",
+            "nb",
+        )
         .select(
             "doc_a",
             "doc_b",

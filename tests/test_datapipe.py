@@ -343,3 +343,21 @@ def test_boilerplate_ratio_edges(spark):
     # are not -> ratio 5/8, dropped at 0.3
     for i in range(4):
         assert got[i] == (round(5 / 8, 4), False)
+
+
+def test_ngram_jaccard_strategies_identical(spark):
+    """The blocked self-join and the AllPairs prefix-filter strategy
+    (Bayardo et al., WWW'07) must produce the identical exact pair set;
+    auto-dispatch picks one of them from shingle df stats."""
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    block = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, strategy="block").collect())
+    )
+    prefix = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, strategy="prefix").collect())
+    )
+    auto = sorted(map(tuple, ngram_jaccard_pairs(docs).collect()))
+    assert block == prefix
+    assert auto == block
+    assert block, "sf0.01 should contain planted near-duplicates"

@@ -49,6 +49,12 @@ def main() -> None:
     label = sys.argv[2] if len(sys.argv) > 2 else os.path.basename(sf_dir.rstrip("/"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("scaling", cpus=cpus)
+    # single-file-per-table testdata caps scan parallelism at
+    # size/maxPartitionBytes tasks; lower it to emulate the many-file
+    # fan-out a real table would have (SPARK_GRAFT_MPB, e.g. "8m")
+    mpb = os.environ.get("SPARK_GRAFT_MPB")
+    if mpb:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
     warm_dir = "/root/testdata/sf0.001"
     for name in QUERIES:
         try:
