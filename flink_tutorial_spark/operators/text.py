@@ -272,3 +272,107 @@ def boilerplate_ratio(
             (ratio <= keep_below).alias("boiler_keep"),
         )
     )
+
+
+def sequence_packing(
+    docs: DataFrame,
+    seq_tokens: int = 512,
+    writers: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = ":pack:r7",
+) -> DataFrame:
+    """GPT-style concatenate-and-chunk sequence packing: shuffle docs
+    deterministically (salted content hash), concatenate each writer
+    partition's token stream, and cut it into fixed `seq_tokens`
+    training sequences. A doc belongs to the sequence where its span
+    STARTS (straddling docs split at the boundary — the standard
+    causal-LM packing rule); `seq_offset` is its start position inside
+    that sequence. Returns (doc_id, writer, n_tokens, seq_id,
+    seq_offset).
+
+    Scale shape: the cumulative token sum is a window per WRITER
+    partition (salted-hash assignment, `writers` ~ cluster write
+    width), never a global sort — the same no-single-partition rule as
+    datapipe_training_shards. One shuffle on writer; everything else is
+    map-side column math. Duplicate texts hash identically, so the
+    doc order (h, id) is still total and rerun-stable."""
+    from pyspark.sql import Window
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    h = md5_long(F.concat(F.col(text_col), F.lit(salt)))
+    d = docs.select(
+        F.col(id_col),
+        h.alias("h"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    ).withColumn("writer", F.pmod(F.col("h"), F.lit(writers)).cast("int"))
+    w = (
+        Window.partitionBy("writer")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        id_col,
+        "writer",
+        "n_tokens",
+        F.floor(start / seq_tokens).cast("long").alias("seq_id"),
+        F.pmod(start, F.lit(seq_tokens)).cast("long").alias("seq_offset"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf —
+    the per-doc keyword signal corpus explorers and topic-drift
+    monitors run over a training corpus.
+
+    tf = term count in doc; idf = ln((N + 1) / (df + 1)) + 1 (the
+    sklearn-style smoothed variant, safe for terms present in every
+    doc); score = tf * idf, rounded to 6 places before ranking so the
+    rank compare is engine-stable; ties break on term asc.
+
+    Scale shape: one explode -> two partial-aggregable groupBys
+    ((doc, term) counts, then term df) + a broadcast of the tiny df
+    table back onto (doc, term) rows, then one per-doc top-k window.
+    The window partitions by doc — millions of small partitions, the
+    scalable direction — never a global sort. N (doc count) rides in
+    as a 1-row broadcast crossJoin, not a driver collect."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

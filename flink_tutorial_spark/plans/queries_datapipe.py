@@ -1060,3 +1060,84 @@ def datapipe_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.when(h < 98, "train").when(h < 99, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "datapipe_sequence_packing",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           {_MD5_LONG.format(x="concat(text, ':pack:r7')")} AS h,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), t AS (
+    SELECT doc_id, CAST(h % 64 AS INT) AS writer,
+           CAST(n_tokens AS INT) AS n_tokens,
+           sum(n_tokens) OVER (PARTITION BY h % 64 ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+    FROM d
+)
+SELECT doc_id, writer, n_tokens,
+       CAST(start // 512 AS BIGINT) AS seq_id,
+       CAST(start % 512 AS BIGINT) AS seq_offset
+FROM t
+""",
+    tags=("datapipe", "packing"),
+)
+def datapipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-chunk packing of the corpus into fixed
+    512-token training sequences: docs shuffle deterministically by
+    salted content hash into 64 writer partitions, each writer's token
+    stream is concatenated in (hash, doc_id) order and cut every 512
+    tokens; a doc belongs to the sequence where its span starts, at
+    seq_offset within it (straddlers split at the boundary — the
+    standard causal-LM packing rule, and the last packing stage every
+    pretraining data pipeline runs before tensorization).
+
+    Scale shape: one shuffle on the writer key; the cumulative sum is a
+    window per WRITER (width ~ cluster write parallelism), never a
+    global sort — same no-single-partition rule as
+    datapipe_training_shards. Deterministic + rerun-stable: the (h,
+    doc_id) order is total even for duplicate texts.
+    See operators/text.sequence_packing."""
+    return T.sequence_packing(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM words WHERE term <> '' GROUP BY 1, 2
+), dft AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+           round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dft.df + 1)) + 1.0), 6)
+               AS tfidf
+    FROM tf JOIN dft USING (term), n
+), ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("datapipe", "text"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf
+    (sklearn-style idf = ln((N+1)/(df+1)) + 1): the per-doc keyword
+    signal for corpus exploration and topic-drift monitoring. Scores
+    round to 6 places BEFORE ranking (ties then break on term asc) so
+    the rank is engine-stable despite libm ulp differences.
+
+    Scale shape: explode -> two partial-aggregable groupBys + a
+    broadcast df-table join back + one per-doc top-k window (millions
+    of small partitions — the scalable direction; never a global
+    sort). N rides in as a 1-row broadcast crossJoin, no driver
+    collect. See operators/text.tfidf_top_terms."""
+    return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"))

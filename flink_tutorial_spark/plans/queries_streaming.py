@@ -15,6 +15,8 @@ machine).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1061,21 +1063,7 @@ def streaming_adclick_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    # Spark's global-watermark correctness check conservatively rejects
-    # ANY timer-bearing fmgws upstream of a stateful op (a timer branch
-    # COULD emit rows older than the watermark). Ours provably cannot:
-    # the EventTimeTimeout branch only GCs state (state.remove(), no
-    # yield), and data-branch rows carry their input rows' timestamps,
-    # which passed the source watermark's late filter in the same
-    # micro-batch. Safe to disable for this one query start.
-    chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    prev = spark.conf.get(chk)
-    spark.conf.set(chk, "false")
-    try:
-        main_rows = run_to_memory(agg, "append")
-    finally:
-        spark.conf.set(chk, prev)
-    warn_rows = run_to_memory(
+    warn = (
         filtered()
         .where(F.col("channel") == "warning")
         .select(
@@ -1084,10 +1072,46 @@ def streaming_adclick_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_id",
             "user_id",
             F.lit(None).cast("long").alias("cnt"),
-        ),
-        "append",
+        )
     )
-    return main_rows.unionByName(warn_rows)
+    # Spark's global-watermark correctness check conservatively rejects
+    # ANY timer-bearing fmgws upstream of a stateful op (a timer branch
+    # COULD emit rows older than the watermark). Ours provably cannot:
+    # the EventTimeTimeout branch only GCs state (state.remove(), no
+    # yield), and data-branch rows carry their input rows' timestamps,
+    # which passed the source watermark's late filter in the same
+    # micro-batch. Safe to disable for these query starts. The two
+    # pipelines run CONCURRENTLY (start both, then drain both): they
+    # are independent sinks of the same source, so wall time is
+    # max(main, warning), not the sum — the local stand-in for the
+    # production one-pass foreachBatch fan-out.
+    import uuid as _uuid
+
+    chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    shf = "spark.sql.shuffle.partitions"
+    prev_chk, prev_shf = spark.conf.get(chk), spark.conf.get(shf)
+    names = [f"mem_{_uuid.uuid4().hex[:12]}" for _ in range(2)]
+    spark.conf.set(chk, "false")
+    spark.conf.set(shf, os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    started = []
+    try:
+        for df, name in zip([agg, warn], names):
+            started.append(
+                df.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+    finally:
+        spark.conf.set(chk, prev_chk)
+        spark.conf.set(shf, prev_shf)
+    try:
+        for q in started:
+            q.processAllAvailable()
+    finally:
+        for q in started:
+            q.stop()
+    return spark.table(names[0]).unionByName(spark.table(names[1]))
 
 
 @query(
