@@ -7,10 +7,14 @@ Oracles exist wherever the streaming semantics are deterministic:
 - append-mode windows emit exactly the windows closed by the final
   watermark (watermark == max event ts with delay 0)
 - the count window processes one file-batch sorted by (ts) per key
+- timer-emitting operators (match_or_timeout, left-outer join,
+  blacklist) follow the closed-horizon contract: decide only rows whose
+  deadline/horizon falls under the achieved watermark; the oracle
+  filters identically.
 
-match_or_timeout keeps a rows-only check (state-overwrite semantics are
-arrival-order-dependent by design, same as the reference's state
-machine).
+The only remaining rows-only entry here is streaming_proctime_window
+(wall-clock bucketing is inherently nondeterministic vs any
+data-derived oracle).
 """
 
 from __future__ import annotations
@@ -1190,3 +1194,59 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality_keep") & (F.col("lang_pred") == "en")).alias("gate_keep"),
     )
     return run_to_memory(out, "append")
+
+
+@query(
+    "streaming_ingest_gate",
+    oracle="""
+WITH batch AS (
+    SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE doc_id % 10 = 9
+), corpus AS (
+    SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id % 10 <> 9
+), batch_canon AS (
+    SELECT fingerprint, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_in_batch
+    FROM batch GROUP BY fingerprint
+)
+SELECT b.doc_id, b.fingerprint, b.n_in_batch
+FROM batch_canon b LEFT JOIN corpus c USING (fingerprint)
+WHERE c.fingerprint IS NULL
+""",
+    tags=("streaming", "datapipe", "ingest"),
+)
+def streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest admission gate LIVE — the streaming twin
+    of datapipe_incremental_ingest, and the catalog's first
+    STREAM-STATIC join: arriving documents stream in, anti-join against
+    the static corpus fingerprint table map-side (the static side is
+    read per micro-batch, never shuffled into state — Spark's
+    stream-static joins are stateless by construction), then a
+    complete-mode aggregation canonicalizes duplicate arrivals to their
+    min-doc_id copy. Complete mode makes the converged snapshot
+    deterministic (min/count are arrival-order-free), so the oracle is
+    the batch query's, verbatim.
+
+    At scale the static side is a bucketed/Delta corpus table and the
+    complete-mode agg becomes update-mode + an idempotent keyed upsert
+    sink (sinks/foreach.KeyedUpsertSink) — complete mode here keeps the
+    bounded-run contract exact."""
+    from flink_tutorial_spark.session import load_table
+
+    incoming = stream_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 9
+    )
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 != 9)
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    gated = incoming.select("doc_id", F.md5("text").alias("fingerprint")).join(
+        corpus, "fingerprint", "left_anti"
+    )
+    admitted = gated.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_in_batch"),
+    )
+    return run_to_memory(admitted, "complete").select(
+        "doc_id", "fingerprint", "n_in_batch"
+    )

@@ -179,3 +179,19 @@ def test_aqe_skew_join_rewrite(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sequence_packing_no_global_sort(spark, sf_dir):
+    # the packing cumsum must window per WRITER partition — a global
+    # (single-partition) Sort/Window would serialize the corpus
+    plan = formatted_plan(spark, "datapipe_sequence_packing", sf_dir)
+    assert "SinglePartition" not in plan, plan[:800]
+    assert re.search(r"hashpartitioning\(writer", plan), plan[:800]
+
+
+def test_tfidf_df_table_joins_broadcast(spark, sf_dir):
+    # the term-df table and the 1-row doc count must broadcast; the only
+    # shuffles are the two partial-aggregable groupBys + the rank window
+    plan = formatted_plan(spark, "text_tfidf_top_terms", sf_dir)
+    assert plan.count("BroadcastExchange") >= 2, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
