@@ -376,3 +376,36 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def word_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (nats) — the
+    cheap perplexity proxy: low entropy marks repetitive/templated text
+    (spam, keyword stuffing, boilerplate) that token-count and
+    stopword-ratio rules miss; pairs with repetition_ratio as a
+    quality gate.
+
+    H = -sum_w (c_w/n) ln(c_w/n), computed ENTIRELY map-side with
+    array higher-order functions: distinct words per doc (<= vocab
+    size), each counted by one filter+size pass over the word array.
+    Zero shuffle at any corpus size — worst case O(distinct * n) per
+    row on bounded-length docs, still cheaper than an explode + two
+    aggregations round trip. Rounded to 6 places for engine parity;
+    empty docs score 0."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # -sum over distinct words of p*ln(p); acc is a running double
+    ent = F.aggregate(
+        F.array_distinct(words),
+        F.lit(0.0),
+        lambda acc, w: acc
+        - (F.size(F.filter(words, lambda x: x == w)) / n)
+        * F.log(F.size(F.filter(words, lambda x: x == w)) / n),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), 6).alias("word_entropy"),
+        n.alias("n_words"),
+    )

@@ -1141,3 +1141,84 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort). N rides in as a 1-row broadcast crossJoin, no driver
     collect. See operators/text.tfidf_top_terms."""
     return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_word_entropy",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), cnt AS (
+    SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+), tot AS (
+    SELECT doc_id, CAST(sum(c) AS INT) AS n FROM cnt GROUP BY 1
+)
+SELECT c.doc_id,
+       round(-sum((c.c::DOUBLE / t.n) * ln(c.c::DOUBLE / t.n)), 6)
+           AS word_entropy,
+       any_value(t.n) AS n_words
+FROM cnt c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id
+""",
+    tags=("datapipe", "text", "quality"),
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-distribution Shannon entropy (nats) — the cheap
+    perplexity proxy: low entropy marks repetitive/templated text that
+    token-count rules miss. The Spark side is ENTIRELY map-side (array
+    higher-order functions, zero shuffle at any corpus size) while the
+    relational statement of the same quantity needs an explode and two
+    aggregations — the oracle states that version. See
+    operators/text.word_entropy."""
+    return T.word_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "datapipe_source_overlap",
+    oracle=f"""
+WITH pairs AS ({SIMHASH_PAIRS_ORACLE}),
+lab AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS near_dup_pairs
+FROM pairs p
+JOIN lab sa ON sa.doc_id = p.doc_a
+JOIN lab sb ON sb.doc_id = p.doc_b
+WHERE sa.source <> sb.source
+GROUP BY 1, 2
+""",
+    tags=("datapipe", "dedup", "governance"),
+)
+def datapipe_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many NEAR-DUPLICATE document pairs (simhash hamming <= 3, the
+    dedup_simhash_pairs candidate engine) span the two — the
+    corpus-governance dashboard behind mix decisions: two crawls of the
+    same site, a dataset repackaged under a new name, shared templates
+    leaking across providers. Near-dup rather than exact-dup keys keep
+    the signal when copies differ by a header or a timestamp.
+
+    Scale shape: inherits the banded-LSH candidate join (never
+    all-pairs) from simhash_near_dup, then a broadcast-sized label join
+    (doc -> source) and a groupBy bounded by |sources|^2. The label
+    join key is doc_id — the same key the pair table already carries —
+    and the final matrix is tiny at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup(docs)
+    lab = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            lab.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            lab.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("near_dup_pairs"))
+    )
