@@ -1250,3 +1250,98 @@ def streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(admitted, "complete").select(
         "doc_id", "fingerprint", "n_in_batch"
     )
+
+
+@query(
+    "streaming_full_outer_join",
+    oracle="""
+WITH s AS (SELECT * FROM events WHERE event_type = 'signup'),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     wm AS (SELECT least((SELECT max(ts) FROM s), (SELECT max(ts) FROM p)) AS w)
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       coalesce(s.user_id, p.user_id) AS user_id,
+       CASE WHEN s.event_id IS NULL THEN 'unmatched-purchase'
+            WHEN p.event_id IS NULL THEN 'unmatched-signup'
+            ELSE 'matched' END AS match_status
+FROM s FULL JOIN p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 15 MINUTE, wm
+WHERE CASE
+        WHEN s.event_id IS NULL THEN p.ts < wm.w
+        ELSE s.ts + INTERVAL 15 MINUTE < wm.w
+      END
+""",
+    tags=("streaming", "join", "outer"),
+)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TxMatch LIVE — TxMatch.scala:41-113 as the reference runs it: two
+    unbounded keyed streams CoProcessed with ValueState + timers,
+    emitting matched pairs plus unmatched-signup / unmatched-purchase
+    side outputs. Spark's native FULL OUTER stream-stream join IS that
+    state machine: each side buffers under its watermark bound; a row
+    whose match horizon closes without a partner emits null-padded —
+    completing the live join family (inner r3, leftOuter r6, fullOuter
+    r7).
+
+    Determinism contract (closed horizon, both directions): a SIGNUP's
+    fate closes when the watermark passes s_ts + 15min (its last
+    possible partner); a PURCHASE's when the watermark passes p_ts (its
+    partners satisfy s_ts <= p_ts). The oracle filters each CASE
+    identically against the achieved watermark (min of the two sides'
+    max event times, delay 0). Matched rows inside the horizon emit by
+    the trailing batch; everything outside is undecided on a bounded
+    run and excluded from both sides of the compare. State per side is
+    bounded by the 15-min interval width."""
+    events = stream_table(spark, sf_dir, "events")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "0 seconds")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    j = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 15 MINUTES")),
+        "fullOuter",
+    )
+    got = run_to_memory(j, "append")
+    from flink_tutorial_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bound = (
+        ev.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "signup", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("wm")
+        )
+        .first()["wm"]
+    )
+    return got.where(
+        F.when(F.col("signup_id").isNull(), F.col("p_ts") < F.lit(bound)).otherwise(
+            F.col("s_ts") + F.expr("INTERVAL 15 MINUTES") < F.lit(bound)
+        )
+    ).select(
+        "signup_id",
+        "purchase_id",
+        F.coalesce("s_user", "p_user").alias("user_id"),
+        F.when(F.col("signup_id").isNull(), "unmatched-purchase")
+        .when(F.col("purchase_id").isNull(), "unmatched-signup")
+        .otherwise("matched")
+        .alias("match_status"),
+    )
