@@ -1345,3 +1345,65 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("matched")
         .alias("match_status"),
     )
+
+
+@query(
+    "streaming_session_dynamic_gap",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN event_type = 'error' THEN 600 ELSE 1800 END AS gap_s
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, gap_s,
+           CASE WHEN max(ts + gap_s * INTERVAL 1 SECOND) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts >= max(ts + gap_s * INTERVAL 1 SECOND) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_session
+    FROM g
+), sessioned AS (
+    SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts + gap_s * INTERVAL 1 SECOND) AS session_end,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM sessioned
+GROUP BY user_id, session_id
+HAVING max(ts + gap_s * INTERVAL 1 SECOND) <= (SELECT max(ts) FROM events)
+""",
+    tags=("streaming", "window", "session"),
+)
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows LIVE — ProcessingTimeSessionWindow
+    Demo.java:43 withDynamicGap(e -> ...) run as the reference means
+    it, on an unbounded stream: each event proposes its own merge gap
+    (10 min for errors, 30 min otherwise), Spark's native
+    session_window(ts, gap_expr) merges overlapping [ts, ts+gap)
+    spans in streaming state, and a session emits when the watermark
+    passes its end (append mode). Same closed-window contract as
+    streaming_session_window; the oracle is the batch interval-merge
+    restricted to sessions whose end closed under the final
+    watermark."""
+    events = stream_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "10 minutes").otherwise(
+        "30 minutes"
+    )
+    agg = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+    return run_to_memory(agg, "append")
