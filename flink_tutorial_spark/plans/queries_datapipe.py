@@ -1165,11 +1165,10 @@ GROUP BY c.doc_id
 def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc word-distribution Shannon entropy (nats) — the cheap
     perplexity proxy: low entropy marks repetitive/templated text that
-    token-count rules miss. The Spark side is ENTIRELY map-side (array
-    higher-order functions, zero shuffle at any corpus size) while the
-    relational statement of the same quantity needs an explode and two
-    aggregations — the oracle states that version. See
-    operators/text.word_entropy."""
+    token-count rules miss. explode -> two partial-aggregable
+    key-bounded shuffles; a zero-shuffle array-expression variant was
+    measured ~5x slower and rejected (see operators/text.word_entropy
+    for the numbers)."""
     return T.word_entropy(load_table(spark, sf_dir, "documents"))
 
 
