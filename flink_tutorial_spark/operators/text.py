@@ -408,3 +408,120 @@ def word_entropy(
         ).alias("word_entropy"),
         n.cast("int").alias("n_words"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    MLE bigram model — the classic cheap LM-based quality signal
+    (KenLM-style scoring with the corpus as its own training set):
+    docs full of rare transitions (garbled text, wrong-language
+    fragments, shuffled words) score low; templated text scores high.
+    Complements word_entropy (within-doc) with a CROSS-doc signal.
+
+    P(w2|w1) = c(w1,w2) / c(w1·), both counted over bigram positions
+    corpus-wide; score = sum over the doc's bigram instances of
+    ln P, divided by the instance count, rounded to 6 (engine-stable
+    like word_entropy). Instances aggregate per (doc, w1, w2) FIRST so
+    the float sum has one term per distinct transition — the oracle
+    mirrors that exact shape, keeping summation structure identical.
+
+    Scale shape: bigrams come from a zip of two array slices (no join,
+    no window — one projection per doc), then two partial-aggregable
+    groupBys build the count tables. Real-corpus bigram vocabularies
+    (~1e7 rows) broadcast comfortably; beyond that the joins degrade
+    gracefully to shuffle joins on (w1, w2) — still key-bounded."""
+    ws = F.split(F.col(text_col), " ")
+    pairs = (
+        docs.select(
+            F.col(id_col),
+            F.slice(ws, 1, F.size(ws) - 1).alias("wa"),
+            F.slice(ws, 2, F.size(ws) - 1).alias("wb"),
+        )
+        .select(F.col(id_col), F.explode(F.arrays_zip("wa", "wb")).alias("bg"))
+        .select(F.col(id_col), F.col("bg.wa").alias("w1"), F.col("bg.wb").alias("w2"))
+    )
+    tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        tf.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("c12") / F.col("c1")))
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document (paragraph-granularity) dedup: split each doc into
+    consecutive ``chunk_words``-word chunks and keep only each chunk's
+    global FIRST occurrence (lexicographic (doc_id, chunk_idx) min) —
+    the corpus-wide "remove duplicated paragraphs" pass that exact
+    whole-doc dedup misses and boilerplate_ratio only scores. Emits
+    per-doc retention stats; a doc whose text survives mostly intact
+    retains ~1.0, a doc assembled from already-seen chunks drops
+    toward 0.
+
+    Scale shape: one explode (~n_words/chunk_words rows per doc), one
+    groupBy(chunk-hash) min-agg for ownership — count and first-owner
+    ride the same shuffle via min(struct) — then a broadcast-free
+    join-back on the hash and a per-doc re-agg. Both shuffles are
+    partial-aggregable; chunk ownership is exactly the exact-dedup
+    fingerprint pattern one level down, so it scales identically."""
+    ws = F.split(F.col(text_col), " ")
+    chunks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int") - 1,
+                    ),
+                    lambda i: F.struct(
+                        i.alias("chunk_idx"),
+                        F.array_join(
+                            F.slice(ws, i * chunk_words + 1, chunk_words), " "
+                        ).alias("chunk"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(F.col(id_col), F.col("c.chunk_idx"), md5_long(F.col("c.chunk")).alias("ch"))
+    )
+    owners = chunks.groupBy("ch").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("own"),
+        F.count("*").alias("n_copies"),
+    )
+    return (
+        chunks.join(owners, "ch")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(
+                (
+                    (F.col(f"own.{id_col}") == F.col(id_col))
+                    & (F.col("own.chunk_idx") == F.col("chunk_idx"))
+                ).cast("long")
+            ).alias("n_kept"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_chunks"), 4).alias("retained_ratio"),
+        )
+    )

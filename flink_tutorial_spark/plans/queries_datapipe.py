@@ -1221,3 +1221,212 @@ def datapipe_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("near_dup_pairs"))
     )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bgz AS (
+    SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg FROM t
+), bg AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bgz),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(sum(tf * ln(c12::DOUBLE / c1)) / sum(tf), 6) AS avg_logprob
+FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+""",
+    tags=("datapipe", "text", "quality"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM score per document (mean ln
+    P(w2|w1), MLE counts) — the cheap KenLM-style cross-doc quality
+    signal; pairs with word_entropy's within-doc view."""
+    return T.bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_chunk_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (
+    SELECT doc_id, ws,
+           unnest(range(0, CAST(ceil(len(ws) / 8.0) AS INT))) AS chunk_idx
+    FROM t
+), ch AS (
+    SELECT doc_id, chunk_idx,
+           {_MD5_LONG.format(x="array_to_string(ws[(chunk_idx*8+1):(chunk_idx*8+8)], ' ')")} AS chh
+    FROM idx
+), own AS (
+    SELECT doc_id, chunk_idx,
+           row_number() OVER (PARTITION BY chh ORDER BY doc_id, chunk_idx) AS rn
+    FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+           AS retained_ratio
+FROM own GROUP BY doc_id
+""",
+    tags=("datapipe", "dedup", "text"),
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity dedup: consecutive 8-word chunks, keep each
+    chunk's global first occurrence; per-doc retained ratio."""
+    return T.chunk_dedup(load_table(spark, sf_dir, "documents"), chunk_words=8)
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({MINHASH_ORACLE}) mh
+), e AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), walk(n, m) AS (
+    SELECT s, s FROM e
+    UNION
+    SELECT e.d, w.m FROM walk w JOIN e ON e.s = w.n
+), comp AS (
+    SELECT n AS doc_id, min(m) AS component_id FROM walk GROUP BY n
+), q AS (
+    SELECT d.doc_id,
+           CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+           round(len(list_distinct(string_split(d.text, ' ')))::DOUBLE
+                 / len(string_split(d.text, ' ')), 4) AS uniq_ratio
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+), r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY component_id
+                              ORDER BY uniq_ratio DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY component_id) AS nm
+    FROM q
+)
+SELECT component_id, doc_id AS keep_id, uniq_ratio,
+       CAST(nm AS BIGINT) AS n_members
+FROM r WHERE rk = 1
+""",
+    tags=("datapipe", "dedup", "pipeline"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup DECISION: MinHash-LSH pairs ->
+    connected components -> keep the best-quality member per cluster
+    (uniq-ratio desc, doc_id asc tie-break; singletons keep
+    themselves). This is the step real pipelines run after pair
+    generation — not "keep lowest id" but "keep the best copy"
+    (quality-ranked representative selection).
+
+    Scale shape: the pair graph and CC are the existing shuffle-bounded
+    operators; representative selection adds one window over
+    component_id — millions of tiny partitions, the scalable direction.
+    The left join against the full corpus re-attaches singleton docs
+    without materializing them into the CC loop."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, threshold=0.5, max_band_freq=MINHASH_BAND_CAP
+    )
+    comp = D.dedup_components(pairs)
+    ws = F.split(F.col("text"), " ")
+    q = (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+            F.round(
+                F.size(F.array_distinct(ws)) / F.size(ws), 4
+            ).alias("uniq_ratio"),
+        )
+    )
+    w = Window.partitionBy("component_id")
+    wr = w.orderBy(F.desc("uniq_ratio"), F.asc("doc_id"))
+    return (
+        q.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_members", F.count("*").over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_id"),
+            "uniq_ratio",
+            "n_members",
+        )
+    )
+
+
+@query(
+    "dedup_semantic",
+    oracle="""
+WITH RECURSIVE scored AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS c
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+), rk AS (
+    SELECT *, row_number() OVER (PARTITION BY va ORDER BY c DESC, vb) AS rn
+    FROM scored
+), pairs AS (
+    SELECT va AS s, vb AS d FROM rk WHERE rn = 1 AND c >= 0.4
+), e AS (
+    SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+), walk(n, m) AS (
+    SELECT s, s FROM e
+    UNION
+    SELECT e.d, w.m FROM walk w JOIN e ON e.s = w.n
+), comp AS (
+    SELECT n AS vec_id, min(m) AS component_id FROM walk GROUP BY n
+)
+SELECT v.vec_id,
+       CAST(coalesce(c.component_id, v.vec_id) AS BIGINT) AS component_id,
+       CAST(count(*) OVER (
+           PARTITION BY coalesce(c.component_id, v.vec_id)) AS BIGINT)
+           AS n_members,
+       v.vec_id = coalesce(c.component_id, v.vec_id) AS keep
+FROM embeddings v LEFT JOIN comp c USING (vec_id)
+""",
+    tags=("datapipe", "dedup", "similarity"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: mutual/top-1-NN
+    graph (IVF-blocked exact NN per vector, edge kept iff rounded
+    cosine >= 0.4) -> connected components -> keep the cluster minimum
+    (every other member is a semantic duplicate candidate). The 0.4
+    threshold is data-calibrated: the synthetic corpus plants no tight
+    embedding dups (max pairwise cosine ~0.51), so the knee of the NN
+    distribution is the meaningful cut; a production corpus would use
+    ~0.95+.
+
+    Scale shape: NN candidates come from the vector's IVF cell
+    (`label`), one shuffle + per-bucket BLAS matmul (bucketed_nn), CC
+    is the shared label-propagation operator; at 100 TB the same plan
+    holds with kmeans-assigned cells (embedding_kmeans_assign) and a
+    hot-cell cap — never all-pairs across cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = S.bucketed_nn(emb, bucket_col="label")
+    edges = nn.where(F.col("cosine") >= 0.4).select(
+        F.col("vec_id").alias("doc_a"), F.col("nn_id").alias("doc_b")
+    )
+    comp = D.dedup_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
+    from pyspark.sql import Window
+
+    out = emb.select("vec_id").join(comp, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("component_id"), F.col("vec_id")).alias("component_id"),
+    )
+    w = Window.partitionBy("component_id")
+    return out.select(
+        "vec_id",
+        "component_id",
+        F.count("*").over(w).alias("n_members"),
+        (F.col("vec_id") == F.col("component_id")).alias("keep"),
+    )

@@ -1407,3 +1407,59 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_to_memory(agg, "append")
+
+
+@query(
+    "streaming_channel_stats",
+    oracle="""
+WITH c AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS channel,
+           event_type AS behavior, ts
+    FROM events
+), starts AS (
+    SELECT unnest(generate_series(
+        (SELECT date_trunc('hour', min(ts)) - INTERVAL 1 HOUR FROM c),
+        (SELECT date_trunc('hour', max(ts)) FROM c),
+        INTERVAL 1 HOUR)) AS window_start
+), closed AS (
+    SELECT window_start FROM starts
+    WHERE window_start + INTERVAL 2 HOUR <= (SELECT max(ts) FROM c)
+)
+SELECT s.window_start, c.channel, c.behavior,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM c JOIN closed s
+  ON c.ts >= s.window_start AND c.ts < s.window_start + INTERVAL 2 HOUR
+GROUP BY 1, 2, 3
+""",
+    tags=("streaming", "window", "business"),
+)
+def streaming_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App-market stats by (channel, behavior) LIVE — the reference's
+    AppMarketByChannel composite (AppMarketByChannel.scala:36-93:
+    sliding timeWindow counts keyed on channel+behavior) run as an
+    unbounded stream: sliding 2h/1h event-time windows in append mode;
+    a window emits when the watermark passes its end. Channel derives
+    from the event's app id (props.k % 5), behavior is the event type —
+    the same composite key the reference builds in its
+    MarketUserBehavior bean. The oracle enumerates exactly the windows
+    closed by the final watermark (end <= max ts).
+
+    Scale shape: partial-aggregable keyed window count — state is one
+    counter per (window, channel, behavior), eviction by watermark;
+    the 8-partition stream-shuffle policy applies (BASELINE.md)."""
+    events = stream_table(spark, sf_dir, "events")
+    stream = events.select(
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+        F.col("event_type").alias("behavior"),
+        "ts",
+    ).withWatermark("ts", "0 seconds")
+    agg = (
+        stream.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "channel", "behavior"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"), "channel", "behavior", "cnt"
+        )
+    )
+    return run_to_memory(agg, "append")
