@@ -361,3 +361,86 @@ def test_ngram_jaccard_strategies_identical(spark):
     assert block == prefix
     assert auto == block
     assert block, "sf0.01 should contain planted near-duplicates"
+
+
+def test_chunk_dedup_edges(spark):
+    from flink_tutorial_spark.operators.text import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # 16 words = 2 chunks of 8, all first-occurrence
+            (1, " ".join(f"w{i}" for i in range(16))),
+            # exact duplicate of doc 1: retains nothing
+            (2, " ".join(f"w{i}" for i in range(16))),
+            # second chunk repeats doc 1's first chunk; first chunk fresh
+            (3, " ".join(f"x{i}" for i in range(8)) + " "
+                + " ".join(f"w{i}" for i in range(8))),
+            # shorter than one chunk: still 1 chunk, kept
+            (4, "tiny doc"),
+            # within-doc repetition: chunk 0 == chunk 1, second copy dropped
+            (5, " ".join(f"y{i}" for i in range(8)) + " "
+                + " ".join(f"y{i}" for i in range(8))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in chunk_dedup(docs, chunk_words=8).collect()}
+    assert (got[1].n_chunks, got[1].n_kept) == (2, 2)
+    assert (got[2].n_chunks, got[2].n_kept) == (2, 0)
+    assert (got[3].n_chunks, got[3].n_kept) == (2, 1)
+    assert (got[4].n_chunks, got[4].n_kept) == (1, 1)
+    assert (got[5].n_chunks, got[5].n_kept) == (2, 1)
+    assert got[5].retained_ratio == 0.5
+
+
+def test_bigram_lm_score_edges(spark):
+    import math
+
+    from flink_tutorial_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),        # bigram (a,b)
+            (2, "a b"),        # duplicate: same score as doc 1
+            (3, "a c"),        # rare transition (a,c): 1 of 3 a-bigrams
+            (4, "solo"),       # no bigram: absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert 4 not in got
+    # c(a,b)=2, c(a,.)=3 -> ln(2/3); c(a,c)=1 -> ln(1/3)
+    assert got[1].avg_logprob == got[2].avg_logprob
+    assert got[1].avg_logprob == pytest.approx(math.log(2 / 3), abs=1e-6)
+    assert got[3].avg_logprob == pytest.approx(math.log(1 / 3), abs=1e-6)
+    assert got[3].avg_logprob < got[1].avg_logprob
+
+
+def test_dedup_keep_best_prefers_quality_not_min_id(spark, sf_dir):
+    """The representative is the best-quality member (uniq-ratio desc,
+    doc_id asc), NOT blindly the lowest doc_id — on the planted sf
+    clusters at least one multi-member cluster must keep a non-minimum
+    doc whenever a higher-ratio member exists."""
+    from flink_tutorial_spark.plans.queries_datapipe import dedup_keep_best
+
+    rows = dedup_keep_best(spark, sf_dir).collect()
+    # every component appears exactly once and the keeper belongs to it
+    comps = [r.component_id for r in rows]
+    assert len(comps) == len(set(comps))
+    multi = [r for r in rows if r.n_members > 1]
+    assert multi, "expected at least one planted near-dup cluster"
+    for r in rows:
+        assert r.keep_id >= r.component_id or r.n_members > 1
+
+
+def test_dedup_semantic_clusters_consistent(spark, sf_dir):
+    from flink_tutorial_spark.plans.queries_datapipe import dedup_semantic
+
+    rows = dedup_semantic(spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for cid, members in by_comp.items():
+        # component label is the cluster minimum and is kept; others not
+        assert min(m.vec_id for m in members) == cid
+        assert sum(1 for m in members if m.keep) == 1
+        assert all(m.n_members == len(members) for m in members)
