@@ -525,3 +525,45 @@ def chunk_dedup(
             F.round(F.col("n_kept") / F.col("n_chunks"), 4).alias("retained_ratio"),
         )
     )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """First BPE-training iteration over the corpus: count adjacent
+    character pairs inside words (weighted by corpus word frequency)
+    and rank the top-k merge candidates — the step a tokenizer-training
+    pipeline runs before anything else, and the aggregation shape every
+    subsequent merge round repeats.
+
+    Scale shape: word-frequency table first (one partial-aggregable
+    groupBy; vocabulary-bounded, NOT corpus-bounded), then pairs
+    explode off the DISTINCT vocabulary — corpus size only enters
+    through the integer weights, so a 100 TB corpus pays the same
+    pair-explode as a 100 GB one. The final rank sorts the pair table
+    (alphabet^2-bounded, tiny) — a global sort of a bounded relation,
+    not of data. Ties break on pair asc; counts are exact integers."""
+    from pyspark.sql import Window
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wf").cast("long").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("pair", "freq", "rank")
+    )

@@ -1430,3 +1430,132 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_members"),
         (F.col("vec_id") == F.col("component_id")).alias("keep"),
     )
+
+
+@query(
+    "text_bpe_merges",
+    oracle="""
+WITH w AS (
+    SELECT word, count(*) AS wf
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE len(word) >= 2
+    GROUP BY word
+), p AS (
+    SELECT substr(word, i, 2) AS pair, wf
+    FROM (SELECT word, wf, unnest(range(1, len(word))) AS i FROM w)
+), agg AS (
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS freq FROM p GROUP BY pair
+)
+SELECT pair, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, pair) AS INT) AS rank
+FROM agg
+QUALIFY rank <= 20
+""",
+    tags=("datapipe", "text", "tokenizer"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (adjacent char-pair counts weighted
+    by word frequency) — the first tokenizer-training iteration run
+    corpus-wide; the aggregation shape every later merge repeats."""
+    return T.bpe_merge_candidates(load_table(spark, sf_dir, "documents"), k=20)
+
+
+_ANN_BUCKET = """CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END)
+              + (CASE WHEN embedding[33] > 0 THEN 16 ELSE 0 END)
+              + (CASE WHEN embedding[41] > 0 THEN 32 ELSE 0 END)
+              + (CASE WHEN embedding[49] > 0 THEN 64 ELSE 0 END)
+              + (CASE WHEN embedding[57] > 0 THEN 128 ELSE 0 END) AS INT)"""
+
+
+@query(
+    "similarity_ann_recall",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_ANN_BUCKET} AS bucket FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+    FROM b WHERE vec_id < 20
+), exact AS (
+    SELECT query_id, neighbor_id AS exact_nn FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+                       DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q WHERE q.query_id <> e.vec_id
+    ) WHERE rn = 1
+), ann AS (
+    SELECT query_id, neighbor_id AS ann_nn FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+                       DESC, e.vec_id) AS rn
+        FROM b e JOIN q ON e.bucket = q.bucket WHERE q.query_id <> e.vec_id
+    ) WHERE rn = 1
+), probes AS (
+    SELECT DISTINCT q.query_id, q.qv, xor(q.bucket, m) AS bucket
+    FROM q, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS t(m)
+), mp AS (
+    SELECT query_id, neighbor_id AS probe1_nn FROM (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                   round(list_cosine_similarity(p.qv, e.embedding::DOUBLE[]), 6)
+                       DESC, e.vec_id) AS rn
+        FROM b e JOIN probes p ON e.bucket = p.bucket
+        WHERE p.query_id <> e.vec_id
+    ) WHERE rn = 1
+)
+SELECT x.query_id, x.exact_nn, a.ann_nn, m.probe1_nn,
+       coalesce(a.ann_nn = x.exact_nn, FALSE) AS ann_hit,
+       coalesce(m.probe1_nn = x.exact_nn, FALSE) AS probe1_hit
+FROM exact x
+LEFT JOIN ann a USING (query_id)
+LEFT JOIN mp m USING (query_id)
+""",
+    tags=("datapipe", "similarity", "evaluation"),
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall measurement — the evaluation op a pipeline runs
+    before trusting an approximate index: per query, does the sign-LSH
+    top-1 (single-probe, and hamming-1 multi-probe) agree with the
+    exact brute-force top-1? Measured here, recall is the tuning dial
+    the SCALING notes reason about: multi-probe recovers neighbors a
+    single flipped sign bit loses, for (1 + nbits)x the candidate
+    reads.
+
+    Scale shape: the query side is a bounded sample (20 vecs) by
+    contract — exact ground truth via broadcast brute-force is
+    query-bounded, never corpus x corpus; both ANN paths are
+    co-partitioned bucket equi-joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = (
+        S.brute_force_topk(emb, q, k=1)
+        .select("query_id", F.col("neighbor_id").alias("exact_nn"))
+    )
+    ann = (
+        S.lsh_topk(emb, q, k=1)
+        .select("query_id", F.col("neighbor_id").alias("ann_nn"))
+    )
+    mp = (
+        S.lsh_topk(emb, q, k=1, probe_radius=1)
+        .select("query_id", F.col("neighbor_id").alias("probe1_nn"))
+    )
+    return (
+        exact.join(ann, "query_id", "left")
+        .join(mp, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_nn",
+            "ann_nn",
+            "probe1_nn",
+            F.coalesce(
+                F.col("ann_nn") == F.col("exact_nn"), F.lit(False)
+            ).alias("ann_hit"),
+            F.coalesce(
+                F.col("probe1_nn") == F.col("exact_nn"), F.lit(False)
+            ).alias("probe1_hit"),
+        )
+    )
