@@ -195,3 +195,38 @@ def test_tfidf_df_table_joins_broadcast(spark, sf_dir):
     plan = formatted_plan(spark, "text_tfidf_top_terms", sf_dir)
     assert plan.count("BroadcastExchange") >= 2, plan[:800]
     assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_bigram_lm_count_tables_broadcast(spark, sf_dir):
+    # the c12/c1 probability tables must broadcast onto the per-doc
+    # transition rows; no sort-merge join anywhere in the plan
+    plan = formatted_plan(spark, "text_bigram_lm", sf_dir)
+    assert plan.count("BroadcastExchange") >= 2, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "BatchEvalPython" not in plan, plan[:800]
+
+
+def test_chunk_dedup_stays_jvm_side(spark, sf_dir):
+    # chunk explode + ownership min-agg + join-back: all JVM expressions
+    plan = formatted_plan(spark, "text_chunk_dedup", sf_dir)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert "ArrowEvalPython" not in plan, plan[:800]
+
+
+def test_bpe_merges_aggregates_off_vocab(spark, sf_dir):
+    # pair counts explode off the DISTINCT vocabulary (post-aggregation),
+    # never the raw corpus: the explode generator must sit above the
+    # word-frequency HashAggregate, and everything stays JVM-side
+    plan = formatted_plan(spark, "text_bpe_merges", sf_dir)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    import re as _re
+
+    nodes = [
+        _re.match(r"\s*\(\d+\) (\w+)", line).group(1)
+        for line in plan.splitlines()
+        if _re.match(r"\s*\(\d+\) \w+", line)
+    ]
+    gens = [i for i, n in enumerate(nodes) if n == "Generate"]
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    assert len(gens) >= 2, nodes
+    assert min(aggs) < gens[1], nodes  # pair explode sits above the vocab agg

@@ -39,6 +39,13 @@ QUERIES = [
     "embedding_kmeans_assign",
 ]
 
+# SPARK_GRAFT_SCALE_QUERIES overrides the set (comma-separated names) —
+# used to extend the study to newly-added operators without re-timing
+# the whole list.
+_env_queries = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _env_queries:
+    QUERIES = [n.strip() for n in _env_queries.split(",") if n.strip()]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
