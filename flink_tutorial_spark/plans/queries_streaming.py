@@ -1463,3 +1463,57 @@ def streaming_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "append")
+
+
+@query(
+    "streaming_uv_daily",
+    oracle="""
+WITH days AS (
+    SELECT unnest(generate_series(
+        (SELECT date_trunc('day', min(ts)) FROM events),
+        (SELECT date_trunc('day', max(ts)) FROM events),
+        INTERVAL 1 DAY)) AS day_start
+), closed AS (
+    SELECT day_start FROM days
+    WHERE day_start + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+)
+SELECT c.day_start,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS uv,
+       CAST(count(*) AS BIGINT) AS pv
+FROM events e JOIN closed c
+  ON e.ts >= c.day_start AND e.ts < c.day_start + INTERVAL 1 DAY
+GROUP BY 1
+""",
+    tags=("streaming", "dedup", "agg", "business"),
+)
+def streaming_uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily unique visitors LIVE — the reference's UvCount composite
+    (scala/.../demo/networkflow/UvCount.scala: keyed-by-day window +
+    per-window distinct-user set state) as an unbounded stream.
+    Streaming aggs can't take count(DISTINCT), so the plan is the
+    canonical two-stage chain: exact per-(day, user) first-arrival agg,
+    then the per-day count — BOTH as one continuous append-mode
+    pipeline (the stateful dedup stage feeding a second stateful agg
+    downstream), a chain shape no other live catalog query covers. PV
+    rides the first stage as a sum. A day emits when the watermark
+    passes its end; the oracle restricts to days closed under max ts.
+
+    Scale shape: stage-1 state is one row per (day, user) inside the
+    watermark horizon (the same bound Flink's HashSet-per-window pays);
+    stage-2 state is one counter per day. Both keyed shuffles are
+    partial-aggregable; eviction is by watermark on the window column."""
+    events = stream_table(spark, sf_dir, "events")
+    per_user = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    daily = (
+        per_user.groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("uv"),
+            F.sum("n").cast("long").alias("pv"),
+        )
+        .select(F.col("w.start").alias("day_start"), "uv", "pv")
+    )
+    return run_to_memory(daily, "append")
