@@ -504,7 +504,6 @@ def chunk_dedup(
     )
     owners = chunks.groupBy("ch").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("own"),
-        F.count("*").alias("n_copies"),
     )
     return (
         chunks.join(owners, "ch")
