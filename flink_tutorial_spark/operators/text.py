@@ -566,3 +566,62 @@ def bpe_merge_candidates(
         .where(F.col("rank") <= k)
         .select("pair", "freq", "rank")
     )
+
+
+def mixed_lang_detect(
+    docs: DataFrame,
+    chunk_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document language-mixing detector: run the lang_id
+    marker heuristic per consecutive ``chunk_words``-word chunk instead
+    of per document, and flag docs whose chunks disagree — the cleaning
+    signal whole-doc language-ID misses (bilingual pages, foreign
+    boilerplate wrapped around native text, code-switched forums).
+    mix_ratio is the minority-chunk share (0 = monolingual, 0.5 =
+    half/half).
+
+    Scale shape: one explode (n_words/chunk_words rows per doc) with
+    the per-chunk ratio computed INSIDE the explode as pure array
+    expressions (no second pass over words), then one partial-aggregable
+    per-doc groupBy. Same chunk frame as chunk_dedup, so a pipeline
+    computing both shares the shuffle-free chunking."""
+    ws = F.split(F.col(text_col), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    chunks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int") - 1,
+                ),
+                lambda i: F.slice(ws, i * chunk_words + 1, chunk_words),
+            )
+        ).alias("cw"),
+    ).select(
+        F.col(id_col),
+        (
+            F.size(F.filter(F.col("cw"), lambda w: F.array_contains(stop_arr, w)))
+            / F.size("cw")
+            >= 0.05
+        ).alias("chunk_en"),
+    )
+    agg = chunks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("chunk_en").cast("long")).alias("n_en"),
+    )
+    return agg.select(
+        id_col,
+        "n_chunks",
+        "n_en",
+        F.round(
+            F.least(F.col("n_en"), F.col("n_chunks") - F.col("n_en"))
+            / F.col("n_chunks"),
+            4,
+        ).alias("mix_ratio"),
+        (
+            (F.col("n_en") > 0) & (F.col("n_en") < F.col("n_chunks"))
+        ).alias("is_mixed"),
+    )

@@ -1559,3 +1559,37 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("probe1_hit"),
         )
     )
+
+
+@query(
+    "text_mixed_lang",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (
+    SELECT doc_id, ws,
+           unnest(range(0, CAST(ceil(len(ws) / 8.0) AS INT))) AS ci
+    FROM t
+), ch AS (
+    SELECT doc_id,
+           (len(list_filter(ws[(ci*8+1):(ci*8+8)],
+                w -> list_contains(['the','a','is','of','and'], w)))::DOUBLE
+             / len(ws[(ci*8+1):(ci*8+8)])) >= 0.05 AS chunk_en
+    FROM idx
+), agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN chunk_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+    FROM ch GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, n_en,
+       round(least(n_en, n_chunks - n_en)::DOUBLE / n_chunks, 4) AS mix_ratio,
+       (n_en > 0 AND n_en < n_chunks) AS is_mixed
+FROM agg
+""",
+    tags=("datapipe", "text", "quality"),
+)
+def text_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc language mixing: lang_id's marker heuristic per
+    8-word chunk; flags docs whose chunks disagree (the signal
+    whole-doc language ID misses)."""
+    return T.mixed_lang_detect(load_table(spark, sf_dir, "documents"), chunk_words=8)
