@@ -444,3 +444,24 @@ def test_dedup_semantic_clusters_consistent(spark, sf_dir):
         assert min(m.vec_id for m in members) == cid
         assert sum(1 for m in members if m.keep) == 1
         assert all(m.n_members == len(members) for m in members)
+
+
+def test_mixed_lang_detect_edges(spark):
+    from flink_tutorial_spark.operators.text import mixed_lang_detect
+
+    en8 = "the a is of and the a is"          # marker-dense chunk
+    xx8 = "zz yy xx ww vv uu tt ss"           # marker-free chunk
+    docs = spark.createDataFrame(
+        [
+            (1, en8 + " " + en8),   # monolingual en: 2/2 en chunks
+            (2, xx8 + " " + xx8),   # monolingual unknown: 0/2
+            (3, en8 + " " + xx8),   # half/half: mixed, ratio 0.5
+            (4, en8),               # single chunk: never mixed
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in mixed_lang_detect(docs, chunk_words=8).collect()}
+    assert (got[1].n_en, got[1].is_mixed) == (2, False)
+    assert (got[2].n_en, got[2].is_mixed) == (0, False)
+    assert (got[3].n_en, got[3].is_mixed, got[3].mix_ratio) == (1, True, 0.5)
+    assert (got[4].n_chunks, got[4].is_mixed) == (1, False)
