@@ -1593,3 +1593,116 @@ def text_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-word chunk; flags docs whose chunks disagree (the signal
     whole-doc language ID misses)."""
     return T.mixed_lang_detect(load_table(spark, sf_dir, "documents"), chunk_words=8)
+
+
+_NDI_MATCHES = " + ".join(
+    f"(CASE WHEN sa.m{s} = sb.m{s} THEN 1 ELSE 0 END)" for s in range(D.N_MINHASH)
+)
+_NDI_BANDS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band, md5(concat_ws(':', m{2 * b}, m{2 * b + 1})) AS bh FROM sig"
+    for b in range(D.N_BANDS)
+)
+
+
+@query(
+    "datapipe_neardup_ingest",
+    oracle=f"""
+WITH {_SHINGLES},
+hashed AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS x
+    FROM sh
+), sig AS (
+    SELECT doc_id,
+       {_SIG_COLS}
+    FROM hashed GROUP BY doc_id
+), bands AS (
+{_NDI_BANDS}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS bdoc, b.doc_id AS cdoc
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+    WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+), ver AS (
+    SELECT bdoc, cdoc
+    FROM cand
+    JOIN sig sa ON sa.doc_id = bdoc
+    JOIN sig sb ON sb.doc_id = cdoc
+    WHERE ({_NDI_MATCHES}) >= {D.N_MINHASH // 2}
+), m AS (
+    SELECT bdoc, CAST(count(*) AS BIGINT) AS n FROM ver GROUP BY 1
+)
+SELECT d.doc_id, coalesce(m.n, 0) AS n_near_dup, m.bdoc IS NULL AS admitted
+FROM documents d LEFT JOIN m ON m.bdoc = d.doc_id
+WHERE d.doc_id % 10 = 9
+""",
+    tags=("datapipe", "dedup", "ingest"),
+)
+def datapipe_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup incremental ingest admission — the production extension
+    of datapipe_incremental_ingest's exact gate: a new batch document
+    (doc_id % 10 = 9, same split convention) is admitted only if no
+    EXISTING corpus doc collides with it in any MinHash band AND
+    matches >= half its minhash members (est Jaccard >= 0.5). This is
+    the gate a real crawl ingest runs: exact fingerprints catch
+    re-crawls, but only near-dup admission catches the re-rendered /
+    lightly-edited copies.
+
+    Scale shape: signatures are computed ONCE over the union (one
+    shingle pass, one groupBy) and materialized to scratch; the band
+    join is batch-side x corpus-side on (band, band-hash) — candidates
+    only, never batch x corpus; the verify join re-reads the
+    materialized signature table. The hot-band guard
+    (D._drop_hot_buckets) applies unchanged if a boilerplate band
+    saturates. Corpus side in production is the stored signature table
+    (computed at its own ingest) — amortized, not recomputed."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs)
+    sig_raw = D.minhash_signatures(sh)
+    scratch = D._scratch_dir() + "/ndi_sig"
+    sig_raw.write.mode("overwrite").parquet(scratch)
+    sig = spark.read.parquet(scratch)
+
+    rows = D.N_MINHASH // D.N_BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(":", *[F.col(f"m{b * rows + r}") for r in range(rows)])
+        )
+        for b in range(D.N_BANDS)
+    ]
+    bt = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bh")
+    )
+    is_batch = F.col("doc_id") % 10 == 9
+    cand = (
+        bt.where(is_batch)
+        .select(F.col("doc_id").alias("bdoc"), "band", "bh")
+        .join(
+            bt.where(~is_batch).select(
+                F.col("doc_id").alias("cdoc"), "band", "bh"
+            ),
+            ["band", "bh"],
+        )
+        .select("bdoc", "cdoc")
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"sa.m{s}") == F.col(f"sb.m{s}"), 1).otherwise(0)
+        for s in range(D.N_MINHASH)
+    )
+    ver = (
+        cand.join(sig.alias("sa"), F.col("bdoc") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("cdoc") == F.col("sb.doc_id"))
+        .where(matches >= D.N_MINHASH // 2)
+        .groupBy("bdoc")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        docs.where(is_batch)
+        .select("doc_id")
+        .join(ver, F.col("doc_id") == F.col("bdoc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_near_dup"),
+            F.col("bdoc").isNull().alias("admitted"),
+        )
+    )
