@@ -348,3 +348,74 @@ def login_fail_streak3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts3").alias("first_fail_ts"),
         F.col("ts").alias("last_fail_ts"),
     )
+
+
+@query(
+    "uv_kmv_distinct",
+    oracle="""
+WITH h AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day,
+           CAST(concat('0x', substr(md5(concat(user_id, ':kmv')), 1, 15))
+               AS BIGINT) AS hv
+    FROM events WHERE event_type = 'view'
+), r AS (
+    SELECT day, hv,
+           row_number() OVER (PARTITION BY day ORDER BY hv) AS rk,
+           count(*) OVER (PARTITION BY day) AS n_exact
+    FROM h
+)
+SELECT day,
+       CAST(n_exact AS BIGINT) AS uv_exact,
+       CAST(CASE WHEN n_exact < 64 THEN n_exact
+            ELSE floor(63.0 * 1152921504606846976 / hv) END AS BIGINT)
+           AS uv_kmv
+FROM r WHERE rk = 64 OR (rk = n_exact AND n_exact < 64)
+""",
+    tags=("business", "approx", "sketch"),
+)
+def uv_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate daily UV via a KMV (k-minimum-values, k=64) sketch —
+    the DETERMINISTIC portable alternative to HLL: both engines compute
+    the same 60-bit md5 hashes, the same k-th minimum is an exact
+    integer, and the estimate (k-1) * 2^60 / kth_min is one correctly-
+    rounded IEEE divide — so unlike uv_approx_distinct (HLL, rows-only
+    by design) this sketch is bit-identical cross-engine and carries an
+    exact oracle. Standard error ~1/sqrt(k-1) ~ 13%; days with fewer
+    than k distinct users fall back to the exact count (the sketch is
+    exact below k by construction).
+
+    Scale shape: this catalog form shares the distinct-(day, hash)
+    shuffle with the exact path (which is why uv_exact rides along for
+    free as the error reference); the production win is KMV's merge
+    algebra — per-partition/per-hour k-min sets union-merge into
+    global/daily sketches (an Arrow UDAF holding k longs), which HLL
+    shares but portable determinism is what HLL can't give."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    events = load_table(spark, sf_dir, "events")
+
+    K = 64
+    hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
+    h = (
+        events.where(F.col("event_type") == "view")
+        .select(F.date_trunc("day", "ts").alias("day"), hv.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("day")
+    r = h.select(
+        "day",
+        "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rk"),
+        F.count("*").over(w).alias("n_exact"),
+    )
+    kth = (F.col("rk") == K) | ((F.col("rk") == F.col("n_exact")) & (F.col("n_exact") < K))
+    return r.where(kth).select(
+        "day",
+        F.col("n_exact").cast("long").alias("uv_exact"),
+        F.when(F.col("n_exact") < K, F.col("n_exact"))
+        .otherwise(
+            F.floor(F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.col("hv"))
+        )
+        .cast("long")
+        .alias("uv_kmv"),
+    )
