@@ -45,13 +45,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-def _driver_checked() -> set[str]:
+def _driver_checked() -> list[str]:
     """Names already driver-confirmed in past rounds (CORRECTNESS_r*.json).
 
     The external correctness driver samples the first N queries() entries in
     iteration order, so we surface never-checked queries first to rotate hard
     coverage across the whole catalog (each round converts ~50 more names
-    into bit-exact CORRECTNESS rows).
+    into bit-exact CORRECTNESS rows). The file is the union of names across
+    all CORRECTNESS_r*.json files, ordered STALEST-FIRST (ascending by the
+    last round each name was checked), so after every query has been checked
+    once, the driver's sample re-verifies the greens that have gone longest
+    without a re-check.
     """
     import json
     import os
@@ -59,15 +63,20 @@ def _driver_checked() -> set[str]:
     path = os.path.join(os.path.dirname(__file__), "driver_checked.json")
     try:
         with open(path) as f:
-            return set(json.load(f))
+            return list(json.load(f))
     except (OSError, ValueError):
-        return set()
+        return []
 
 
 def _rotated_names() -> list[str]:
     checked = _driver_checked()
+    checked_set = set(checked)
     names = list(REGISTRY)
-    return [n for n in names if n not in checked] + [n for n in names if n in checked]
+    # Never-checked first (registry order), then checked in stalest-first
+    # order as recorded in driver_checked.json.
+    return [n for n in names if n not in checked_set] + [
+        n for n in checked if n in REGISTRY
+    ]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
