@@ -70,19 +70,55 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Noise self-adjudication (VERDICT r7 #1): twice (r5, r7) a driver bench
+    # run showed 2-8x phantom regressions from box contention that cost a
+    # round of judge-side re-measurement. The artifact now carries enough
+    # signal to discount a contaminated run mechanically:
+    #   - `runs`: RAW per-run times for every query (not just the min), so a
+    #     one-off stall is visible as [8.1, 1.2] instead of hiding in a min.
+    #   - `canary`: a cheap fixed query (keyed_sum) re-run before the sweep
+    #     and after every ~10 queries; its drift band measures box noise
+    #     DURING the run, independent of any code change.
+    #   - `noise_flag`: true iff any canary rerun exceeds 2x the canary's own
+    #     min — the mechanical "this run is contaminated" bit.
+    CANARY = "keyed_sum"
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        materialize(plans.REGISTRY[name].fn(spark, SF_DIR))
+        return time.perf_counter() - t0
+
+    canary_times: list[float] = []
+
+    def tick_canary() -> None:
+        if CANARY in plans.REGISTRY:
+            canary_times.append(round(run_once(CANARY), 3))
+
     # full-catalog timing (VERDICT r1 #10): headliners get best-of-2 (the
     # comparable-to-baseline number); the rest run once so regressions
     # anywhere in the catalog are visible round-over-round.
     times: dict[str, float] = {}
-    for name in catalog:
-        spec = plans.REGISTRY[name]
+    raw_runs: dict[str, list[float]] = {}
+    # Untimed canary warm-up: the very first execution at SF_DIR pays
+    # first-call codegen/shuffle-setup cost that is NOT box noise; without
+    # this the opening canary tick false-positives the noise_flag.
+    if CANARY in plans.REGISTRY:
+        run_once(CANARY)
+    tick_canary()
+    for i, name in enumerate(catalog):
         runs = 2 if name in HEADLINE else 1
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            materialize(spec.fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        raw = [round(run_once(name), 3) for _ in range(runs)]
+        raw_runs[name] = raw
+        times[name] = min(raw)
+        if (i + 1) % 10 == 0:
+            tick_canary()
+    tick_canary()
+
+    canary_min = min(canary_times) if canary_times else 0.0
+    canary_max_ratio = (
+        round(max(canary_times) / canary_min, 2) if canary_min > 0 else 1.0
+    )
+    noise_flag = bool(canary_min > 0 and max(canary_times) > 2 * canary_min)
 
     headline_total = round(sum(times[n] for n in HEADLINE), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -94,6 +130,14 @@ def main() -> None:
         "catalog_total_sec": round(sum(times.values()), 3),
         "n_queries": len(times),
         "sf": float(sf),
+        "runs": raw_runs,
+        "canary": {
+            "query": CANARY,
+            "times": canary_times,
+            "min": canary_min,
+            "max_ratio": canary_max_ratio,
+        },
+        "noise_flag": noise_flag,
     }
     # Full per-query map: persisted to a file (committed each round) and
     # printed on a NON-final line for human logs.
@@ -116,6 +160,9 @@ def main() -> None:
     # `queries` here is the HEADLINE subset only; n_queries/catalog_total_sec
     # still describe the full catalog, whose complete map is in
     # BENCH_FULL_local.json. n_headline_queries makes the trim explicit.
+    # Raw per-run times stay in the full artifact only; canary + noise_flag
+    # (small, and the load-bearing noise signal) stay on the final line.
+    summary.pop("runs", None)
     summary["queries"] = {n: times[n] for n in HEADLINE if n in times}
     summary["n_headline_queries"] = len(summary["queries"])
     line = json.dumps(summary, separators=(",", ":"))

@@ -625,3 +625,94 @@ def mixed_lang_detect(
             (F.col("n_en") > 0) & (F.col("n_en") < F.col("n_chunks"))
         ).alias("is_mixed"),
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    gram_words: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" operator): slide a
+    ``gram_words``-token window over every document at EVERY alignment,
+    keep each gram's global first occurrence ((doc_id, pos) min), and
+    report per doc how much of its text sits inside duplicated spans —
+    the signal real pipelines use to cut 50-token repeated substrings
+    that chunk_dedup's fixed-alignment chunks (text.py chunk_dedup)
+    structurally miss. removed_tokens is the exact length of the UNION
+    of the duplicated gram intervals (overlapping dup grams are not
+    double-counted), computed with one lead() per doc — never a
+    suffix-array global sort.
+
+    Scale shape: one explode with the gram hash computed map-side
+    inside the array transform (rows ~ tokens, no words-array
+    duplication after the explode), one groupBy(hash) min-agg for
+    ownership, a join-back on the hash, and two per-doc aggs that share
+    the doc_id shuffle. Hash work is O(tokens * gram_words) characters
+    — the price of an exact cross-engine anchor (md5); a production
+    deployment swaps in a rolling polynomial hash for O(tokens) with
+    the identical plan shape. Every shuffle is partial-aggregable or
+    key-bounded; nothing is ever globally sorted."""
+    L = gram_words
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), ws.alias("ws"), F.size(ws).alias("n_tokens"))
+    grams = (
+        base.where(F.col("n_tokens") >= L)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - L),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        md5_long(
+                            F.array_join(F.slice(F.col("ws"), i + 1, L), " ")
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(F.col(id_col), F.col("g.pos"), F.col("g.h"))
+    )
+    owners = grams.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("own")
+    )
+    j = grams.join(owners, "h").select(
+        F.col(id_col),
+        "pos",
+        (
+            (F.col(f"own.{id_col}") != F.col(id_col))
+            | (F.col("own.pos") != F.col("pos"))
+        ).alias("is_dup"),
+    )
+    stats = j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_grams"),
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        j.where("is_dup")
+        .withColumn("nxt", F.lead("pos").over(wd))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.least(F.lit(L).cast("long"), F.coalesce(F.col("nxt") - F.col("pos"), F.lit(L).cast("long")))
+            ).alias("removed_tokens")
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(stats, id_col, "left")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long"),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("removed_tokens", F.lit(0)).cast("long").alias("removed_tokens"),
+            F.round(
+                F.coalesce("removed_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("removed_ratio"),
+        )
+    )
