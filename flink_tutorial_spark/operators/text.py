@@ -654,6 +654,8 @@ def substring_dedup(
     deployment swaps in a rolling polynomial hash for O(tokens) with
     the identical plan shape. Every shuffle is partial-aggregable or
     key-bounded; nothing is ever globally sorted."""
+    from pyspark.sql import Window
+
     L = gram_words
     ws = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col), ws.alias("ws"), F.size(ws).alias("n_tokens"))

@@ -1706,3 +1706,55 @@ def datapipe_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bdoc").isNull().alias("admitted"),
         )
     )
+
+
+@query(
+    "text_substring_dedup",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), g AS (
+    SELECT doc_id, CAST(p.pos AS BIGINT) AS pos,
+           {_MD5_LONG.format(x="array_to_string(ws[(CAST(p.pos AS INT)+1):(CAST(p.pos AS INT)+20)], ' ')")} AS h
+    FROM t, unnest(range(0, greatest(n_tokens - 19, 0))) AS p(pos)
+), own AS (
+    SELECT doc_id, pos, h,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM g
+), stats AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+    FROM own GROUP BY doc_id
+), d AS (
+    SELECT doc_id, pos,
+           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM own WHERE rn > 1
+), cov AS (
+    SELECT doc_id,
+           CAST(sum(least(20, coalesce(nxt - pos, 20))) AS BIGINT)
+               AS removed_tokens
+    FROM d GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(c.removed_tokens, 0) AS removed_tokens,
+       round(coalesce(c.removed_tokens, 0)::DOUBLE / t.n_tokens, 4)
+           AS removed_ratio
+FROM t LEFT JOIN stats s USING (doc_id) LEFT JOIN cov c USING (doc_id)
+""",
+    tags=("datapipe", "dedup", "text"),
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level (any-alignment 20-gram) dedup with
+    per-doc removed-span ratio — the Lee-et-al "dedup duplicated
+    substrings" operator (VERDICT r7 #3). 20 tokens here because the
+    synthetic docs median 56 words; the operator defaults to the
+    paper's 50."""
+    return T.substring_dedup(
+        load_table(spark, sf_dir, "documents"), gram_words=20
+    )
