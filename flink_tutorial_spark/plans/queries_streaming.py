@@ -1517,3 +1517,89 @@ def streaming_uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("day_start"), "uv", "pv")
     )
     return run_to_memory(daily, "append")
+
+
+@query(
+    "streaming_uv_kmv",
+    oracle="""
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+h AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day_start,
+           CAST(concat('0x', substr(md5(concat(user_id, ':kmv')), 1, 15))
+               AS BIGINT) AS hv
+    FROM v
+), r AS (
+    SELECT day_start, hv,
+           row_number() OVER (PARTITION BY day_start ORDER BY hv) AS rk,
+           count(*) OVER (PARTITION BY day_start) AS n_exact
+    FROM h
+)
+SELECT day_start,
+       CAST(n_exact AS BIGINT) AS uv_exact,
+       CAST(CASE WHEN n_exact < 64 THEN n_exact
+            ELSE floor(63.0 * 1152921504606846976 / hv) END AS BIGINT)
+           AS uv_kmv
+FROM r
+WHERE (rk = 64 OR (rk = n_exact AND n_exact < 64))
+  AND day_start + INTERVAL 1 DAY <= (SELECT max(ts) FROM v)
+""",
+    tags=("streaming", "approx", "sketch", "dedup"),
+)
+def streaming_uv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily UV via a sharded KMV sketch LIVE (VERDICT r7 #5) — the
+    approximate sibling of streaming_uv_daily with an EXACT oracle: KMV
+    over a deterministic md5 hash space is the sketch that CAN be
+    oracle-checked live (unlike HLL, whose estimator is engine-private
+    — the reference's UV-with-bloom, UniqueVisitorWithBloom.scala:
+    50-120, is exactly this shape with a non-checkable bloom filter).
+
+    The pipeline is a THREE-stage chained stateful streaming plan — the
+    deepest chain in the catalog: (1) dedup groupBy(window, shard, hv),
+    (2) per-(window, shard) k-minimum sketch (sorted k-slice of the
+    shard's distinct hashes + exact shard count), (3) per-window
+    merge-and-re-truncate of <= S*k rows plus the additive exact count.
+    A day emits when the watermark passes its end; the oracle restricts
+    to closed days.
+
+    Scale shape: stage-1 state is one row per (day, shard, hash) inside
+    the watermark horizon — the same bound streaming_uv_daily pays for
+    (day, user); stage-2 state per (day, shard) is the shard's distinct
+    hash list (production swaps the collect_list for a bounded k-min
+    accumulator UDAF; the merge algebra and plan shape are identical);
+    stage-3 touches <= S*k = 1024 longs per day. Sharding bounds the
+    per-key sort and parallelizes the sketch build S-fold."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    K, S = 64, 16
+    events = stream_table(spark, sf_dir, "events")
+    hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
+    stream = (
+        events.where(F.col("event_type") == "view")
+        .select("ts", hv.alias("hv"))
+        .withColumn("shard", F.pmod("hv", F.lit(S)))
+        .withWatermark("ts", "0 seconds")
+    )
+    dedup = stream.groupBy(
+        F.window("ts", "1 day").alias("w"), "shard", "hv"
+    ).agg(F.count("*").alias("n"))
+    shard_sketch = dedup.groupBy("w", "shard").agg(
+        F.slice(F.array_sort(F.collect_list("hv")), 1, K).alias("kmins"),
+        F.count("*").alias("shard_n"),
+    )
+    merged = shard_sketch.groupBy("w").agg(
+        F.array_sort(F.flatten(F.collect_list("kmins"))).alias("merged"),
+        F.sum("shard_n").alias("n_exact"),
+    )
+    out = merged.select(
+        F.col("w.start").alias("day_start"),
+        F.col("n_exact").cast("long").alias("uv_exact"),
+        F.when(F.col("n_exact") < K, F.col("n_exact"))
+        .otherwise(
+            F.floor(
+                F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.element_at("merged", K)
+            )
+        )
+        .cast("long")
+        .alias("uv_kmv"),
+    )
+    return run_to_memory(out, "append")
