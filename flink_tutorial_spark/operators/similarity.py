@@ -143,7 +143,12 @@ def bucketed_nn(
     No driver collect, no corpus broadcast. Ties break on lowest
     neighbor id after round(6), matching the SQL oracle's
     (cosine DESC, nn_id ASC) ordering. Singleton buckets emit nothing
-    (no candidate), same as the relational twin."""
+    (no candidate), same as the relational twin.
+
+    NULL buckets are dropped (un-bucketed vectors have no candidate
+    set by definition): Spark's groupBy would otherwise pool all NULL
+    keys into ONE candidate group while a SQL equi-join on the bucket
+    drops them — a silent cross-engine divergence (ADVICE r7)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -174,6 +179,7 @@ def bucketed_nn(
 
     return (
         vectors.select(F.col(id_col), F.col(vec_col), F.col(bucket_col))
+        .where(F.col(bucket_col).isNotNull())
         .groupBy(bucket_col)
         .applyInPandas(nn, schema)
     )

@@ -411,7 +411,10 @@ def word_entropy(
 
 
 def bigram_lm_score(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under the corpus's own
     MLE bigram model — the classic cheap LM-based quality signal
@@ -429,9 +432,13 @@ def bigram_lm_score(
 
     Scale shape: bigrams come from a zip of two array slices (no join,
     no window — one projection per doc), then two partial-aggregable
-    groupBys build the count tables. Real-corpus bigram vocabularies
-    (~1e7 rows) broadcast comfortably; beyond that the joins degrade
-    gracefully to shuffle joins on (w1, w2) — still key-bounded."""
+    groupBys build the count tables. ``broadcast_counts=True`` (default)
+    FORCES the c12/c1 joins to broadcast — F.broadcast is an
+    unconditional hint, honored regardless of size, right for bigram
+    vocabularies up to ~1e7 rows. Beyond that (open-vocabulary web
+    corpora) a forced broadcast would OOM: pass ``broadcast_counts=
+    False`` to get shuffle joins on (w1, w2) — still key-bounded
+    (ADVICE r7: the fallback is a caller decision, not automatic)."""
     ws = F.split(F.col(text_col), " ")
     pairs = (
         docs.select(
@@ -445,9 +452,10 @@ def bigram_lm_score(
     tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))
     c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    hint = F.broadcast if broadcast_counts else (lambda df: df)
     return (
-        tf.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        tf.join(hint(c12), ["w1", "w2"])
+        .join(hint(c1), "w1")
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_bigrams"),

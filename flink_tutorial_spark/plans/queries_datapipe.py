@@ -1326,9 +1326,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     component_id — millions of tiny partitions, the scalable direction.
     The left join against the full corpus re-attaches singleton docs
     without materializing them into the CC loop."""
+    return keep_best_representatives(load_table(spark, sf_dir, "documents"))
+
+
+def keep_best_representatives(docs: DataFrame) -> DataFrame:
+    """The dedup_keep_best pipeline over an arbitrary documents frame
+    (doc_id, text) — factored out so edge tests can plant a cluster
+    where the best-quality member is NOT the lowest doc_id."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(
         docs, threshold=0.5, max_band_freq=MINHASH_BAND_CAP
     )

@@ -415,21 +415,37 @@ def test_bigram_lm_score_edges(spark):
     assert got[3].avg_logprob < got[1].avg_logprob
 
 
-def test_dedup_keep_best_prefers_quality_not_min_id(spark, sf_dir):
+def test_dedup_keep_best_prefers_quality_not_min_id(spark):
     """The representative is the best-quality member (uniq-ratio desc,
-    doc_id asc), NOT blindly the lowest doc_id — on the planted sf
-    clusters at least one multi-member cluster must keep a non-minimum
-    doc whenever a higher-ratio member exists."""
-    from flink_tutorial_spark.plans.queries_datapipe import dedup_keep_best
+    doc_id asc), NOT blindly the lowest doc_id: plant a 2-doc near-dup
+    cluster where the HIGHER doc_id has the higher uniq ratio and
+    assert it wins (ADVICE r7 — the previous sf-data form of this test
+    was vacuous)."""
+    from flink_tutorial_spark.plans.queries_datapipe import (
+        keep_best_representatives,
+    )
 
-    rows = dedup_keep_best(spark, sf_dir).collect()
-    # every component appears exactly once and the keeper belongs to it
-    comps = [r.component_id for r in rows]
-    assert len(comps) == len(set(comps))
-    multi = [r for r in rows if r.n_members > 1]
-    assert multi, "expected at least one planted near-dup cluster"
-    for r in rows:
-        assert r.keep_id >= r.component_id or r.n_members > 1
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: base + a repeated prefix -> uniq_ratio 12/15 = 0.8,
+            # 3-gram Jaccard vs doc 2 ~ 10/12 -> LSH-paired at 0.5
+            (1, base + " alpha beta gamma"),
+            # doc 2: all-distinct twin -> uniq_ratio 1.0, larger id
+            (2, base),
+            # doc 3: unrelated singleton
+            (3, "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.component_id: r for r in keep_best_representatives(docs).collect()}
+    # the planted cluster is labeled by its min member (1) but KEEPS the
+    # higher-quality larger-id member (2)
+    assert rows[1].n_members == 2
+    assert rows[1].keep_id == 2
+    assert rows[1].uniq_ratio == 1.0
+    # singleton keeps itself
+    assert rows[3].keep_id == 3 and rows[3].n_members == 1
 
 
 def test_dedup_semantic_clusters_consistent(spark, sf_dir):
@@ -465,3 +481,22 @@ def test_mixed_lang_detect_edges(spark):
     assert (got[2].n_en, got[2].is_mixed) == (0, False)
     assert (got[3].n_en, got[3].is_mixed, got[3].mix_ratio) == (1, True, 0.5)
     assert (got[4].n_chunks, got[4].is_mixed) == (1, False)
+
+
+def test_bucketed_nn_drops_null_buckets(spark):
+    """Vectors with a NULL bucket have no candidate set: they must be
+    DROPPED, not pooled into one giant NULL group (Spark groupBy keeps
+    NULL keys; the SQL-oracle equi-join drops them — ADVICE r7)."""
+    from flink_tutorial_spark.operators.similarity import bucketed_nn
+
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], None),   # NULL bucket: excluded entirely
+            (4, [0.1, 0.9], None),   # would pair with 3 if NULLs pooled
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {r.vec_id: r.nn_id for r in bucketed_nn(docs).collect()}
+    assert got == {1: 2, 2: 1}
