@@ -234,3 +234,57 @@ def connect_comap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("amount"),
     )
     return a.union(b)
+
+
+@query(
+    "join_asof_attribution",
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts, max(event_id) AS view_id
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (
+    SELECT event_id AS purchase_id, user_id, ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+       v.view_id, v.ts AS view_ts,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_sec
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    tags=("join", "asof"),
+)
+def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join: last-touch attribution — every purchase
+    joined to the user's LATEST view at or before it (the Flink
+    temporal-table-join semantics the reference approximates with the
+    ±bounded interval join of TxMatchWithJoin.scala:38-54; an as-of
+    join has no lower bound). Views are deduped to one per (user, ts)
+    by max event_id so the pick at tied timestamps is deterministic —
+    the same rule DuckDB's native ASOF LEFT JOIN oracle then applies.
+
+    Spark-first: operators/asof.py — union + last-ignorenulls window,
+    ONE shuffle on user_id, no range-join candidate blowup (see the
+    module docstring for the 100 TB argument)."""
+    from flink_tutorial_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(purchases, views, on=["user_id"], suffix="_v")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("view_id_v").alias("view_id"),
+        F.col("ts_v").alias("view_ts"),
+        (F.col("ts").cast("long") - F.col("ts_v").cast("long"))
+        .cast("long")
+        .alias("gap_sec"),
+    )
