@@ -726,3 +726,62 @@ def substring_dedup(
             ).alias("removed_ratio"),
         )
     )
+
+
+def chunk_length_mixing(
+    docs: DataFrame,
+    chunk_words: int = 8,
+    avg_len_threshold: float = 4.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second marker set for within-doc mixing (VERDICT r7 #8):
+    classify each consecutive ``chunk_words``-word chunk by MEAN WORD
+    LENGTH instead of stopword density — the token-shape axis that
+    separates prose from code/identifier/table fragments mixed into the
+    same document (code tokens run long and stopword-free). Same chunk
+    frame as mixed_lang_detect/chunk_dedup, so a pipeline computing all
+    three shares the shuffle-free chunking; mix_ratio is the
+    minority-class share, is_mixed flags docs whose chunks disagree.
+
+    The threshold compare is exact cross-engine: sum-of-int-lengths /
+    chunk size is one correctly-rounded IEEE divide on both sides."""
+    ws = F.split(F.col(text_col), " ")
+    chunks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int") - 1,
+                ),
+                lambda i: F.slice(ws, i * chunk_words + 1, chunk_words),
+            )
+        ).alias("cw"),
+    ).select(
+        F.col(id_col),
+        (
+            F.aggregate(
+                F.col("cw"), F.lit(0), lambda acc, w: acc + F.length(w)
+            ).cast("double")
+            / F.size("cw")
+            >= avg_len_threshold
+        ).alias("chunk_long"),
+    )
+    agg = chunks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("chunk_long").cast("long")).alias("n_long"),
+    )
+    return agg.select(
+        id_col,
+        "n_chunks",
+        "n_long",
+        F.round(
+            F.least(F.col("n_long"), F.col("n_chunks") - F.col("n_long"))
+            / F.col("n_chunks"),
+            4,
+        ).alias("mix_ratio"),
+        (
+            (F.col("n_long") > 0) & (F.col("n_long") < F.col("n_chunks"))
+        ).alias("is_mixed"),
+    )

@@ -1764,3 +1764,167 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.substring_dedup(
         load_table(spark, sf_dir, "documents"), gram_words=20
     )
+
+
+@query(
+    "text_length_mixing",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (
+    SELECT doc_id, ws,
+           unnest(range(0, CAST(ceil(len(ws) / 8.0) AS INT))) AS ci
+    FROM t
+), ch AS (
+    SELECT doc_id,
+           (list_sum(list_transform(ws[(ci*8+1):(ci*8+8)],
+                                    w -> length(w)))::DOUBLE
+            / len(ws[(ci*8+1):(ci*8+8)])) >= 4.5 AS chunk_long
+    FROM idx
+), agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN chunk_long THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_long
+    FROM ch GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, n_long,
+       round(least(n_long, n_chunks - n_long)::DOUBLE / n_chunks, 4)
+           AS mix_ratio,
+       n_long > 0 AND n_long < n_chunks AS is_mixed
+FROM agg
+""",
+    tags=("datapipe", "text"),
+)
+def text_length_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-shape mixing detector: per-chunk mean-word-length classes
+    (prose vs code/identifier-like) on the shared chunk frame."""
+    return T.chunk_length_mixing(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "datapipe_quality_sampling",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id,
+           round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')), 4) AS uniq_ratio
+    FROM documents
+), r AS (
+    SELECT doc_id, uniq_ratio,
+           CASE WHEN uniq_ratio >= 0.6 THEN 1.0
+                WHEN uniq_ratio >= 0.4 THEN 0.5
+                ELSE 0.25 END AS sample_rate,
+           {_MD5_LONG.format(x="concat(doc_id, ':qs')")} AS hv
+    FROM q
+)
+SELECT doc_id, uniq_ratio, sample_rate,
+       hv < CAST(sample_rate * 1152921504606846976 AS BIGINT) AS kept
+FROM r
+""",
+    tags=("datapipe", "sampling"),
+)
+def datapipe_quality_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling — the DCLM/FineWeb-
+    style mixture move: high-quality docs kept at rate 1.0, middle at
+    0.5, low at 0.25, decided by a SEEDED HASH per doc (not rand()), so
+    the sample is reproducible, shardable, and exactly auditable — the
+    property that lets two pipeline runs (or engine and oracle) agree
+    bit-for-bit on WHICH docs survived. Rates are powers of two, so
+    `hash < rate * 2^60` is an exact integer compare — no float
+    boundary risk cross-engine.
+
+    Scale shape: pure map-side column expressions, ZERO shuffle at any
+    corpus size; composes with datapipe_mix_rebalance (per-source
+    temperature) upstream of tokenization."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    q = docs.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(ws)) / F.size(ws), 4).alias(
+            "uniq_ratio"
+        ),
+    )
+    rate = (
+        F.when(F.col("uniq_ratio") >= 0.6, F.lit(1.0))
+        .when(F.col("uniq_ratio") >= 0.4, F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    hv = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":qs")))
+    return q.select(
+        "doc_id",
+        "uniq_ratio",
+        rate.alias("sample_rate"),
+        (
+            hv
+            < (F.col("sample_rate") * F.lit(float(1 << 60))).cast("long")
+        ).alias("kept"),
+    ).select("doc_id", "uniq_ratio", "sample_rate", "kept")
+
+
+@query(
+    "datapipe_token_budget",
+    oracle="""
+WITH d AS (
+    SELECT source, lang, len(string_split(text, ' ')) AS n_tok
+    FROM documents
+), g AS (
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens
+    FROM d GROUP BY 1, 2
+), tot AS (SELECT sum(tokens) AS all_tokens FROM g)
+SELECT g.source, g.lang, g.n_docs, g.tokens,
+       round(g.tokens / tot.all_tokens, 6) AS token_share,
+       round(sum(g.tokens) OVER (
+                 ORDER BY g.tokens DESC, g.source, g.lang)
+             / tot.all_tokens, 6) AS cum_share
+FROM g, tot
+""",
+    tags=("datapipe", "agg"),
+)
+def datapipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: token budget per (source, lang) with each
+    cell's share of total tokens and the cumulative share in
+    descending-volume order — the table every pretraining-data run
+    reads before setting mixture weights (which sources dominate, how
+    long the tail is, where the 90% line falls).
+
+    Scale shape: one partial-aggregable groupBy on ~|sources|x|langs|
+    cells; the 1-row total joins as a broadcast cross; the cumulative
+    window runs over the CELL table (hundreds of rows), never the
+    corpus. Shares divide by the same total in both engines — one
+    correctly-rounded IEEE divide per cell."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source", "lang", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )
+    tot = g.agg(F.sum("tokens").cast("double").alias("all_tokens"))
+    w = Window.orderBy(F.desc("tokens"), "source", "lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("all_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.sum("tokens").over(w) / F.col("all_tokens"), 6
+            ).alias("cum_share"),
+        )
+    )

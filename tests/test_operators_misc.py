@@ -222,3 +222,57 @@ def test_retract_log_replay_idempotent(spark, tmp_path):
     assert sink.log().count() == n_before
     assert sink.log().where("epoch = 1").count() == 2
     assert sink.read().where("k = 'a'").first().v == 5
+
+
+def test_asof_join_edges(spark):
+    """Backward as-of semantics: <= inclusive, latest wins, ties break
+    on the right_order tuple, no-match gives NULLs, tolerance drops
+    stale matches."""
+    import pyspark.sql.functions as F
+
+    from flink_tutorial_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 50), (4, "v", 100)],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        # two right rows at ts=100 for u: order tie-break must pick rid 12
+        [(10, "u", 60), (11, "u", 100), (12, "u", 100), (13, "u", 200)],
+        ["rid", "k", "ts"],
+    )
+    out = {
+        r.lid: (r.rid_asof, r.ts_asof)
+        for r in asof_join(
+            left, right, on=["k"], right_order=["rid"]
+        ).collect()
+    }
+    assert out[1] == (12, 100)      # same-instant row visible, max rid wins
+    assert out[2] == (13, 200)      # latest at-or-before
+    assert out[3] == (None, None)   # nothing at or before ts=50... rid10@60 is after
+    assert out[4] == (None, None)   # key with no right rows
+
+    tol = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            right_order=["rid"],
+            tolerance=F.lit(10),
+        ).collect()
+    }
+    # lid 2 @205: latest right is 200, gap 5 <= 10 -> kept;
+    # lid 1 @100: gap 0 -> kept... then shrink:
+    assert tol[1] == 12 and tol[2] == 13
+    tight = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            right_order=["rid"],
+            tolerance=F.lit(3),
+        ).collect()
+    }
+    assert tight[1] == 12 and tight[2] is None
