@@ -230,3 +230,32 @@ def test_bpe_merges_aggregates_off_vocab(spark, sf_dir):
     aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
     assert len(gens) >= 2, nodes
     assert min(aggs) < gens[1], nodes  # pair explode sits above the vocab agg
+
+
+def test_asof_join_single_shuffle_no_blowup(spark, sf_dir):
+    # the union+window as-of formulation must plan as ONE key shuffle —
+    # never a range join (BroadcastNestedLoop/Cartesian) and never Python
+    plan = formatted_plan(spark, "join_asof_attribution", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BatchEvalPython" not in plan, plan[:800]
+    # exactly two shuffles: the view-dedup agg on (user_id, ts) and the
+    # as-of window's single-key partition on user_id
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L, \d+\)", plan)) == 1, plan[:1200]
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan[:1200]
+
+
+def test_quality_sampling_zero_shuffle(spark, sf_dir):
+    # seeded-hash sampling is pure map-side column work: NO Exchange of
+    # any kind in the plan, and only the 2 needed columns scanned
+    plan = formatted_plan(spark, "datapipe_quality_sampling", sf_dir)
+    assert "Exchange" not in plan, plan[:800]
+    read = re.search(r"ReadSchema: (.*)", plan).group(1)
+    assert read.count(":") == 2, read  # doc_id, text
+
+
+def test_substring_dedup_stays_jvm_side(spark, sf_dir):
+    # gram explode + hash + ownership + interval union: all JVM exprs
+    plan = formatted_plan(spark, "text_substring_dedup", sf_dir)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert "ArrowEvalPython" not in plan, plan[:800]
