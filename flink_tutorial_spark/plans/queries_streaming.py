@@ -1603,3 +1603,108 @@ def streaming_uv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("uv_kmv"),
     )
     return run_to_memory(out, "append")
+
+
+@query(
+    "streaming_asof_attribution",
+    oracle="""
+WITH v AS (SELECT event_id AS view_id, user_id, ts FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+    SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.view_id, v.ts AS view_ts,
+           row_number() OVER (PARTITION BY p.purchase_id
+                              ORDER BY v.ts DESC, v.view_id DESC) AS rn
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 DAY
+)
+SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
+       CAST(date_diff('second', view_ts, purchase_ts) AS BIGINT) AS gap_sec
+FROM j
+WHERE rn = 1
+  AND date_trunc('day', purchase_ts) + INTERVAL 1 DAY <=
+      least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+      - INTERVAL 1 DAY
+""",
+    tags=("streaming", "join", "asof"),
+)
+def streaming_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution LIVE — the streaming twin of
+    join_asof_attribution, and the shape Flink ships as the
+    processing/event-time temporal join. Spark's streaming joins can't
+    express "latest only", so the plan is the production workaround
+    every attribution pipeline runs: a stream-stream range join
+    (attribution horizon = 1 day — unbounded lookback can't stream; a
+    real pipeline always has one) followed by a CHAINED stateful
+    latest-pick aggregation (max over (view_ts, view_id) per purchase)
+    keyed through the purchase-day window, emitting once the watermark
+    closes the day. Ties at equal view_ts resolve to max view_id — the
+    same rule the batch twin's deduped ASOF oracle applies.
+
+    Scale shape: join state is watermark + horizon bounded per side
+    (exactly the interval-join bound); the latest-pick agg holds ONE
+    struct per in-flight purchase — no buffering of all candidate
+    views past the join. Closed-horizon contract: the time-range join
+    DELAYS the watermark it publishes downstream by the attribution
+    horizon (a purchase-day window can only close once no more
+    in-horizon views can arrive), so the oracle restricts to days with
+    day_end <= least(max view ts, max purchase ts) - horizon — verified
+    empirically (without the subtraction the last day over-emits in the
+    oracle)."""
+    events = stream_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "0 seconds")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    j = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY")),
+    )
+    # p_ts is functionally dependent on purchase_id but must NOT be a
+    # grouping column: a second event-time-tagged column beside the
+    # window breaks the downstream stateful operator ("more than one
+    # event time column"). Aggregate it instead.
+    best = (
+        j.groupBy(
+            F.window("p_ts", "1 day").alias("w"),
+            "purchase_id",
+            "p_user",
+        )
+        .agg(
+            F.max("p_ts").alias("purchase_ts"),
+            F.max(F.struct("v_ts", "view_id")).alias("best"),
+        )
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "purchase_ts",
+            F.col("best.view_id").alias("view_id"),
+            F.col("best.v_ts").alias("view_ts"),
+            (
+                F.col("purchase_ts").cast("long")
+                - F.col("best.v_ts").cast("long")
+            )
+            .cast("long")
+            .alias("gap_sec"),
+        )
+    )
+    return run_to_memory(best, "append")
