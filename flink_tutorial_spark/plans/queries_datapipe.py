@@ -1928,3 +1928,223 @@ def datapipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "dedup_minhash_calibration",
+    oracle=f"""
+WITH {_SHINGLES},
+shh AS (SELECT doc_id, {_MD5_LONG.format(x="shingle")} AS sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+hashed AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS x
+    FROM sh
+), sig AS (
+    SELECT doc_id,
+       {_SIG_COLS}
+    FROM hashed GROUP BY doc_id
+), bands AS (
+{_BAND_ROWS}
+), cold AS (
+    SELECT doc_id, band, bh,
+           count(*) OVER (PARTITION BY band, bh) AS bf
+    FROM bands
+    QUALIFY bf <= {MINHASH_BAND_CAP}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM cold a JOIN cold b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), est AS (
+    SELECT doc_a, doc_b, ({_MATCHES}) / {float(D.N_MINHASH)} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+), inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN shh a ON a.doc_id = c.doc_a
+    JOIN shh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+    GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       round(coalesce(i.i, 0)::DOUBLE
+             / (sa.n + sb.n - coalesce(i.i, 0)), 6) AS exact_jaccard,
+       round(abs(e.est_jaccard - coalesce(i.i, 0)::DOUBLE
+             / (sa.n + sb.n - coalesce(i.i, 0))), 6) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+""",
+    tags=("datapipe", "dedup", "measurement"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator CALIBRATION — the measurement a pipeline runs
+    before trusting LSH thresholds (sibling of similarity_ann_recall,
+    which does the same for the ANN index): for every banded candidate
+    pair (threshold 0 — the full candidate set), the 8-hash estimated
+    Jaccard next to the EXACT 3-gram Jaccard and the absolute error.
+    Reading the result tells you where to set the LSH verify threshold
+    for a target precision.
+
+    Scale shape: exact Jaccard is computed ONLY for candidate pairs
+    (pair list join-back onto the shingle table, keyed (doc, shingle))
+    — never the all-pairs exact join; cost is candidate-bounded, the
+    same bound the dedup itself pays. Candidates with zero shared
+    shingles (pure band collisions) get exact 0 via the left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_dedup(
+        docs, threshold=0.0, max_band_freq=MINHASH_BAND_CAP
+    )
+    sh = D.shingle_table(docs).select(
+        "doc_id", D.md5_long(F.col("shingle")).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ex = (
+        F.coalesce(F.col("i"), F.lit(0)).cast("double")
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(ex, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - ex), 6).alias("abs_err"),
+        )
+    )
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({MINHASH_ORACLE}) mh
+), e AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), walk(n, m) AS (
+    SELECT s, s FROM e
+    UNION
+    SELECT e.d, w.m FROM walk w JOIN e ON e.s = w.n
+), comp AS (
+    SELECT n AS doc_id, min(m) AS component_id FROM walk GROUP BY n
+), csizes AS (
+    SELECT coalesce(c.component_id, d.doc_id) AS cid, count(*) AS n
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n) AS BIGINT) AS n_docs
+FROM csizes GROUP BY n
+""",
+    tags=("datapipe", "dedup", "measurement"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup REPORT: how much of
+    the corpus sits in clusters of which size (singletons = unique
+    docs; the tail of big clusters = boilerplate families). The number
+    every dedup run publishes before anyone trusts its keep-rate.
+
+    Scale shape: inherits minhash+CC; the histogram adds two
+    partial-aggregable groupBys (per-component count, then per-size
+    count) — output bounded by the largest cluster size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, threshold=0.5, max_band_freq=MINHASH_BAND_CAP
+    )
+    comp = D.dedup_components(pairs)
+    return (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("cid")
+        )
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .groupBy(F.col("n").cast("long").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("n").cast("long").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "similarity_embedding_stats",
+    oracle="""
+WITH n AS (
+    SELECT label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9) AS nrm,
+           len(embedding) AS dim
+    FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(dim) AS BIGINT) AS min_dim,
+       CAST(max(dim) AS BIGINT) AS max_dim,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS avg_norm,
+       CAST(count(*) FILTER (WHERE nrm < 0.5) AS BIGINT) AS n_degenerate
+FROM n GROUP BY label
+""",
+    tags=("datapipe", "similarity", "measurement"),
+)
+def similarity_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene audit: per IVF label, vector count,
+    dimension bounds, norm bounds/mean, and degenerate (near-zero-norm)
+    count — the sanity pass before any cosine-based op (a zero vector
+    NaNs cosine; mixed dims crash BLAS; a skewed per-cell count marks a
+    broken clustering). Norms are rounded then DECIMAL-summed so the
+    mean is order-independent and bit-equal cross-engine
+    (plans/parity.py convention).
+
+    Scale shape: one map-side array aggregate per row + one
+    partial-aggregable groupBy on the label — no shuffle beyond the
+    |labels|-cell agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        9,
+    )
+    n = emb.select("label", nrm.alias("nrm"), F.size("embedding").alias("dim"))
+    return n.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_norm"),
+        F.count(F.when(F.col("nrm") < 0.5, 1)).cast("long").alias("n_degenerate"),
+    )
