@@ -105,11 +105,16 @@ def main() -> None:
     if CANARY in plans.REGISTRY:
         run_once(CANARY)
     tick_canary()
+    from flink_tutorial_spark.operators.dedup import purge_scratch
+
     for i, name in enumerate(catalog):
         runs = 2 if name in HEADLINE else 1
         raw = [round(run_once(name), 3) for _ in range(runs)]
         raw_runs[name] = raw
         times[name] = min(raw)
+        # bound scratch disk across the long sweep (safe between fully
+        # materialized independent query executions)
+        purge_scratch()
         if (i + 1) % 10 == 0:
             tick_canary()
     tick_canary()

@@ -22,6 +22,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 import uuid
@@ -70,6 +71,18 @@ def _scratch_dir() -> str:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="fts_scratch_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     return f"{_SCRATCH_ROOT}/{uuid.uuid4().hex[:12]}"
+
+
+def purge_scratch() -> None:
+    """Delete accumulated scratch subdirs (VERDICT r7 nit: a long-lived
+    catalog session otherwise accumulates one signature checkpoint per
+    materializing query until exit). Safe ONLY between independent query
+    executions — DataFrames returned by earlier calls lazily re-read
+    their scratch parquet and would fail if re-executed after a purge.
+    bench.py calls this between timed queries."""
+    if _SCRATCH_ROOT is not None:
+        for sub in os.listdir(_SCRATCH_ROOT):
+            shutil.rmtree(os.path.join(_SCRATCH_ROOT, sub), ignore_errors=True)
 
 
 def md5_long(col) -> F.Column:
