@@ -500,3 +500,38 @@ def test_bucketed_nn_drops_null_buckets(spark):
     )
     got = {r.vec_id: r.nn_id for r in bucketed_nn(docs).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_substring_dedup_interval_union(spark):
+    """The removed-span ratio counts the UNION of overlapping duplicated
+    gram intervals, not their sum; docs shorter than the gram emit zero
+    grams; self-repetition within one doc counts as duplication."""
+    from flink_tutorial_spark.operators.text import substring_dedup
+
+    w = [f"w{i}" for i in range(8)]
+    base = " ".join(w)                       # doc 1: owns every gram
+    shifted = " ".join(w[1:] + ["zz"])       # doc 2 shares grams 0..2 of its 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),                        # 5 grams (L=4), all owned
+            (2, shifted),                     # grams at pos 0,1,2 dup'd (w1..w4 etc.)
+            (3, "a b c"),                     # shorter than L: no grams
+            (4, base + " " + base),           # 13 grams; tail repeats head + itself
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in substring_dedup(docs, gram_words=4).collect()}
+    assert (got[1].n_grams, got[1].n_dup_grams, got[1].removed_tokens) == (5, 0, 0)
+    # doc 2 (8 tokens: w1..w7 zz, 5 grams): grams at pos 0..3 are
+    # w[1..4], w[2..5], w[3..6], w[4..7] — all owned by doc 1 (pos 1..4);
+    # the pos-4 gram (w5 w6 w7 zz) is unique. Union of the four length-4
+    # intervals starting 0,1,2,3 = [0,6] -> 7 of 8 tokens removed.
+    assert (got[2].n_grams, got[2].n_dup_grams, got[2].removed_tokens) == (5, 4, 7)
+    assert got[2].removed_ratio == 0.875
+    assert (got[3].n_grams, got[3].removed_tokens, got[3].removed_ratio) == (0, 0, 0.0)
+    # doc 4 = base+base (16 tokens, 13 grams): dup'd are the 5 grams doc 1
+    # owns, repeated TWICE (pos 0..4 and 8..12) = 10; the 3 wrap grams
+    # (w5 w6 w7 w0 etc. at pos 5..7) occur nowhere earlier and stay owned.
+    # Union of starts {0..4, 8..12} with L=4 = [0,7] u [8,15] = all 16.
+    assert (got[4].n_grams, got[4].n_dup_grams) == (13, 10)
+    assert (got[4].removed_tokens, got[4].removed_ratio) == (16, 1.0)
