@@ -785,3 +785,47 @@ def chunk_length_mixing(
             (F.col("n_long") > 0) & (F.col("n_long") < F.col("n_chunks"))
         ).alias("is_mixed"),
     )
+
+
+#: PII patterns, deliberately simple and auditable: emails, then
+#: phone-like SEPARATED digit groups (3+ groups split by -/space/dot —
+#: the separators are what distinguish a phone from a bare id number),
+#: then bare digit runs >= 6 (ids, SSN-ish). Order matters: email first
+#: so its digits don't double-count; phone before bare runs so a
+#: formatted number isn't shredded group-by-group.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,4}([ .\-][0-9]{2,4}){2,}"
+PII_DIGITS_RE = r"[0-9]{6,}"
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before tokenization (emails, phone-like numbers, long
+    digit runs -> typed placeholder tokens), with per-doc match counts
+    so the funnel can report redaction rates. Pure JVM regexp
+    expressions (regexp_count + chained regexp_replace) — zero Python,
+    zero shuffle, composes map-side with quality/lang/dedup stages.
+
+    The synthetic corpus contains no PII (the planted-data unit test
+    exercises the patterns; see tests/test_datapipe.py), so this ships
+    as an operator rather than a degenerate all-zeros catalog query.
+    Swap the pattern set for a production library's (scrubadub,
+    presidio) once off the sandbox; the plan shape is the contract."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = F.regexp_count(after_email, F.lit(PII_PHONE_RE))
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    n_digits = F.regexp_count(after_phone, F.lit(PII_DIGITS_RE))
+    scrubbed = F.regexp_replace(after_phone, PII_DIGITS_RE, "<NUM>")
+    return docs.withColumns(
+        {
+            "n_emails": n_email.cast("int"),
+            "n_phones": n_phone.cast("int"),
+            "n_digit_runs": n_digits.cast("int"),
+            "pii_clean": (n_email + n_phone + n_digits) == 0,
+            out_col: scrubbed,
+        }
+    )

@@ -535,3 +535,28 @@ def test_substring_dedup_interval_union(spark):
     # Union of starts {0..4, 8..12} with L=4 = [0,7] u [8,15] = all 16.
     assert (got[4].n_grams, got[4].n_dup_grams) == (13, 10)
     assert (got[4].removed_tokens, got[4].removed_ratio) == (16, 1.0)
+
+
+def test_pii_scrub_patterns(spark):
+    """Planted PII: emails, phone-ish numbers, long digit runs redact to
+    typed placeholders with correct counts; clean text passes through."""
+    from flink_tutorial_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.org for details"),
+            (2, "call +1 415-555-0132 or 020 7946 0958 today"),
+            (3, "order 123456789 shipped"),
+            (4, "the quick brown fox, room 42"),
+            (5, "mail a@b.io ref 99887766"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].n_emails == 1 and "<EMAIL>" in got[1].text_scrubbed
+    assert "bob" not in got[1].text_scrubbed
+    assert got[2].n_phones == 2 and got[2].text_scrubbed.count("<PHONE>") == 2
+    assert got[3].n_digit_runs == 1 and got[3].text_scrubbed == "order <NUM> shipped"
+    assert got[4].pii_clean and got[4].text_scrubbed == got[4].text
+    assert (got[5].n_emails, got[5].n_digit_runs) == (1, 1)
+    assert got[5].text_scrubbed == "mail <EMAIL> ref <NUM>"
