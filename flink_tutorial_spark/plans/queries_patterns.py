@@ -504,3 +504,160 @@ def uv_kmv_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uv_kmv"),
         )
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH act AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), firsts AS (
+    SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+), joined AS (
+    SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset,
+           a.user_id
+    FROM act a JOIN firsts f USING (user_id)
+), m AS (
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM joined GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, n_active,
+       round(n_active::DOUBLE / first_value(n_active) OVER (
+                 PARTITION BY cohort_day ORDER BY day_offset), 6)
+           AS retention_pct
+FROM m
+""",
+    tags=("business", "analytics"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics table every
+    event pipeline serves: users cohorted by first-active day, then for
+    each (cohort, day-offset) the count still active and the share of
+    the cohort's day-0 size. The reference's market/channel demos stop
+    at per-window counts; this is the cross-window composite users
+    build on top of them.
+
+    Scale shape: distinct (user, day) then a per-user min — both
+    partial-aggregable on user_id and sharing the shuffle — a
+    broadcast-eligible join of the firsts table back onto activity
+    (|users| rows, small side by construction here; at 100 TB both
+    sides key-shuffle on user_id, the same co-partition), and a final
+    (cohort, offset)-bounded agg. The retention window runs over the
+    matrix (days^2/2 rows), never events."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    act = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    m = (
+        act.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset")
+    return m.select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.first("n_active").over(w), 6
+        ).alias("retention_pct"),
+    )
+
+
+@query(
+    "session_funnel_conversion",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+), sess AS (
+    SELECT user_id, event_type, ts,
+           sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM seq
+), per AS (
+    SELECT user_id, session_id,
+           date_trunc('day', min(ts)) AS day,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+    FROM sess GROUP BY 1, 2
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(v_ts) AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE c_ts > v_ts) AS BIGINT) AS n_view_click,
+       CAST(count(*) FILTER (WHERE c_ts > v_ts AND p_ts > c_ts) AS BIGINT)
+           AS n_converted
+FROM per GROUP BY day
+""",
+    tags=("business", "analytics", "cep"),
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel conversion — 30-minute-gap sessionization
+    (the reference's session-window semantics, SessionWindow demos)
+    feeding an ORDERED funnel (view -> click -> purchase within the
+    session, each stage strictly after the previous): per session-start
+    day, session counts at each funnel depth. The composite every
+    product-analytics pipeline runs on top of session windows.
+
+    Spark-first: the classic lag/gap -> cumsum session-id assignment
+    (one window over (user, ts)), conditional min per (user, session),
+    then a day-bounded agg. Both engines build identical session ids
+    from the same (ts, event_id) ordering, so the oracle is exact.
+
+    Scale shape: two windows share the user_id partition+sort; the
+    session agg is partial-aggregable keyed (user, session); final agg
+    is day-bounded. No joins at all."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn(
+        "new_s",
+        F.when(
+            F.col("ts") - F.lag("ts").over(wo) > F.expr("INTERVAL 30 MINUTES"),
+            1,
+        )
+        .when(F.lag("ts").over(wo).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts"),
+    )
+    return per.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count("v_ts").cast("long").alias("n_view"),
+        F.count(F.when(F.col("c_ts") > F.col("v_ts"), 1))
+        .cast("long")
+        .alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("c_ts") > F.col("v_ts")) & (F.col("p_ts") > F.col("c_ts")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
