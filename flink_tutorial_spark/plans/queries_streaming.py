@@ -1708,3 +1708,75 @@ def streaming_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(best, "append")
+
+
+@query(
+    "streaming_session_funnel",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+), sess AS (
+    SELECT user_id, event_type, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM seq
+), per AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events,
+       coalesce(c_ts > v_ts AND p_ts > c_ts, FALSE) AS converted
+FROM per
+WHERE session_end <= (SELECT max(ts) FROM events)
+""",
+    tags=("streaming", "window", "analytics"),
+)
+def streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized ordered funnel LIVE: Spark's native session_window
+    (30-minute gap — the reference's EventTimeSessionWindows) with the
+    funnel's conditional-min aggregates computed INSIDE the window agg,
+    so each session emits its conversion verdict the moment the
+    watermark closes it (append mode; a session is closed when
+    last_event + gap <= watermark — the oracle's WHERE). The batch twin
+    (session_funnel_conversion) proves the cumsum sessionization and
+    Spark's session_window merge produce identical sessions.
+
+    Scale shape: one keyed session-window agg; state per (user, open
+    session) is three timestamps + a count, evicted at close. The
+    8-partition stream-shuffle policy applies."""
+    events = stream_table(spark, sf_dir, "events")
+    stream = events.withWatermark("ts", "0 seconds")
+    per = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c_ts"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.coalesce(
+                (F.col("c_ts") > F.col("v_ts")) & (F.col("p_ts") > F.col("c_ts")),
+                F.lit(False),
+            ).alias("converted"),
+        )
+    )
+    return run_to_memory(per, "append")
