@@ -2,6 +2,7 @@
 
 from flink_tutorial_spark.plans import (  # noqa: F401
     queries_datapipe,
+    queries_graph,
     queries_joins,
     queries_patterns,
     queries_relational,
