@@ -7,6 +7,7 @@ from flink_tutorial_spark.plans import (  # noqa: F401
     queries_patterns,
     queries_relational,
     queries_streaming,
+    queries_timeseries,
     queries_tpch,
     queries_windows,
 )

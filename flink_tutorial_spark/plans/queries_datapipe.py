@@ -2148,3 +2148,69 @@ def similarity_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_norm"),
         F.count(F.when(F.col("nrm") < 0.5, 1)).cast("long").alias("n_degenerate"),
     )
+
+
+_SKEW_ONE = """
+  SELECT '{rel}' AS rel, '{key}' AS key_col,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         round(sum(cnt) / count(*), 6) AS avg_cnt,
+         round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+         round(max(cnt) / sum(cnt), 6) AS max_share,
+         round(max(cnt) * count(*) / sum(cnt), 6) AS skew_ratio
+  FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS cnt FROM {rel} GROUP BY 1)
+"""
+
+
+@query(
+    "profile_key_skew",
+    oracle="UNION ALL".join(
+        _SKEW_ONE.format(rel=r, key=k)
+        for r, k in (
+            ("lineitem", "l_partkey"),
+            ("orders", "o_custkey"),
+            ("events", "user_id"),
+        )
+    ),
+    tags=("datapipe", "profile"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profile — the diagnostic every scale-up
+    starts with: per (table, key) report row count, key cardinality,
+    max per-key count, mean, exact interpolated p99, the heaviest
+    key's share, and skew_ratio (max/mean). skew_ratio >> 1 is the
+    signal to salt or let AQE split that join (the PV-skew salting
+    operator at operators/partitioning.py:83 is the fix this report
+    tells you to reach for).
+
+    Scale shape: per table one partial-aggregable groupBy(key) then a
+    single-row agg over the per-key counts; exact percentile sorts
+    only the per-key count column (|keys| rows, not |rows|). The
+    three 1-row results union driver-free."""
+    from pyspark.sql import DataFrame as _DF
+
+    def one(rel: str, key: str) -> _DF:
+        cnts = (
+            load_table(spark, sf_dir, rel)
+            .groupBy(key)
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        return cnts.agg(
+            F.lit(rel).alias("rel"),
+            F.lit(key).alias("key_col"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.round(F.sum("cnt") / F.count("*"), 6).alias("avg_cnt"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("max_share"),
+            F.round(F.max("cnt") * F.count("*") / F.sum("cnt"), 6).alias(
+                "skew_ratio"
+            ),
+        )
+
+    out = one("lineitem", "l_partkey")
+    for rel, key in (("orders", "o_custkey"), ("events", "user_id")):
+        out = out.unionByName(one(rel, key))
+    return out
