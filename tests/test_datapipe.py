@@ -560,3 +560,51 @@ def test_pii_scrub_patterns(spark):
     assert got[4].pii_clean and got[4].text_scrubbed == got[4].text
     assert (got[5].n_emails, got[5].n_digit_runs) == (1, 1)
     assert got[5].text_scrubbed == "mail <EMAIL> ref <NUM>"
+
+
+def test_code_prose_mix_detect(spark):
+    """Planted code/prose docs: a doc with both a codey chunk and prose
+    chunks is flagged mixed; pure prose and pure code are not."""
+    from flink_tutorial_spark.operators.text import code_prose_mix_detect
+
+    code8 = "x = arr[i] + f(y) ; { return x*2 } // done |= ok"
+    prose8 = "the quick brown fox jumps over the lazy"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{prose8} {code8} {prose8}"),  # mixed
+            (2, f"{prose8} {prose8}"),  # pure prose
+            (3, " ".join(["a[i]=b{j};"] * 16)),  # pure code
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in code_prose_mix_detect(docs).collect()}
+    assert got[1].is_mixed and 0 < got[1].code_ratio < 1
+    assert got[1].n_chunks == got[1].n_code + (got[1].n_chunks - got[1].n_code)
+    assert not got[2].is_mixed and got[2].n_code == 0 and got[2].code_ratio == 0.0
+    assert not got[3].is_mixed and got[3].n_code == got[3].n_chunks
+    assert got[3].code_ratio == 1.0
+
+
+def test_code_prose_marker_class_matches_duckdb():
+    """The marker char class must count identically under Java regex
+    (Spark) and RE2 (DuckDB) — the cross-engine contract that would
+    back a catalog oracle on a corpus that has marker chars."""
+    import duckdb
+
+    from flink_tutorial_spark.operators.text import CODE_MARKER_CLASS
+
+    samples = [
+        "x = arr[i] + f(y) ; { return x*2 }",
+        "plain prose only",
+        "50% of $100 #tag a@b c\\d /path_name|pipe <tag> 3*3",
+    ]
+    con = duckdb.connect()
+    import re
+
+    for s in samples:
+        java_like = len(re.findall(CODE_MARKER_CLASS, s))  # Python re ~ Java here
+        duck = con.execute(
+            "SELECT len(?) - len(regexp_replace(?, ?, '', 'g'))",
+            [s, s, CODE_MARKER_CLASS],
+        ).fetchone()[0]
+        assert java_like == duck, (s, java_like, duck)
