@@ -1780,3 +1780,50 @@ def streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(per, "append")
+
+
+@query(
+    "streaming_transitions",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item,
+         ts, event_id
+  FROM events
+), seq AS (
+  SELECT user_id, item,
+         lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM ev
+)
+SELECT CAST(prev AS BIGINT) AS src, CAST(item AS BIGINT) AS dst,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM seq WHERE prev IS NOT NULL AND prev <> item
+GROUP BY 1, 2
+""",
+    tags=("streaming", "graph"),
+)
+def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream Markov edges LIVE — the streaming twin of
+    graph_transitions: a keyed stateful stage carries each user's LAST
+    item across micro-batches (one long of state per user — a
+    transition spanning a batch boundary still counts), feeding a
+    continuous groupBy(src, dst) count. The converged complete-mode
+    table equals the batch edge list, stated relationally by the
+    oracle. This is the live edge-builder for the graph family: a
+    production deployment materializes these counts continuously and
+    runs PageRank/triangles on the latest snapshot.
+
+    Scale shape: stage-1 state is |users| longs; the pair stream then
+    takes one partial-aggregable keyed shuffle bounded by |items|^2
+    output keys. Chained stateful stage -> aggregation, the same chain
+    contract streaming_uv_daily established."""
+    from flink_tutorial_spark.streaming.stateful import transition_pairs
+
+    events = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    pairs = transition_pairs(events, "user_id", ["ts", "event_id"], "item")
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+    return run_to_memory(counts, "complete")

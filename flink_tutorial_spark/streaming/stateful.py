@@ -367,3 +367,42 @@ def blacklist_filter(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+TRANSITION_OUT = StructType(
+    [StructField("src", LongType()), StructField("dst", LongType())]
+)
+_TRANSITION_STATE = StructType([StructField("last_item", LongType())])
+
+
+def transition_pairs(df: DataFrame, key_col: str, ts_cols: list[str], item_col: str) -> DataFrame:
+    """Per-key consecutive-item transition extraction with a ONE-VALUE
+    state slot: the last item seen per key carries across micro-batches,
+    so a transition spanning a batch boundary still emits (the streaming
+    twin of operators/graph.py:transition_edges' lag window). Self-loops
+    drop, matching the batch operator.
+
+    State per key is a single long — the smallest state any keyed op
+    here carries; eviction is unnecessary (bounded by |keys|)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_cols)
+            items = pdf[item_col].to_numpy()
+            prev = [last, *items[:-1]]
+            out = [
+                (int(p), int(c))
+                for p, c in zip(prev, items)
+                if p is not None and p != c
+            ]
+            last = int(items[-1])
+            if out:
+                yield pd.DataFrame(out, columns=["src", "dst"])
+        state.update((last,))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, TRANSITION_OUT, _TRANSITION_STATE, "append", GroupStateTimeout.NoTimeout
+    )

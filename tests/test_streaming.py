@@ -817,3 +817,39 @@ def test_blacklist_filter_daily_reset_and_side_output(spark, tmp_path):
             ("warning", 1, d2 + 30),
         ]
     )
+
+
+def test_transition_pairs_cross_batch_state(spark, tmp_path):
+    """The last-item state slot carries across micro-batches: a
+    transition whose endpoints arrive in different batches still emits,
+    self-loops drop, and counts converge to the batch lag() edges."""
+    from flink_tutorial_spark.streaming.stateful import transition_pairs
+
+    src = str(tmp_path / "src")
+    # `value` carries the item id; user key rides `user`
+    write_batches(
+        src,
+        [
+            [_row(1, user=1, value=10), _row(2, user=1, value=20)],
+            # batch boundary: user 1's 20 -> 30 spans batches
+            [_row(3, user=1, value=30), _row(4, user=2, value=7)],
+            # self-loop for user 2 (7 -> 7) must NOT emit; then 7 -> 8
+            [_row(5, user=2, value=7), _row(6, user=2, value=8)],
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: transition_pairs(
+            s.selectExpr(
+                "user", "ts", "CAST(value AS LONG) AS item",
+                "CAST(0 AS LONG) AS event_id",
+            ),
+            "user",
+            ["ts", "event_id"],
+            "item",
+        ),
+        "append",
+    ).collect()
+    pairs = sorted((r.src, r.dst) for r in got)
+    assert pairs == [(7, 8), (10, 20), (20, 30)]
