@@ -118,8 +118,10 @@ def pagerank(
                 + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")
             ).alias("r"),
         )
-        if i < iterations - 1:
-            ranks = ranks.localCheckpoint()
+        # checkpoint EVERY round (incl. the last): truncates lineage and
+        # lets the returned plan depend only on the materialized rank
+        # table, so unpersisting e/nodes below costs no recompute
+        ranks = ranks.localCheckpoint()
     out = ranks.select(
         F.col("item").alias("item_id"),
         F.col("r").alias("rank_fp"),

@@ -64,6 +64,8 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     express the same semantics; Spark would also accept the
     sequence+explode grid at billions of buckets since it's generated
     distributed, keyed by the grid key."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+
     ev = load_table(spark, sf_dir, "events")
     b = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
@@ -71,6 +73,14 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("v_fp"),
     )
+    # materialize the bucket table once (grid keys, span and the join all
+    # read it): without this each branch prunes the scan differently and
+    # Spark re-reads + re-aggregates events THREE times — the scratch
+    # checkpoint makes the events scan the single data-sized pass (same
+    # rationale as the minhash signature checkpoint, dedup.py:252)
+    scratch = _scratch_dir() + "/gapfill_b"
+    b.write.mode("overwrite").parquet(scratch)
+    b = spark.read.parquet(scratch)
     span = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     keys = b.select("event_type").distinct()
     # rename the grid key: grid derives from b, so joining grid back to b

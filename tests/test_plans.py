@@ -259,3 +259,43 @@ def test_substring_dedup_stays_jvm_side(spark, sf_dir):
     plan = formatted_plan(spark, "text_substring_dedup", sf_dir)
     assert "BatchEvalPython" not in plan, plan[:800]
     assert "ArrowEvalPython" not in plan, plan[:800]
+
+
+def test_pagerank_stays_jvm_side_no_cartesian(spark, sf_dir):
+    # fixed-point PageRank: rank/edge joins must plan as hash/merge
+    # joins (never a cartesian over edges) with zero Python in the loop
+    plan = formatted_plan(spark, "graph_pagerank", sf_dir)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert "ArrowEvalPython" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_triangle_stats_oriented_joins_jvm_side(spark, sf_dir):
+    # degree-ordered orientation: wedge + closing-edge joins are equi-
+    # joins (hash/merge), never a cartesian over the edge set; the only
+    # nested-loop joins are the 1-row stat-aggregate crossJoins
+    plan = formatted_plan(spark, "graph_triangle_stats", sf_dir)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_gap_fill_single_events_pass_no_python(spark, sf_dir):
+    # the bucket table is scratch-materialized, so the final plan reads
+    # ONLY the (tiny) bucket parquet — the events scan happened exactly
+    # once, at materialization time, not once per grid/span/join branch
+    plan = formatted_plan(spark, "timeseries_gap_fill", sf_dir)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    reads = re.findall(r"ReadSchema: (.*)", plan)
+    # every scan in the final plan is of bucket-table columns, never the
+    # raw events columns (ts/value/props)
+    assert reads, plan[:800]
+    assert all("ts:" not in r and "value:" not in r for r in reads), reads
+
+
+def test_scd2_reuses_one_user_sort_shuffle(spark, sf_dir):
+    # lag-filter + lead/row_number share the (user_id, ts, event_id)
+    # sort order: the plan must contain exactly ONE exchange (the
+    # user_id hash partition) reused by both window groups
+    plan = formatted_plan(spark, "scd2_item_intervals", sf_dir)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan[:1500]
