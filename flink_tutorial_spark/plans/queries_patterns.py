@@ -661,3 +661,197 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_converted"),
     )
+
+
+@query(
+    "session_path_topk",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL 2 HOUR OR
+                lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM seq
+), paths AS (
+    SELECT user_id, session_id,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:8], '>')
+               AS path,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY 1, 2
+), top AS (
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           row_number() OVER (ORDER BY count(*) DESC, path) AS rk
+    FROM paths GROUP BY path
+)
+SELECT CAST(rk AS BIGINT) AS rank, path, n_sessions, n_events
+FROM top WHERE rk <= 20
+""",
+    tags=("business", "analytics", "window"),
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey paths: 2-hour-gap sessionization (the wider
+    gap deliberately exercises multi-event sessions alongside the
+    funnel's 30-minute one), each session reduced to its ordered
+    event-type sequence truncated to 8 steps, ranked by frequency —
+    the path-analysis report product teams run right after funnels
+    (which exact journeys dominate, where do they detour).
+
+    Scale shape: the gap/cumsum session windows share one user sort
+    shuffle; per-session path assembly is collect_list+array_sort on
+    (ts, event_id) structs INSIDE a keyed agg (bounded by session
+    length, capped at 8 emitted steps); the final rank sorts only the
+    DISTINCT path table (bounded by the path vocabulary, not by
+    sessions — a top-k fold at scale)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn(
+        "new_s",
+        F.when(
+            F.col("ts") - F.lag("ts").over(wo) > F.expr("INTERVAL 2 HOURS"), 1
+        )
+        .when(F.lag("ts").over(wo).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                8,
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    agg = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    # top-k FOLD first (TakeOrderedAndProject: per-partition partial
+    # top-20 + driver merge — no single-partition sort of the full path
+    # table), then rank the 20 survivors
+    top = agg.orderBy(F.col("n_sessions").desc(), "path").limit(20)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_sessions").desc(), "path"))
+        .cast("long"),
+    )
+    return ranked.select("rank", "path", "n_sessions", "n_events")
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS monetary_c
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT max(last_us) AS now_us,
+         quantile_cont(-last_us, [0.25, 0.5, 0.75]) AS rq,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+         quantile_cont(monetary_c, [0.25, 0.5, 0.75]) AS mq
+  FROM m
+)
+SELECT custkey,
+       CAST((g.now_us - last_us) // 86400000000 AS BIGINT) AS recency_days,
+       frequency,
+       round(monetary_c / 100.0, 2) AS monetary,
+       CAST(1 + CAST(-last_us <= rq[3] AS INT) + CAST(-last_us <= rq[2] AS INT)
+              + CAST(-last_us <= rq[1] AS INT) AS BIGINT) AS r_score,
+       CAST(1 + CAST(frequency >= fq[1] AS INT) + CAST(frequency >= fq[2] AS INT)
+              + CAST(frequency >= fq[3] AS INT) AS BIGINT) AS f_score,
+       CAST(1 + CAST(monetary_c >= mq[1] AS INT) + CAST(monetary_c >= mq[2] AS INT)
+              + CAST(monetary_c >= mq[3] AS INT) AS BIGINT) AS m_score
+FROM m, g
+""",
+    tags=("business", "analytics"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring query:
+    per customer, recency (days since last order, against the corpus
+    max date), frequency (order count) and monetary (2-dp fixed-point
+    revenue), each scored 1-4 against exact interpolated quartiles of
+    the customer population.
+
+    Scored via BOUNDARY COMPARISON, not ntile(): ntile needs a global
+    single-partition sort of all customers, while three quantile_cont
+    boundaries are one tiny aggregate broadcast back over a map-side
+    compare — the scale-safe formulation (ties land deterministically
+    on the same side of a boundary in both engines since metrics and
+    boundaries are exact integers / their exact interpolations).
+
+    Scale shape: one partial-aggregable groupBy(custkey), one 1-row
+    quartile aggregate (exact percentile sorts |customers| values
+    once), one broadcast crossJoin, map-side scoring. No global sort,
+    no shuffle beyond the customer agg."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros("o_orderdate")).cast("long").alias("last_us"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_c"
+        ),
+    )
+    g = m.agg(
+        F.max("last_us").alias("now_us"),
+        F.expr("percentile(-last_us, array(0.25D, 0.5D, 0.75D))").alias("rq"),
+        F.expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").alias("fq"),
+        F.expr("percentile(monetary_c, array(0.25D, 0.5D, 0.75D))").alias("mq"),
+    )
+    j = m.withColumn("neg_last", -F.col("last_us")).crossJoin(F.broadcast(g))
+
+    def score(col, q, asc: bool):
+        # asc=True: smaller is better (recency via negation handled by
+        # caller); score = 1 + #boundaries cleared
+        c = F.col(col)
+        qs = [F.col(q)[i] for i in range(3)]
+        if asc:
+            return (
+                F.lit(1)
+                + (c <= qs[2]).cast("int")
+                + (c <= qs[1]).cast("int")
+                + (c <= qs[0]).cast("int")
+            )
+        return (
+            F.lit(1)
+            + (c >= qs[0]).cast("int")
+            + (c >= qs[1]).cast("int")
+            + (c >= qs[2]).cast("int")
+        )
+
+    return j.select(
+        "custkey",
+        F.expr("(now_us - last_us) div 86400000000").cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        F.round(F.col("monetary_c") / 100.0, 2).alias("monetary"),
+        score("neg_last", "rq", asc=True).alias("r_score"),
+        score("frequency", "fq", asc=False).alias("f_score"),
+        score("monetary_c", "mq", asc=False).alias("m_score"),
+    ).withColumn("r_score", F.col("r_score").cast("long")) \
+     .withColumn("f_score", F.col("f_score").cast("long")) \
+     .withColumn("m_score", F.col("m_score").cast("long"))

@@ -173,3 +173,88 @@ def scd2_item_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "timeseries_anomaly",
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, h, v,
+         CAST(count(*) OVER roll AS BIGINT) AS n,
+         CAST(sum(v) OVER roll AS BIGINT) AS s,
+         CAST(sum(v * v) OVER roll AS HUGEINT) AS s2
+  FROM b
+  WINDOW roll AS (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, h, n, v, s,
+         sqrt(greatest(1.0 * s2 / n - (1.0 * s / n) * (1.0 * s / n), 0)) AS sd
+  FROM w WHERE n >= 12
+)
+SELECT event_type, h AS bucket, n AS n_window,
+       round(v / 1000.0, 6) AS value,
+       round(s / n / 1000.0, 6) AS roll_mean,
+       round(sd / 1000.0, 6) AS roll_std,
+       round(CASE WHEN sd > 0 THEN (v - 1.0 * s / n) / sd ELSE 0 END, 4) AS z,
+       (sd > 0 AND abs(v - 1.0 * s / n) >= 3 * sd) AS is_anomaly
+FROM z
+""",
+    tags=("timeseries", "window"),
+)
+def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the hourly value series —
+    the alerting op every metrics pipeline runs downstream of the
+    reference's window aggregates (TempRiseAlert's fixed-threshold
+    compare generalized to a self-calibrating baseline): each bucket is
+    scored against the mean/std of its 24 PRECEDING buckets (current
+    excluded, so an anomaly can't mask itself), flagged at |z| >= 3
+    once 12 baseline buckets exist.
+
+    Bit-exactness: bucket sums are 3-dp fixed-point BIGINTs, and the
+    rolling sum/sum-of-squares stay exact integers (Spark side sums
+    v*v as DECIMAL(38,0) — silent BIGINT wraparound is the trap — and
+    DuckDB's HUGEINT matches); both engines then evaluate the
+    IDENTICAL double expression tree off those exact integers, so
+    mean/std/z agree to the last bit before rounding.
+
+    Scale shape: one partial-aggregable groupBy to bucket, then one
+    per-key ordered window over BUCKET-sized data (|keys| x |hours|
+    rows, orders of magnitude below the events it summarizes)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("v"))
+    roll = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    w = b.select(
+        "event_type",
+        "h",
+        "v",
+        F.count("*").over(roll).cast("long").alias("n"),
+        F.sum("v").over(roll).cast("long").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).over(roll).alias("s2"),
+    ).where(F.col("n") >= 12)
+    mean = F.lit(1.0) * F.col("s") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.lit(1.0) * F.col("s2").cast("double") / F.col("n")
+            - (F.lit(1.0) * F.col("s") / F.col("n"))
+            * (F.lit(1.0) * F.col("s") / F.col("n")),
+            F.lit(0.0),
+        )
+    )
+    return w.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.col("n").alias("n_window"),
+        F.round(F.col("v") / 1000.0, 6).alias("value"),
+        F.round(F.col("s") / F.col("n") / 1000.0, 6).alias("roll_mean"),
+        F.round(sd / 1000.0, 6).alias("roll_std"),
+        F.round(
+            F.when(sd > 0, (F.col("v") - mean) / sd).otherwise(0.0), 4
+        ).alias("z"),
+        ((sd > 0) & (F.abs(F.col("v") - mean) >= 3 * sd)).alias("is_anomaly"),
+    )

@@ -299,3 +299,28 @@ def test_scd2_reuses_one_user_sort_shuffle(spark, sf_dir):
     plan = formatted_plan(spark, "scd2_item_intervals", sf_dir)
     assert "BatchEvalPython" not in plan, plan[:800]
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan[:1500]
+
+
+def test_path_topk_folds_to_take_ordered(spark, sf_dir):
+    # the top-20 must be a TakeOrderedAndProject fold (partial top-k per
+    # partition), never a single-partition global sort of the path table
+    plan = formatted_plan(spark, "session_path_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan, plan[:800]
+
+
+def test_rfm_no_global_sort_boundary_scoring(spark, sf_dir):
+    # quartile scoring must be boundary comparison (1-row agg broadcast
+    # back), not ntile's single-partition Window sort over all customers
+    plan = formatted_plan(spark, "rfm_segments", sf_dir)
+    assert "Window" not in plan, plan[:800]
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row quartile join
+
+
+def test_anomaly_rolling_window_bucket_sized(spark, sf_dir):
+    # the rolling stats window partitions by event_type over BUCKET rows;
+    # the only exchanges are the bucket agg + the window partition
+    plan = formatted_plan(spark, "timeseries_anomaly", sf_dir)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan[:1500]
