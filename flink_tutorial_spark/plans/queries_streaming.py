@@ -1827,3 +1827,107 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = transition_pairs(events, "user_id", ["ts", "event_id"], "item")
     counts = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
     return run_to_memory(counts, "complete")
+
+
+@query(
+    "streaming_anomaly",
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), closed AS (
+  SELECT * FROM b
+  WHERE h + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+), w AS (
+  SELECT event_type, h, v,
+         CAST(count(*) OVER roll AS BIGINT) AS n,
+         CAST(sum(v) OVER roll AS BIGINT) AS s,
+         CAST(sum(v * v) OVER roll AS HUGEINT) AS s2
+  FROM closed
+  WINDOW roll AS (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, h, n, v, s,
+         sqrt(greatest(1.0 * s2 / n - (1.0 * s / n) * (1.0 * s / n), 0)) AS sd
+  FROM w WHERE n >= 12
+)
+SELECT event_type AS key, h AS bucket, n AS n_window,
+       round(v / 1000.0, 6) AS value,
+       round(s / n / 1000.0, 6) AS roll_mean,
+       round(sd / 1000.0, 6) AS roll_std,
+       round(CASE WHEN sd > 0 THEN (v - 1.0 * s / n) / sd ELSE 0 END, 4) AS z,
+       (sd > 0 AND abs(v - 1.0 * s / n) >= 3 * sd) AS is_anomaly
+FROM z
+""",
+    tags=("streaming", "timeseries"),
+)
+def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection LIVE — the streaming twin of
+    timeseries_anomaly as a TWO-JOB topology with a durable handoff
+    (the Kafka-shaped production layout: bucket job -> topic -> scorer
+    job, here parquet files standing in for the topic):
+
+    Job 1: watermarked 1-hour window agg in APPEND mode — a bucket is
+    written to the handoff directory only when the watermark closes it
+    (the open tail bucket never leaks downstream, matching the
+    oracle's closed-bucket restriction).
+
+    Job 2: a keyed stateful scorer holding a <=24-long ring buffer of
+    exact fixed-point bucket values per key; each arriving closed
+    bucket is scored against the buckets before it with the SAME
+    double-expression ORDER as the SQL twin (see
+    stateful.rolling_zscore), so the live z-scores hash-match the
+    batch oracle bit-for-bit.
+
+    Scale shape: job-1 state is open windows within the watermark
+    horizon; the handoff carries bucket-sized data; job-2 state is 24
+    longs per key. Each job is independently restartable from its
+    checkpoint — exactly why production pipelines split here."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.streaming.stateful import rolling_zscore
+
+    events = stream_table(spark, sf_dir, "events")
+    buckets = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("v"))
+        .select("event_type", F.col("w.start").alias("h"), "v")
+    )
+    root = _scratch_dir()
+    handoff = f"{root}/anomaly_handoff_{_uuid.uuid4().hex[:8]}"
+    n_part = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        q1 = (
+            buckets.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", handoff)
+            .option("checkpointLocation", f"{handoff}_ckpt")
+            .start()
+        )
+        q1.processAllAvailable()
+        q1.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("h", TimestampType()),
+            StructField("v", LongType()),
+        ]
+    )
+    closed = spark.readStream.format("parquet").schema(schema).load(handoff)
+    scored = rolling_zscore(closed, "event_type", "h", "v")
+    return run_to_memory(scored, "append")

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -405,4 +406,99 @@ def transition_pairs(df: DataFrame, key_col: str, ts_cols: list[str], item_col: 
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn, TRANSITION_OUT, _TRANSITION_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+ZSCORE_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("n_window", LongType()),
+        StructField("value", DoubleType()),
+        StructField("roll_mean", DoubleType()),
+        StructField("roll_std", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+_ZSCORE_STATE = StructType([StructField("ring", ArrayType(LongType()))])
+
+
+def _round_away(x: float, d: int) -> float:
+    """SQL ROUND semantics (half away from zero) — python round() is
+    half-even and would diverge from the Spark/DuckDB batch twin on
+    exact .5 quantizations."""
+    import math
+
+    s = 10**d
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    window: int = 24,
+    min_n: int = 12,
+    z_cut: float = 3.0,
+    scale: int = 1000,
+) -> DataFrame:
+    """Streaming rolling z-score scorer: per key, keep a ring buffer of
+    the last ``window`` CLOSED bucket values (exact fixed-point longs)
+    and score each arriving bucket against the mean/std of the buckets
+    before it — the live stage-2 of the anomaly pipeline (batch twin:
+    queries_timeseries.timeseries_anomaly).
+
+    Numeric parity with the SQL twin is deliberate down to operation
+    ORDER: the ring holds exact integers; mean/var convert the exact
+    integer sums to double FIRST and then divide (matching the SQL
+    ``1.0 * s / n`` tree — python's exact int/int true division rounds
+    differently by up to 1 ulp), and rounding is half-away-from-zero
+    like SQL ROUND, not python's half-even.
+
+    State per key: <= ``window`` longs. Input buckets must arrive in
+    event-time order per key (append-mode windowed aggs emit in
+    watermark order; within a batch the fn sorts)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        ring = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[val_col]):
+                v = int(v)
+                n = len(ring)
+                if n >= min_n:
+                    s = sum(ring)
+                    s2 = sum(x * x for x in ring)
+                    mean = float(s) / n
+                    var = float(s2) / n - (float(s) / n) * (float(s) / n)
+                    sd = math.sqrt(max(var, 0.0))
+                    z = (v - mean) / sd if sd > 0 else 0.0
+                    out.append(
+                        (
+                            key[0],
+                            ts,
+                            n,
+                            _round_away(v / float(scale), 6),
+                            _round_away(mean / scale, 6),
+                            _round_away(sd / scale, 6),
+                            _round_away(z, 4),
+                            bool(sd > 0 and abs(v - mean) >= z_cut * sd),
+                        )
+                    )
+                ring.append(v)
+                if len(ring) > window:
+                    ring = ring[-window:]
+        state.update((ring,))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in ZSCORE_OUT.fields])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, ZSCORE_OUT, _ZSCORE_STATE, "append", GroupStateTimeout.NoTimeout
     )

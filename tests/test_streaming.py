@@ -853,3 +853,42 @@ def test_transition_pairs_cross_batch_state(spark, tmp_path):
     ).collect()
     pairs = sorted((r.src, r.dst) for r in got)
     assert pairs == [(7, 8), (10, 20), (20, 30)]
+
+
+def test_rolling_zscore_ring_cross_batch(spark, tmp_path):
+    """The ring buffer carries across micro-batches, scores only after
+    min_n baseline buckets, caps at `window`, and flags a planted
+    spike; rounding matches SQL half-away semantics."""
+    from flink_tutorial_spark.streaming.stateful import rolling_zscore
+
+    src = str(tmp_path / "src")
+    # value carries the fixed-point bucket metric (scale=1000 default)
+    write_batches(
+        src,
+        [
+            [_row(3600 * 1, "a", value=10000), _row(3600 * 2, "a", value=20000)],
+            [_row(3600 * 3, "a", value=10000), _row(3600 * 4, "a", value=20000)],
+            [_row(3600 * 5, "a", value=100000)],
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: rolling_zscore(
+            s.selectExpr("key", "ts", "CAST(value AS LONG) AS v"),
+            "key",
+            "ts",
+            "v",
+            window=4,
+            min_n=2,
+        ),
+        "append",
+    ).collect()
+    rows = sorted(got, key=lambda r: r.bucket)
+    # buckets 3,4,5 score (n>=2); bucket 5's baseline spans both batches
+    assert [r.n_window for r in rows] == [2, 3, 4]
+    spike = rows[-1]
+    assert spike.value == 100.0 and spike.roll_mean == 15.0
+    assert spike.roll_std == 5.0 and spike.z == 17.0
+    assert spike.is_anomaly
+    assert not rows[0].is_anomaly and not rows[1].is_anomaly
