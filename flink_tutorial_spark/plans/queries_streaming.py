@@ -1931,3 +1931,56 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed = spark.readStream.format("parquet").schema(schema).load(handoff)
     scored = rolling_zscore(closed, "event_type", "h", "v")
     return run_to_memory(scored, "append")
+
+
+@query(
+    "streaming_scd2",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item,
+         ts, event_id
+  FROM events
+), o AS (
+  SELECT user_id, item, ts, event_id,
+         lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM ev
+), ch AS (
+  SELECT user_id, item, ts, event_id FROM o
+  WHERE prev IS NULL OR prev <> item
+), iv AS (
+  SELECT user_id, CAST(item AS BIGINT) AS item_id,
+         ts AS effective_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS version
+  FROM ch
+)
+SELECT user_id, item_id, effective_from, effective_to, version
+FROM iv WHERE effective_to IS NOT NULL
+""",
+    tags=("streaming", "timeseries"),
+)
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history LIVE — the streaming twin of
+    scd2_item_intervals: a keyed stateful op holds each user's OPEN
+    interval (current item, start, version counter) and emits an
+    interval the moment its close arrives (item change). The converged
+    output is exactly the batch intervals restricted to CLOSED ones —
+    the open tail per user exists only in state (a serving layer reads
+    it from the state store / latest snapshot), which the oracle states
+    by filtering effective_to IS NOT NULL.
+
+    Scale shape: state per user is two longs + a counter; output is
+    change-rate-bounded, not event-rate-bounded. The same one-shuffle
+    keyed stateful stage as streaming_transitions."""
+    from flink_tutorial_spark.streaming.stateful import scd2_closed_intervals
+
+    events = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    out = scd2_closed_intervals(events, "user_id", ["ts", "event_id"], "item")
+    return run_to_memory(out, "append")

@@ -502,3 +502,75 @@ def rolling_zscore(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, ZSCORE_OUT, _ZSCORE_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+SCD2_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("item_id", LongType()),
+        StructField("effective_from", TimestampType()),
+        StructField("effective_to", TimestampType()),
+        StructField("version", LongType()),
+    ]
+)
+_SCD2_STATE = StructType(
+    [
+        StructField("cur_item", LongType()),
+        StructField("cur_from_us", LongType()),
+        StructField("version", LongType()),
+    ]
+)
+
+
+def scd2_closed_intervals(
+    df: DataFrame, key_col: str, ts_cols: list[str], item_col: str
+) -> DataFrame:
+    """Live SCD Type-2 builder: per key, hold the OPEN interval (current
+    item, its start, a version counter) in state; when the item changes,
+    emit the now-CLOSED interval [from, change_ts) with its version and
+    open a new one. Consecutive repeats extend the open interval
+    silently — the stream twin of queries_timeseries.scd2_item_intervals
+    restricted to closed intervals (the open tail per key lives only in
+    state until its close arrives; a serving layer reads it from the
+    state store / latest snapshot instead).
+
+    State per key: two longs + a counter. Input must arrive time-ordered
+    per key across batches (same contract as transition_pairs)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cur_item, cur_from, ver = (
+            state.get if state.exists else (None, None, 0)
+        )
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_cols)
+            ts_us = (pdf[ts_cols[0]].astype("int64") // 1_000).to_numpy()
+            items = pdf[item_col].to_numpy()
+            for t, it in zip(ts_us, items):
+                it = int(it)
+                if cur_item is None:
+                    cur_item, cur_from, ver = it, int(t), 1
+                elif it != cur_item:
+                    out.append((key[0], cur_item, int(cur_from), int(t), int(ver)))
+                    cur_item, cur_from, ver = it, int(t), ver + 1
+        state.update((cur_item, cur_from, ver))
+        if out:
+            pdf = pd.DataFrame(
+                out,
+                columns=["user_id", "item_id", "from_us", "to_us", "version"],
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "item_id": pdf["item_id"],
+                    "effective_from": pd.to_datetime(pdf["from_us"], unit="us"),
+                    "effective_to": pd.to_datetime(pdf["to_us"], unit="us"),
+                    "version": pdf["version"],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, SCD2_OUT, _SCD2_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -892,3 +892,40 @@ def test_rolling_zscore_ring_cross_batch(spark, tmp_path):
     assert spike.roll_std == 5.0 and spike.z == 17.0
     assert spike.is_anomaly
     assert not rows[0].is_anomaly and not rows[1].is_anomaly
+
+
+def test_scd2_closed_intervals_cross_batch(spark, tmp_path):
+    """Open intervals carry across batches and close when the change
+    arrives in a later batch; repeats extend silently; the open tail
+    never emits."""
+    from flink_tutorial_spark.streaming.stateful import scd2_closed_intervals
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [_row(10, user=1, value=5)],
+            [_row(20, user=1, value=5)],  # repeat: extends, no emit
+            [_row(30, user=1, value=7)],  # closes [10,30) v1, opens v2
+            [_row(40, user=1, value=5)],  # closes [30,40) v2, opens v3
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: scd2_closed_intervals(
+            s.selectExpr(
+                "user AS user_id", "ts", "CAST(value AS LONG) AS item",
+                "CAST(0 AS LONG) AS event_id",
+            ),
+            "user_id",
+            ["ts", "event_id"],
+            "item",
+        ),
+        "append",
+    ).collect()
+    rows = sorted(got, key=lambda r: r.version)
+    assert [(r.item_id, r.version) for r in rows] == [(5, 1), (7, 2)]
+    assert rows[0].effective_to == rows[1].effective_from
+    # v3 (item 5, open) must NOT be emitted
+    assert all(r.version <= 2 for r in rows)
