@@ -209,3 +209,64 @@ def triangle_stats(und: DataFrame) -> DataFrame:
             6,
         ).alias("global_clustering"),
     )
+
+
+def label_propagation(und: DataFrame, iterations: int = 2) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection) over an undirected (a, b, w) edge set: labels start as
+    node ids; each round every node adopts the label with the highest
+    total incident edge weight among its neighbors, ties broken by
+    smallest label — the deterministic variant of LPA (classic LPA's
+    random tie-breaks can't be oracle-checked; weight-then-min-label
+    gives identical results in any engine). Isolated-from-update nodes
+    keep their label. Returns (item_id, community) after ``iterations``
+    synchronous rounds.
+
+    Scale shape: per round one equi-join of the label table against the
+    symmetrized adjacency (shuffle on node id) + one partial-aggregable
+    groupBy(node, label) + a per-node top-1 window — the same
+    join-aggregate loop as pagerank, label table localCheckpointed per
+    round to keep lineage flat."""
+    from pyspark.sql import Window
+
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr"), "w"
+    ).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+    )
+    nodes = adj.select("node").distinct()
+    adj = adj.persist()
+    nodes = nodes.persist()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(iterations):
+        nb = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.sum("w").alias("wt"))
+        )
+        pick = (
+            nb.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("node").orderBy(
+                        F.col("wt").desc(), F.col("lbl")
+                    )
+                ),
+            )
+            .where(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+        labels = (
+            nodes.join(pick, "node", "left")
+            .select("node", F.coalesce("lbl", "node").alias("lbl"))
+            .localCheckpoint()
+        )
+    out = labels.select(
+        F.col("node").cast("long").alias("item_id"),
+        F.col("lbl").cast("long").alias("community"),
+    )
+    adj.unpersist()
+    nodes.unpersist()
+    return out

@@ -147,3 +147,53 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.transition_edges(_events_with_item(spark, sf_dir)), min_weight=2
     )
     return G.triangle_stats(und)
+
+
+_LPA_ITER = """
+nb{i} AS (
+  SELECT a.node, l.lbl, sum(a.w) AS wt
+  FROM adj a JOIN l{p} l ON a.nbr = l.node
+  GROUP BY 1, 2
+), pick{i} AS (
+  SELECT node, lbl,
+         row_number() OVER (PARTITION BY node ORDER BY wt DESC, lbl) AS rk
+  FROM nb{i}
+), l{i} AS (
+  SELECT n.node, COALESCE(p.lbl, n.node) AS lbl
+  FROM nodes n LEFT JOIN (SELECT node, lbl FROM pick{i} WHERE rk = 1) p
+    ON n.node = p.node
+)"""
+
+
+@query(
+    "graph_communities",
+    oracle=f"""
+WITH {_EDGES},
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         CAST(sum(cnt) AS BIGINT) AS w
+  FROM edges GROUP BY 1, 2 HAVING sum(cnt) >= 2
+),
+adj AS (
+  SELECT a AS node, b AS nbr, w FROM und
+  UNION ALL SELECT b, a, w FROM und
+),
+nodes AS (SELECT DISTINCT node FROM adj),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+{",".join(_LPA_ITER.format(i=i, p=i - 1) for i in (1, 2))}
+SELECT CAST(node AS BIGINT) AS item_id, CAST(lbl AS BIGINT) AS community
+FROM l2
+""",
+    tags=("graph", "iterate"),
+)
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via DETERMINISTIC synchronous label
+    propagation (2 rounds) on the symmetrized transition graph: each
+    node adopts its neighbors' weight-heaviest label, ties to the
+    smallest label — the tie-break that makes LPA oracle-checkable
+    (classic random-LPA is not). Same join-aggregate round shape as
+    graph_pagerank; see operators/graph.py:label_propagation."""
+    und = G.undirected_edges(
+        G.transition_edges(_events_with_item(spark, sf_dir)), min_weight=2
+    )
+    return G.label_propagation(und, iterations=2)

@@ -91,3 +91,28 @@ def test_undirected_edges_symmetrize_and_threshold(spark):
     got = {(r.a, r.b): r.w for r in G.undirected_edges(e, min_weight=2).collect()}
     # 1<->2 sums to 2 and survives; 3-4 at weight 1 is cut
     assert got == {(1, 2): 2}
+
+
+def test_label_propagation_two_cliques_weak_bridge(spark):
+    """Two weight-5 triangles joined by a weight-1 bridge resolve to
+    two communities labeled by each clique's min node id; the bridge
+    endpoints stay with their own clique."""
+    tri1 = [(1, 2, 5), (2, 3, 5), (1, 3, 5)]
+    tri2 = [(7, 8, 5), (8, 9, 5), (7, 9, 5)]
+    bridge = [(3, 7, 1)]
+    und = spark.createDataFrame(tri1 + tri2 + bridge, "a int, b int, w long")
+    got = {r.item_id: r.community for r in G.label_propagation(und, 2).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[7] == got[8] == got[9]
+    assert got[1] != got[7]
+
+
+def test_label_propagation_deterministic_tie_break(spark):
+    """Equal-weight neighbor labels: the smaller label wins (the
+    determinism contract that makes LPA oracle-checkable)."""
+    # node 5 sees labels 1 and 9 at equal weight -> adopts 1
+    und = spark.createDataFrame(
+        [(1, 5, 3), (5, 9, 3)], "a int, b int, w long"
+    )
+    got = {r.item_id: r.community for r in G.label_propagation(und, 1).collect()}
+    assert got[5] == 1
