@@ -324,3 +324,28 @@ def test_anomaly_rolling_window_bucket_sized(spark, sf_dir):
     plan = formatted_plan(spark, "timeseries_anomaly", sf_dir)
     assert "BatchEvalPython" not in plan, plan[:800]
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan[:1500]
+
+
+@pytest.mark.slow
+def test_catalog_wide_plan_audit(spark, sf_dir):
+    """Whole-catalog plan linter: NO batch query may contain a
+    row-at-a-time Python eval (BatchEvalPython — the 10-100x slow path;
+    vectorized Arrow ops are separately sanctioned per query) or a
+    CartesianProduct (1-row broadcast aggregates plan as
+    BroadcastNestedLoopJoin, so any CartesianProduct is a real
+    data-sized cross join). Streaming queries execute on call and are
+    audited by their own tests."""
+    bad = []
+    for name, spec in plans.REGISTRY.items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            plan = formatted_plan(spark, name, sf_dir)
+        except Exception as e:  # pragma: no cover - audit must see all
+            bad.append((name, f"plan build failed: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython"))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+    assert not bad, bad
