@@ -349,3 +349,48 @@ def test_catalog_wide_plan_audit(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
     assert not bad, bad
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter injection (Spark 3.3+): a selective filter
+    on one join side should inject a bloom_filter_might_contain guard
+    into the other side's scan, cutting shuffle volume before the join
+    — the third runtime defense at 100 TB next to AQE skew splitting
+    (test_aqe_skew_join_rewrite) and DPP (test_partition_pruning).
+    Production thresholds (10 GB application side) are lowered to fire
+    at test SF."""
+    import pyspark.sql.functions as F
+
+    from flink_tutorial_spark.session import load_table
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        # Spark 4.1 names: might_contain guard on the application side,
+        # bloom_filter_agg building the filter from the selective side
+        assert "might_contain" in plan, plan[:1500]
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        [row] = j.collect()
+        assert row.n > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
