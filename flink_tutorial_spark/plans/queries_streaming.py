@@ -1984,3 +1984,95 @@ def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scd2_closed_intervals(events, "user_id", ["ts", "event_id"], "item")
     return run_to_memory(out, "append")
+
+
+@query(
+    "streaming_gap_fill",
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v_fp
+  FROM events GROUP BY 1, 2
+), closed AS (
+  SELECT * FROM b
+  WHERE h + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+), span AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM closed GROUP BY 1
+), grid AS (
+  SELECT s.event_type,
+         unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+  FROM span s
+)
+SELECT grid.event_type, grid.h AS bucket,
+       b.h IS NULL AS filled,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+       round(f.v_fp / (f.n * 1000000.0), 6) AS avg_value
+FROM grid
+LEFT JOIN closed b ON b.event_type = grid.event_type AND b.h = grid.h
+ASOF LEFT JOIN closed f ON f.event_type = grid.event_type AND f.h <= grid.h
+""",
+    tags=("streaming", "timeseries"),
+)
+def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-to-dense forward fill LIVE — the gap-fill twin on the
+    two-job topology streaming_anomaly established: job 1 writes
+    watermark-closed hourly buckets to a durable handoff; job 2's keyed
+    filler emits one synthetic row per missing hour (carrying the last
+    bucket's average) the moment the closing bucket arrives. The
+    converged output is the per-key dense grid between each key's first
+    and last CLOSED bucket — the oracle states the same with a per-key
+    span + ASOF fill over closed buckets only (a stream can't emit
+    leading gaps it never saw, nor trailing gaps still open).
+
+    Scale shape: handoff traffic and job-2 state (three longs/key) are
+    bucket-sized; the fill loop runs over buckets, not events."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.streaming.stateful import gap_fill_stream
+
+    events = stream_table(spark, sf_dir, "events")
+    buckets = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("v_fp"),
+        )
+        .select("event_type", F.col("w.start").alias("h"), "n", "v_fp")
+    )
+    handoff = f"{_scratch_dir()}/gapfill_handoff_{_uuid.uuid4().hex[:8]}"
+    n_part = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        q1 = (
+            buckets.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", handoff)
+            .option("checkpointLocation", f"{handoff}_ckpt")
+            .start()
+        )
+        q1.processAllAvailable()
+        q1.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("h", TimestampType()),
+            StructField("n", LongType()),
+            StructField("v_fp", LongType()),
+        ]
+    )
+    closed = spark.readStream.format("parquet").schema(schema).load(handoff)
+    return run_to_memory(gap_fill_stream(closed, "event_type", "h"), "append")

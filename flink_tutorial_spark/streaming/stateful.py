@@ -716,3 +716,83 @@ def scd2_closed_intervals(
     return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, SCD2_OUT, _SCD2_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+GAPFILL_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("filled", BooleanType()),
+        StructField("n_events", LongType()),
+        StructField("avg_value", DoubleType()),
+    ]
+)
+_GAPFILL_STATE = StructType(
+    [
+        StructField("last_h_us", LongType()),
+        StructField("last_n", LongType()),
+        StructField("last_v", LongType()),
+    ]
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def gap_fill_stream(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Streaming forward-fill gap filler (stage 2 of the live gap-fill
+    topology): per key, remember the last CLOSED bucket; when the next
+    closed bucket arrives, first emit one synthetic filled row per
+    missing hour carrying the last bucket's average forward, then the
+    real bucket. Dense output begins at each key's first closed bucket
+    (a stream can't know about leading gaps) and pauses at its newest
+    closed bucket until the next close arrives.
+
+    Keyed DIRECTLY by the series key — the key-cardinality rule cuts
+    the other way here: series keys (types, metrics) have natural batch
+    volume, so per-key python dispatch amortizes over bucket-sized
+    batches and bucketing would only complicate state. State per key:
+    three longs. The per-row loop is over BUCKETS, not events."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last = state.get if state.exists else None
+        if last is not None and last[0] is None:
+            # state written by an all-empty invocation: nothing seen yet
+            last = None
+
+        def avg(n, v):
+            return _round_away(float(v) / (n * 1000000.0), 6)
+
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            hs = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+            ns = pdf["n"].to_numpy(dtype="int64")
+            vs = pdf["v_fp"].to_numpy(dtype="int64")
+            for h, n, v in zip(hs, ns, vs):
+                if last is not None:
+                    lh, ln, lv = last
+                    for g in range(lh + _HOUR_US, int(h), _HOUR_US):
+                        out.append((key[0], g, True, 0, avg(ln, lv)))
+                out.append((key[0], int(h), False, int(n), avg(n, v)))
+                last = (int(h), int(n), int(v))
+        state.update(tuple(last) if last else (None, None, None))
+        if out:
+            pdf = pd.DataFrame(
+                out,
+                columns=["event_type", "bucket_us", "filled", "n_events", "avg_value"],
+            )
+            yield pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"],
+                    "bucket": pd.to_datetime(pdf["bucket_us"], unit="us"),
+                    "filled": pdf["filled"],
+                    "n_events": pdf["n_events"],
+                    "avg_value": pdf["avg_value"],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, GAPFILL_OUT, _GAPFILL_STATE, "append", GroupStateTimeout.NoTimeout
+    )

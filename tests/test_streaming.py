@@ -929,3 +929,41 @@ def test_scd2_closed_intervals_cross_batch(spark, tmp_path):
     assert rows[0].effective_to == rows[1].effective_from
     # v3 (item 5, open) must NOT be emitted
     assert all(r.version <= 2 for r in rows)
+
+
+def test_gap_fill_stream_cross_batch_gap(spark, tmp_path):
+    """A gap spanning a batch boundary fills with the pre-gap average
+    the moment the closing bucket arrives; the newest bucket emits no
+    trailing gaps."""
+    from flink_tutorial_spark.streaming.stateful import gap_fill_stream
+
+    src = str(tmp_path / "src")
+    # rows carry (n, v_fp) via (user, value): n=user, v_fp=value
+    write_batches(
+        src,
+        [
+            [_row(3600 * 0, "a", user=2, value=4_000_000)],  # avg 2.0
+            # hours 1-2 missing; next closed bucket arrives in batch 2
+            [_row(3600 * 3, "a", user=1, value=7_000_000)],  # avg 7.0
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: gap_fill_stream(
+            s.selectExpr(
+                "key AS event_type", "ts AS h",
+                "CAST(user AS LONG) AS n", "CAST(value AS LONG) AS v_fp",
+            ),
+            "event_type",
+            "h",
+        ),
+        "append",
+    ).collect()
+    rows = sorted(got, key=lambda r: r.bucket)
+    assert [(r.bucket.hour, r.filled, r.n_events, r.avg_value) for r in rows] == [
+        (0, False, 2, 2.0),
+        (1, True, 0, 2.0),
+        (2, True, 0, 2.0),
+        (3, False, 1, 7.0),
+    ]
