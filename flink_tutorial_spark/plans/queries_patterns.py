@@ -855,3 +855,142 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("r_score", F.col("r_score").cast("long")) \
      .withColumn("f_score", F.col("f_score").cast("long")) \
      .withColumn("m_score", F.col("m_score").cast("long"))
+
+
+@query(
+    "value_clamped_ledger",
+    oracle="""
+WITH led AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('view', 'click')
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_c
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, delta_c,
+         CAST(sum(delta_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run
+  FROM led
+), m AS (
+  SELECT *, CAST(min(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_min
+  FROM s
+)
+SELECT user_id, ts, event_id,
+       round(delta_c / 100.0, 2) AS delta,
+       round((run - least(run_min, 0)) / 100.0, 2) AS balance
+FROM m
+""",
+    tags=("window", "business"),
+)
+def value_clamped_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance (stock that can't go negative,
+    prepaid credit that can't overdraw): balance_i = max(0,
+    balance_{i-1} + delta_i). The recursion LOOKS sequential, but the
+    drawdown identity x_i = S_i - least(min_{j<=i} S_j, 0) turns it
+    into two stacked running windows over the SAME (user, ts) sort —
+    no per-row scan, no UDF, one shuffle (the trick that keeps a
+    ledger query distributed at 100 TB; property-tested against the
+    sequential recursion in tests/test_operators_misc.py). Deltas in
+    integer cents keep every prefix sum exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    led = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("view", "click"), cents
+        ).otherwise(-cents).alias("delta_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = led.withColumn("run", F.sum("delta_c").over(w).cast("long"))
+    m = s.withColumn("run_min", F.min("run").over(w).cast("long"))
+    return m.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("delta_c") / 100.0, 2).alias("delta"),
+        F.round(
+            (F.col("run") - F.least(F.col("run_min"), F.lit(0))) / 100.0, 2
+        ).alias("balance"),
+    )
+
+
+@query(
+    "value_percentiles_daily",
+    oracle="""
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1, 2
+""",
+    tags=("window", "business", "agg"),
+)
+def value_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(series, day) exact interpolated latency-style percentiles —
+    the SLO report shape (p50/p95/p99 per service per day). Unlike the
+    global value_percentiles, the sort cost here is per GROUP: each
+    (type, day) cell sorts only its own values inside a keyed agg, so
+    the query scales with the largest cell, not the table. (At cells
+    too large to sort, the approx_percentile sketch is the documented
+    fallback — not used here because its estimates are engine-private,
+    like HLL.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "revenue_grouping_sets",
+    oracle="""
+SELECT CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+       c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                        (c_mktsegment), (o_orderpriority), ())
+""",
+    tags=("sql", "agg", "business"),
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level revenue report in ONE pass via GROUP BY GROUPING
+    SETS (segment x priority, each margin, grand total) with grouping()
+    flags disambiguating real NULLs from subtotal rows — the Table/SQL
+    surface next to rollup_revenue's ROLLUP (note/05.Table_SQL.md
+    aggregate sections). Catalyst expands the sets into a single
+    shuffle with partial aggregation — vs four separate scans if a
+    report engine issued each level as its own query. Revenue in
+    integer cents for bit-exact sums."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+SELECT CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+       c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                        (c_mktsegment), (o_orderpriority), ())
+""")

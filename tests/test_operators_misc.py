@@ -276,3 +276,25 @@ def test_asof_join_edges(spark):
         ).collect()
     }
     assert tight[1] == 12 and tight[2] is None
+
+
+def test_clamped_ledger_matches_sequential_recursion(spark, sf_dir):
+    """The drawdown identity x_i = S_i - least(min_run(S), 0) must equal
+    the sequential recursion x_i = max(0, x_{i-1} + d_i) on real data —
+    checked per user over the whole sf frame."""
+    from flink_tutorial_spark import plans
+
+    rows = (
+        plans.REGISTRY["value_clamped_ledger"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for seq in by_user.values():
+        bal = 0.0
+        for r in seq:
+            bal = max(0.0, round(bal + r.delta, 2))
+            assert abs(r.balance - bal) < 1e-9, (r, bal)
