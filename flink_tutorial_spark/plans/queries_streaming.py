@@ -2076,3 +2076,55 @@ def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closed = spark.readStream.format("parquet").schema(schema).load(handoff)
     return run_to_memory(gap_fill_stream(closed, "event_type", "h"), "append")
+
+
+@query(
+    "streaming_clamped_ledger",
+    oracle="""
+WITH led AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('view', 'click')
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_c
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, delta_c,
+         CAST(sum(delta_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run
+  FROM led
+), m AS (
+  SELECT *, CAST(min(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_min
+  FROM s
+)
+SELECT user_id, ts, event_id,
+       round(delta_c / 100.0, 2) AS delta,
+       round((run - least(run_min, 0)) / 100.0, 2) AS balance
+FROM m
+""",
+    tags=("streaming", "business"),
+)
+def streaming_clamped_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance LIVE — the streaming twin of
+    value_clamped_ledger: the drawdown identity needs only the carried
+    (prefix sum, prefix min) pair per entity, so balances stream with
+    TWO longs of state per user while the batch twin's two windows need
+    the whole history in one sort. Bucketed keying + vectorized
+    segmented cumsum/min per the measured key-cardinality rule. The
+    converged per-event balances equal the batch oracle exactly."""
+    from flink_tutorial_spark.streaming.stateful import clamped_ledger
+
+    events = stream_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    led = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("view", "click"), cents
+        ).otherwise(-cents).alias("delta_c"),
+    )
+    out = clamped_ledger(led, "user_id", ["ts", "event_id"], "delta_c")
+    return run_to_memory(out, "append")

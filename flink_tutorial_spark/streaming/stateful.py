@@ -796,3 +796,129 @@ def gap_fill_stream(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
     return df.groupBy(key_col).applyInPandasWithState(
         fn, GAPFILL_OUT, _GAPFILL_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+LEDGER_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("delta", DoubleType()),
+        StructField("balance", DoubleType()),
+    ]
+)
+_LEDGER_STATE = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("run_s", ArrayType(LongType())),
+        StructField("run_min", ArrayType(LongType())),
+    ]
+)
+
+
+def clamped_ledger(
+    df: DataFrame,
+    key_col: str,
+    ts_cols: list[str],
+    delta_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Live floor-at-zero running balance: the drawdown identity
+    x_i = S_i - least(min_{j<=i} S_j, 0) carries across micro-batches
+    with TWO longs of state per entity (running prefix sum S and its
+    running minimum M) — balance never needs the history, just the
+    carried (S, M). The streaming twin of value_clamped_ledger.
+
+    Bucketed keying + vectorized per-entity segmented cumsum (prefix
+    sums restart per entity via a repeat-subtract on segment starts;
+    running mins via np.minimum.accumulate segment-seeded), per the
+    measured key-cardinality rule (SCALING.md r8)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            su, ss, sm = (np.asarray(x, dtype="int64") for x in state.get)
+        else:
+            su = ss = sm = np.empty(0, dtype="int64")
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
+            u = pdf[key_col].to_numpy(dtype="int64")
+            d = pdf[delta_col].to_numpy(dtype="int64")
+            n = len(u)
+            first = np.empty(n, dtype=bool)
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+            fi = np.flatnonzero(first)
+            seg = np.repeat(np.arange(len(fi)), np.diff(np.append(fi, n)))
+            # carried (S, M) per segment; users with no state start (0, 0)
+            carry_s = np.zeros(len(fi), dtype="int64")
+            carry_m = np.zeros(len(fi), dtype="int64")
+            if len(su):
+                pos = {int(x): i for i, x in enumerate(su)}
+                cp = np.array([pos.get(int(x), -1) for x in u[fi]], dtype="int64")
+                hc = cp >= 0
+                if hc.any():
+                    carry_s[hc] = ss[cp[hc]]
+                    carry_m[hc] = sm[cp[hc]]
+            # segmented prefix sums: global cumsum minus the value just
+            # before each segment start, plus the segment's carried S
+            cs = np.cumsum(d)
+            base = np.concatenate(([0], cs))[fi]
+            S = cs - base[seg] + carry_s[seg]
+            # segmented running min seeded by carried M: np.minimum
+            # accumulate per segment via the "reset at starts" trick
+            Mseed = np.minimum(carry_m, S[fi])
+            work = S.copy()
+            work[fi] = Mseed
+            # np.minimum.accumulate crosses segments; offset each segment
+            # into its own DESCENDING value band (later segments lower)
+            # so an earlier segment's running min can never win inside a
+            # later one, accumulate, restore. Valid while |S| < BAND
+            # (2^42 cents = $4.4e10 per entity — document, don't hope).
+            BAND = np.int64(1) << 42
+            off = seg * (np.int64(2) * BAND)
+            shifted = work - off
+            acc = np.minimum.accumulate(shifted)
+            M = acc + off
+            bal = S - np.minimum(M, 0)
+            yield pd.DataFrame(
+                {
+                    "user_id": u,
+                    "ts": pdf[ts_cols[0]].to_numpy(),
+                    "event_id": pdf[ts_cols[1]].to_numpy(dtype="int64"),
+                    "delta": np.round(d / 100.0, 2),
+                    "balance": np.round(bal / 100.0, 2),
+                }
+            )
+            # new state per entity = its last (S, M)
+            last = np.empty(n, dtype=bool)
+            last[:-1] = u[1:] != u[:-1]
+            last[-1] = True
+            li = np.flatnonzero(last)
+            upd = {int(u[i]): (int(S[i]), int(M[i])) for i in li}
+            keep = (
+                np.array([int(x) not in upd for x in su], dtype=bool)
+                if len(su)
+                else np.empty(0, dtype=bool)
+            )
+            nu = np.array(sorted(upd), dtype="int64")
+            su = np.concatenate([su[keep], nu])
+            ss = np.concatenate(
+                [ss[keep], np.array([upd[int(x)][0] for x in nu], dtype="int64")]
+            )
+            sm = np.concatenate(
+                [sm[keep], np.array([upd[int(x)][1] for x in nu], dtype="int64")]
+            )
+        state.update(
+            ([int(x) for x in su], [int(x) for x in ss], [int(x) for x in sm])
+        )
+
+    bucketed = df.withColumn(
+        "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        fn, LEDGER_OUT, _LEDGER_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -967,3 +967,42 @@ def test_gap_fill_stream_cross_batch_gap(spark, tmp_path):
         (2, True, 0, 2.0),
         (3, False, 1, 7.0),
     ]
+
+
+def test_clamped_ledger_cross_batch_and_segments(spark, tmp_path):
+    """(S, M) state carries across batches (a clamp engaging on a
+    boundary-spanning drawdown still floors at 0) and multiple users in
+    ONE bucket keep independent balances (the segmented running-min
+    band trick must not bleed across users)."""
+    from flink_tutorial_spark.streaming.stateful import clamped_ledger
+
+    src = str(tmp_path / "src")
+    # users 0 and 64 land in the SAME bucket (64 % 64 == 0)
+    write_batches(
+        src,
+        [
+            [_row(1, user=0, value=500), _row(1, user=64, value=300)],
+            # user 0: -800 would go negative -> clamps to 0;
+            # user 64 must NOT be affected by user 0's drawdown
+            [_row(2, user=0, value=-800), _row(2, user=64, value=-100)],
+            [_row(3, user=0, value=400), _row(3, user=64, value=-50)],
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: clamped_ledger(
+            s.selectExpr(
+                "user AS user_id", "ts",
+                "CAST(value AS LONG) AS delta_c",
+                "CAST(0 AS LONG) AS event_id",
+            ),
+            "user_id",
+            ["ts", "event_id"],
+            "delta_c",
+        ),
+        "append",
+    ).collect()
+    by = {(r.user_id, r.ts.second): r.balance for r in got}
+    assert by[(0, 1)] == 5.0 and by[(0, 2)] == 0.0 and by[(0, 3)] == 4.0
+    assert by[(64, 1)] == 3.0 and by[(64, 2)] == 2.0 and by[(64, 3)] == 1.5
