@@ -94,11 +94,14 @@ def pagerank(
     nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
-        return nodes.select(
+        out = nodes.select(
             F.col("item").alias("item_id"),
             F.lit(0).cast("long").alias("rank_fp"),
             F.lit(0.0).alias("rank"),
         )
+        e.unpersist()
+        nodes.unpersist()
+        return out
     base = 15 * scale // (100 * n)
     ranks = nodes.select("item", F.lit(scale // n).cast("long").alias("r"))
     for i in range(iterations):

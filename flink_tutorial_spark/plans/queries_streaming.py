@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from flink_tutorial_spark.plans.catalog import query
 from flink_tutorial_spark.plans.parity import dec_sum
-from flink_tutorial_spark.streaming.run import run_to_memory, stream_table
+from flink_tutorial_spark.streaming.run import (
+    run_to_memory,
+    run_to_parquet,
+    stream_table,
+)
 
 
 @query(
@@ -1904,23 +1908,8 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("v"))
         .select("event_type", F.col("w.start").alias("h"), "v")
     )
-    root = _scratch_dir()
-    handoff = f"{root}/anomaly_handoff_{_uuid.uuid4().hex[:8]}"
-    n_part = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
-    try:
-        q1 = (
-            buckets.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", handoff)
-            .option("checkpointLocation", f"{handoff}_ckpt")
-            .start()
-        )
-        q1.processAllAvailable()
-        q1.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    handoff = f"{_scratch_dir()}/anomaly_handoff_{_uuid.uuid4().hex[:8]}"
+    run_to_parquet(buckets, handoff)
     schema = StructType(
         [
             StructField("event_type", StringType()),
@@ -2051,21 +2040,7 @@ def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("w.start").alias("h"), "n", "v_fp")
     )
     handoff = f"{_scratch_dir()}/gapfill_handoff_{_uuid.uuid4().hex[:8]}"
-    n_part = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
-    try:
-        q1 = (
-            buckets.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", handoff)
-            .option("checkpointLocation", f"{handoff}_ckpt")
-            .start()
-        )
-        q1.processAllAvailable()
-        q1.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    run_to_parquet(buckets, handoff)
     schema = StructType(
         [
             StructField("event_type", StringType()),

@@ -235,7 +235,11 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.count("*").over(roll).cast("long").alias("n"),
         F.sum("v").over(roll).cast("long").alias("s"),
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).over(roll).alias("s2"),
+        # cast BEFORE the multiply: a long*long product wraps silently
+        # at |v| ~ 3e9 and only then would hit the decimal cast
+        F.sum(
+            F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+        ).over(roll).alias("s2"),
     ).where(F.col("n") >= 12)
     mean = F.lit(1.0) * F.col("s") / F.col("n")
     sd = F.sqrt(

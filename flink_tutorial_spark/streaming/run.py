@@ -70,3 +70,30 @@ def run_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_to_parquet(
+    out: DataFrame, path: str, state_partitions: int | None = None
+) -> None:
+    """Execute a streaming DataFrame to completion into a parquet
+    directory (append mode) — the durable-handoff half of a two-job
+    topology (bucket job -> files-as-topic -> consumer job). Same
+    state-partition pinning contract and thread-safety caveat as
+    run_to_memory; the pin stays for the WHOLE run because the file
+    sink commits state per micro-batch."""
+    spark = out.sparkSession
+    n = state_partitions or int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", f"{path}_ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

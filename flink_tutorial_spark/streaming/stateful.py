@@ -458,7 +458,7 @@ def transition_pairs(
             )
         state.update(([int(x) for x in su], [int(x) for x in sl]))
 
-    bucketed = df.withColumn(
+    bucketed = df.where(F.col(item_col).isNotNull()).withColumn(
         "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
     )
     return bucketed.groupBy("_bucket").applyInPandasWithState(
@@ -608,7 +608,9 @@ def scd2_closed_intervals(
     |users/bucket| longs.
 
     Input must arrive time-ordered per entity across batches (same
-    contract as transition_pairs)."""
+    contract as transition_pairs). Null items are dropped before the
+    state op (same guard and same dirty-data-only delta as
+    transition_pairs)."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -710,7 +712,7 @@ def scd2_closed_intervals(
              [int(x) for x in sf_], [int(x) for x in sv])
         )
 
-    bucketed = df.withColumn(
+    bucketed = df.where(F.col(item_col).isNotNull()).withColumn(
         "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
     )
     return bucketed.groupBy("_bucket").applyInPandasWithState(
@@ -873,16 +875,14 @@ def clamped_ledger(
             Mseed = np.minimum(carry_m, S[fi])
             work = S.copy()
             work[fi] = Mseed
-            # np.minimum.accumulate crosses segments; offset each segment
-            # into its own DESCENDING value band (later segments lower)
-            # so an earlier segment's running min can never win inside a
-            # later one, accumulate, restore. Valid while |S| < BAND
-            # (2^42 cents = $4.4e10 per entity — document, don't hope).
-            BAND = np.int64(1) << 42
-            off = seg * (np.int64(2) * BAND)
-            shifted = work - off
-            acc = np.minimum.accumulate(shifted)
-            M = acc + off
+            # segmented running min via pandas' C-level groupby cummin —
+            # no value-band offsets, so neither |S| nor the number of
+            # segments per batch has an overflow envelope (a band trick
+            # here would cap segments at ~2^20 per bucket-batch and |S|
+            # at the band width)
+            M = (
+                pd.Series(work).groupby(seg).cummin().to_numpy(dtype="int64")
+            )
             bal = S - np.minimum(M, 0)
             yield pd.DataFrame(
                 {
@@ -916,7 +916,7 @@ def clamped_ledger(
             ([int(x) for x in su], [int(x) for x in ss], [int(x) for x in sm])
         )
 
-    bucketed = df.withColumn(
+    bucketed = df.where(F.col(delta_col).isNotNull()).withColumn(
         "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
     )
     return bucketed.groupBy("_bucket").applyInPandasWithState(

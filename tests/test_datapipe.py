@@ -579,7 +579,9 @@ def test_code_prose_mix_detect(spark):
     )
     got = {r.doc_id: r for r in code_prose_mix_detect(docs).collect()}
     assert got[1].is_mixed and 0 < got[1].code_ratio < 1
-    assert got[1].n_chunks == got[1].n_code + (got[1].n_chunks - got[1].n_code)
+    # 8 + 14 + 8 = 30 words -> ceil(30/8) = 4 chunks; the code block
+    # spans chunks 2-3 so 1-2 of them cross the marker threshold
+    assert got[1].n_chunks == 4 and 1 <= got[1].n_code <= 2
     assert not got[2].is_mixed and got[2].n_code == 0 and got[2].code_ratio == 0.0
     assert not got[3].is_mixed and got[3].n_code == got[3].n_chunks
     assert got[3].code_ratio == 1.0
