@@ -2214,3 +2214,70 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rel, key in (("orders", "o_custkey"), ("events", "user_id")):
         out = out.unionByName(one(rel, key))
     return out
+
+
+_COLSTAT_ONE = """
+  SELECT '{rel}' AS rel, '{col}' AS col,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         round((count(*) - count({col})) / count(*), 6) AS null_ratio,
+         round(count(DISTINCT {col}) / count(*), 6) AS distinct_ratio
+  FROM {rel}
+"""
+
+_COLSTAT_COLS = (
+    ("events", "event_type"),
+    ("events", "value"),
+    ("events", "user_id"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_orderstatus"),
+    ("lineitem", "l_returnflag"),
+)
+
+
+@query(
+    "profile_column_stats",
+    oracle="UNION ALL".join(
+        _COLSTAT_ONE.format(rel=r, col=c) for r, c in _COLSTAT_COLS
+    ),
+    tags=("datapipe", "profile"),
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile — the ingestion report next to
+    profile_key_skew's shuffle diagnostic: per (table, column) row
+    count, null count/ratio, and exact distinct count/ratio. A
+    distinct_ratio near 1 says 'key-like' (dedup on it), near 0 says
+    'categorical' (dictionary-encode, broadcast), a nonzero null_ratio
+    gates the null-handling path.
+
+    Scale shape: per column one partial-aggregable pass (count/
+    count-nonnull) plus one exact two-phase distinct (the expand+agg
+    Spark plans for countDistinct — at cardinalities too big to
+    shuffle, approx_count_distinct is the documented sketch fallback);
+    1-row results union driver-free. Columns profiled together on the
+    same table share the scan."""
+    from pyspark.sql import DataFrame as _DF
+
+    def one(rel: str, col: str) -> _DF:
+        t = load_table(spark, sf_dir, rel)
+        return t.agg(
+            F.lit(rel).alias("rel"),
+            F.lit(col).alias("col"),
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count(col)).cast("long").alias("n_nulls"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.round((F.count("*") - F.count(col)) / F.count("*"), 6).alias(
+                "null_ratio"
+            ),
+            F.round(F.countDistinct(col) / F.count("*"), 6).alias(
+                "distinct_ratio"
+            ),
+        )
+
+    out = None
+    for rel, col in _COLSTAT_COLS:
+        frame = one(rel, col)
+        out = frame if out is None else out.unionByName(frame)
+    return out
