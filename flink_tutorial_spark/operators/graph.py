@@ -274,3 +274,38 @@ def label_propagation(und: DataFrame, iterations: int = 2) -> DataFrame:
         F.col("node").cast("long").alias("item_id"),
         F.col("lbl").cast("long").alias("community"),
     )
+
+
+def bfs_hops(edges: DataFrame, source_item: int, max_hops: int = 4) -> DataFrame:
+    """Single-source hop distances (BFS) over directed (src, dst, cnt)
+    edges, `max_hops` synchronous frontier rounds: dist starts {source:
+    0}; each round adds every destination reachable from the current
+    table at +1 hop and keeps the per-node minimum. Nodes unreached
+    within the bound are absent (a production run raises the bound or
+    switches to iterate-until-fixpoint with the same loop body).
+    Returns (item_id, hops).
+
+    Scale shape: the classic Pregel/frontier loop — per round one
+    equi-join of the dist table against the cached edge list (shuffle
+    on item id) + one partial-aggregable min-groupBy; dist is
+    localCheckpointed per round (flat lineage). Integer hop counts, so
+    the result is bit-exact against an unrolled-CTE oracle."""
+    e = edges.select("src", "dst").localCheckpoint()
+    dist = e.sparkSession.createDataFrame(
+        [(source_item, 0)], "item int, hops int"
+    )
+    for _ in range(max_hops):
+        step = (
+            e.join(dist, e.src == dist.item)
+            .select(F.col("dst").alias("item"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("item")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("item").cast("long").alias("item_id"),
+        F.col("hops").cast("long").alias("hops"),
+    )

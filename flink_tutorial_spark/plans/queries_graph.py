@@ -197,3 +197,40 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.transition_edges(_events_with_item(spark, sf_dir)), min_weight=2
     )
     return G.label_propagation(und, iterations=2)
+
+
+_BFS_ITER = """
+d{i} AS (
+  SELECT item, min(hops) AS hops FROM (
+    SELECT item, hops FROM d{p}
+    UNION ALL
+    SELECT e.dst AS item, d.hops + 1 AS hops
+    FROM edges e JOIN d{p} d ON e.src = d.item
+  ) GROUP BY item
+)"""
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+WITH {_EDGES},
+d0 AS (SELECT 0 AS item, 0 AS hops),
+{",".join(_BFS_ITER.format(i=i, p=i - 1) for i in (1, 2, 3, 4))}
+SELECT CAST(item AS BIGINT) AS item_id, CAST(hops AS BIGINT) AS hops
+FROM d4
+""",
+    tags=("graph", "iterate"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source hop distances (BFS, 4 synchronous frontier rounds
+    from item 0) over the directed transition graph — the remaining
+    classic Pregel op next to PageRank / connected components / label
+    propagation / triangles: 'how many clicks from the landing page'.
+    Integer hops, so the distributed loop is bit-exact against the
+    unrolled-CTE oracle. See operators/graph.py:bfs_hops for the
+    frontier-loop scale shape."""
+    return G.bfs_hops(
+        G.transition_edges(_events_with_item(spark, sf_dir)),
+        source_item=0,
+        max_hops=4,
+    )

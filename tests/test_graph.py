@@ -116,3 +116,20 @@ def test_label_propagation_deterministic_tie_break(spark):
     )
     got = {r.item_id: r.community for r in G.label_propagation(und, 1).collect()}
     assert got[5] == 1
+
+
+def test_bfs_hops_chain_and_unreached(spark):
+    """Hop distances on a directed chain with a shortcut: min wins;
+    nodes beyond max_hops (or unreachable against edge direction) are
+    absent."""
+    e = _edges(
+        spark,
+        # 0 -> 1 -> 2 -> 3 -> 4 -> 5 (chain), plus shortcut 0 -> 3
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1), (0, 3, 1),
+         # 9 -> 0: reachable only AGAINST direction from 0
+         (9, 0, 1)],
+    )
+    got = {r.item_id: r.hops for r in G.bfs_hops(e, 0, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+    # 9 unreachable (wrong direction); nothing beyond 4 hops needed here
+    assert 9 not in got
