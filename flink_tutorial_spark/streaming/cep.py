@@ -21,6 +21,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from flink_tutorial_spark.streaming.stateful import _one_frame, _ts_us
+
 SEQ_OUT = StructType(
     [
         StructField("key", LongType()),
@@ -73,45 +75,48 @@ def detect_consecutive(
 
         carry = list(state.get[0]) if state.exists else []
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values(ts_col)
             # micros end-to-end: second-truncated bounds would disagree
             # with the relational oracle on sub-second margins
-            ts = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+            ts = _ts_us(pdf[ts_col]).to_numpy()
             flags = pdf[flag_col].to_numpy(dtype=bool)
             run_id = np.cumsum(~flags)
             flagged = np.flatnonzero(flags)
             if len(flagged) == 0:
                 carry = []
-                continue
-            rids = run_id[flagged]
-            splits = np.flatnonzero(np.diff(rids)) + 1
-            runs = np.split(ts[flagged], splits)
-            T = runs[-1]
-            for gi, run_ts in enumerate(runs):
-                carried = 0
-                if gi == 0 and flags[0] and carry:
-                    carried = len(carry)
-                    run_ts = np.concatenate(
-                        [np.asarray(carry, dtype="int64"), run_ts]
-                    )
-                for m in range(n, hi + 1):
-                    if len(run_ts) >= m:
-                        # skip windows ending inside the carry: those
-                        # match positions already emitted last batch
-                        j0 = max(0, carried - m + 1)
-                        last = run_ts[m - 1 + j0 :]
-                        first = run_ts[j0 : len(run_ts) - m + 1]
-                        ok = (last - first) <= within_seconds * 1_000_000
-                        out.extend(
-                            (key[0], int(fb), int(lb), m)
-                            for fb, lb in zip(first[ok], last[ok])
+            else:
+                rids = run_id[flagged]
+                splits = np.flatnonzero(np.diff(rids)) + 1
+                runs = np.split(ts[flagged], splits)
+                T = runs[-1]
+                for gi, run_ts in enumerate(runs):
+                    carried = 0
+                    if gi == 0 and flags[0] and carry:
+                        carried = len(carry)
+                        run_ts = np.concatenate(
+                            [np.asarray(carry, dtype="int64"), run_ts]
                         )
-                if gi == len(runs) - 1:
-                    T = run_ts
-            carry = [int(x) for x in T[-(hi - 1) :]] if (flags[-1] and hi > 1) else []
+                    for m in range(n, hi + 1):
+                        if len(run_ts) >= m:
+                            # skip windows ending inside the carry: those
+                            # match positions already emitted last batch
+                            j0 = max(0, carried - m + 1)
+                            last = run_ts[m - 1 + j0 :]
+                            first = run_ts[j0 : len(run_ts) - m + 1]
+                            ok = (last - first) <= within_seconds * 1_000_000
+                            out.extend(
+                                (key[0], int(fb), int(lb), m)
+                                for fb, lb in zip(first[ok], last[ok])
+                            )
+                    if gi == len(runs) - 1:
+                        T = run_ts
+                carry = (
+                    [int(x) for x in T[-(hi - 1) :]]
+                    if (flags[-1] and hi > 1)
+                    else []
+                )
         state.update((carry,))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQ_OUT.fields])
@@ -176,7 +181,7 @@ def _sequence_advance_batch(
         pdf = pdf.sort_values(ts_col)
         # micros end-to-end (sub-second margins must agree with the
         # relational oracle)
-        ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+        ts_us = _ts_us(pdf[ts_col]).to_numpy()
         # per step column: sorted event times where the flag is set
         step_ts = [ts_us[pdf[c].to_numpy(dtype=bool)] for c in step_cols]
         if veto_col:
@@ -328,7 +333,8 @@ def detect_sequence(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         st = tuple(state.get) if state.exists else None
         out = []
-        for pdf in pdfs:
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             rows, st = _sequence_advance_batch(
                 key[0], pdf, st, chains, step_cols, ts_col, veto_col, within_us
             )
@@ -375,11 +381,10 @@ def timer_gated_forward(
 
         (open_until,) = state.get if state.exists else (0,)
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values(ts_col)
-            ts = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+            ts = (_ts_us(pdf[ts_col]) // 1_000_000).to_numpy()
             kinds = pdf[kind_col].to_numpy()
             # gate deadline in effect at each row = running max of every
             # prior control's (ts + open) and the carried-in deadline —
@@ -522,14 +527,13 @@ def match_or_timeout(
             state.remove()
         else:
             start_ts, start_value = state.get if state.exists else (0, 0.0)
-            for pdf in pdfs:
-                if len(pdf) == 0:
-                    continue
+            pdf = _one_frame(pdfs)
+            if pdf is not None:
                 # deterministic order: ts, then kind ascending (stable
                 # mergesort) so equal-ts start/end pairs always process
                 # end-first, mirroring the oracle's ORDER BY ts, kind
                 pdf = pdf.sort_values([ts_col, kind_col], kind="mergesort")
-                ts_arr = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+                ts_arr = _ts_us(pdf[ts_col]).to_numpy()
                 kind_arr = pdf[kind_col].to_numpy()
                 val_arr = pdf["value"].to_numpy(dtype="float64")
                 rows, (start_ts, start_value) = _match_advance_batch(

@@ -93,7 +93,11 @@ def run_to_parquet(
             .option("checkpointLocation", f"{path}_ckpt")
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            # mirror run_to_memory: a raise must not leak a live query
+            # still writing to the handoff while the conf is restored
+            q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

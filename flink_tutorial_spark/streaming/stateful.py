@@ -63,6 +63,41 @@ def keyed_process(
     )
 
 
+def _one_frame(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+    """Concatenate a group's Arrow chunk iterator into ONE frame.
+
+    applyInPandasWithState guarantees GROUPING, not intra-group chunk
+    order: a group larger than spark.sql.execution.arrow.maxRecordsPerBatch
+    (default 10k rows) arrives as several chunks in storage order, so
+    sorting each chunk independently would treat an earlier-time row in a
+    later chunk as a fresh ordered run and corrupt any carry logic.
+    Every stateful op below therefore collects the whole micro-batch
+    group first and sorts ONCE. Memory is bounded by the op's keying
+    contract (per-key / per-bucket batch volume, documented per op)."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    return chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+
+
+def _ts_us(s: pd.Series) -> pd.Series:
+    """Timestamp column -> int64 microseconds, resolution-independent.
+
+    Arrow->pandas may hand back datetime64[us] (pandas 2 non-ns units)
+    instead of datetime64[ns]; a bare .astype('int64') would then be
+    1000x off. Normalizing to ns first makes the // 1_000 exact
+    regardless of the environment's resolution."""
+    return s.astype("datetime64[ns]").astype("int64") // 1_000
+
+
+#: sentinel encoding SQL NULL for item/value columns inside int64 state
+#: arrays ("no previous row" and "null item" share it deliberately:
+#: lag() can't distinguish them either, which is exactly the three-
+#: valued-logic contract the oracles state). Far outside any real id
+#: space (items are application ids; testdata uses small naturals).
+NULL_SENTINEL = -(1 << 62)
+
+
 COUNT_WINDOW_OUT = StructType(
     [
         StructField("key", StringType()),
@@ -102,10 +137,9 @@ def count_window_sum(
 
         buf_cnt, buf_sum, emitted = state.get if state.exists else (0, 0.0, 0)
         out = []
-        for pdf in pdfs:
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             vals = pdf.sort_values(order)[value_col].to_numpy(dtype="float64")
-            if len(vals) == 0:
-                continue
             cs = np.cumsum(vals)
             total = buf_cnt + len(vals)
             complete = total // n
@@ -165,9 +199,8 @@ def sliding_count_window_sum(
         )
         recent = list(recent)
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             vals = pdf.sort_values([ts_col, value_col])[value_col].to_numpy(
                 dtype="float64"
             )
@@ -220,9 +253,10 @@ def windowed_count_with_running_total(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (total,) = state.get if state.exists else (0,)
         rows = []
-        for pdf in pdfs:
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.assign(
-                _w=(pdf[ts_col].astype("int64") // 1_000_000_000 // window_seconds)
+                _w=(_ts_us(pdf[ts_col]) // 1_000_000 // window_seconds)
                 * window_seconds
             )
             for w, grp in pdf.groupby("_w", sort=True):
@@ -307,12 +341,11 @@ def blacklist_filter(
             else None
         )
         max_day = int(max(days)) if len(days) else None
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        whole = _one_frame(pdfs)
+        for pdf in ([whole] if whole is not None else []):
             merged = pdf.sort_values([ts_col, order_col], kind="mergesort").assign(
                 _it=pdf[ad_col].astype("int64"),
-                _dy=pdf[day_col].astype("int64") // 1_000,
+                _dy=_ts_us(pdf[day_col]),
             )
             grp = merged.groupby(["_it", "_dy"], sort=False)
             if carried is not None:  # splice counts carried across batches
@@ -402,7 +435,13 @@ def transition_pairs(
     paid one python dispatch per user per batch (~10s at sf1's 15k
     users); bucketing to ``n_buckets`` groups cut the same work to the
     vectorized cost. State per bucket: 2 arrays of |users/bucket|
-    longs."""
+    longs.
+
+    NULL items break the chain exactly like the batch twin's lag():
+    no edge into or out of a null, and the null becomes the carried
+    last-item so the next real item emits nothing either (SQL
+    three-valued ``prev IS NOT NULL AND prev <> item``). Encoded as
+    NULL_SENTINEL in the int64 state arrays."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -411,12 +450,11 @@ def transition_pairs(
             su, sl = (np.asarray(x, dtype="int64") for x in state.get)
         else:
             su = sl = np.empty(0, dtype="int64")
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
             u = pdf[key_col].to_numpy(dtype="int64")
-            it = pdf[item_col].to_numpy(dtype="int64")
+            it = pdf["_item_s"].to_numpy(dtype="int64")
             n = len(u)
             first = np.empty(n, dtype=bool)
             first[0] = True
@@ -424,19 +462,22 @@ def transition_pairs(
             fi = np.flatnonzero(first)
             prev_it = np.empty(n, dtype="int64")
             prev_it[1:] = it[:-1]
-            valid = np.ones(n, dtype=bool)
+            # first row per user: carried last item, or NULL_SENTINEL for
+            # never-seen users ("no previous row" == "null previous item"
+            # under the lag() contract)
+            pf = np.full(len(fi), NULL_SENTINEL, dtype="int64")
             if len(su):
                 pos = {int(x): i for i, x in enumerate(su)}
                 cp = np.array([pos.get(int(x), -1) for x in u[fi]], dtype="int64")
                 hc = cp >= 0
-                pf = np.empty(len(fi), dtype="int64")
                 if hc.any():
                     pf[hc] = sl[cp[hc]]
-                prev_it[fi] = np.where(hc, pf, 0)
-                valid[fi] = hc
-            else:
-                valid[fi] = False
-            emit = valid & (prev_it != it)
+            prev_it[fi] = pf
+            emit = (
+                (prev_it != NULL_SENTINEL)
+                & (it != NULL_SENTINEL)
+                & (prev_it != it)
+            )
             if emit.any():
                 ei = np.flatnonzero(emit)
                 yield pd.DataFrame({"src": prev_it[ei], "dst": it[ei]})
@@ -458,9 +499,9 @@ def transition_pairs(
             )
         state.update(([int(x) for x in su], [int(x) for x in sl]))
 
-    bucketed = df.where(F.col(item_col).isNotNull()).withColumn(
-        "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
-    )
+    bucketed = df.withColumn(
+        "_item_s", F.coalesce(F.col(item_col).cast("long"), F.lit(NULL_SENTINEL))
+    ).withColumn("_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long"))
     return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, TRANSITION_OUT, _TRANSITION_STATE, "append", GroupStateTimeout.NoTimeout
     )
@@ -523,9 +564,8 @@ def rolling_zscore(
 
         ring = list(state.get[0]) if state.exists else []
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[val_col]):
                 v = int(v)
@@ -576,6 +616,11 @@ _SCD2_STATE = StructType(
         StructField("items", ArrayType(LongType())),
         StructField("from_us", ArrayType(LongType())),
         StructField("vers", ArrayType(LongType())),
+        # last ROW's item (may be NULL_SENTINEL) — distinct from the open
+        # interval's item: lag() compares against the previous row, so a
+        # trailing null must make the next row a change row even when its
+        # item matches the open interval
+        StructField("lasts", ArrayType(LongType())),
     ]
 )
 
@@ -608,24 +653,28 @@ def scd2_closed_intervals(
     |users/bucket| longs.
 
     Input must arrive time-ordered per entity across batches (same
-    contract as transition_pairs). Null items are dropped before the
-    state op (same guard and same dirty-data-only delta as
-    transition_pairs)."""
+    contract as transition_pairs). NULL items follow the oracle's exact
+    lag() three-valued semantics: a null row never closes the open
+    interval itself (``prev <> item`` is unknown), but the row AFTER a
+    null is always a change row (``prev IS NULL``) — so a null can both
+    extend an interval across itself and force a same-item re-open, and
+    a null preceded by a null opens a NULL-item interval. Encoded with
+    NULL_SENTINEL; the last ROW's item is carried separately from the
+    open interval's item."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         if state.exists:
-            su, si, sf_, sv = (np.asarray(x, dtype="int64") for x in state.get)
+            su, si, sf_, sv, sla = (np.asarray(x, dtype="int64") for x in state.get)
         else:
-            su = si = sf_ = sv = np.empty(0, dtype="int64")
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+            su = si = sf_ = sv = sla = np.empty(0, dtype="int64")
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
             u = pdf[key_col].to_numpy(dtype="int64")
-            t = (pdf[ts_cols[0]].astype("int64") // 1_000).to_numpy()
-            it = pdf[item_col].to_numpy(dtype="int64")
+            t = _ts_us(pdf[ts_cols[0]]).to_numpy()
+            it = pdf["_item_s"].to_numpy(dtype="int64")
             n = len(u)
             first = np.empty(n, dtype=bool)
             first[0] = True
@@ -642,12 +691,16 @@ def scd2_closed_intervals(
             prev_it[1:] = it[:-1]
             fi0 = np.flatnonzero(first)
             hc = has_carry[fi0]
-            # no-carry firsts: force a change by comparing to item+1
-            prev_first = it[fi0] + 1
+            # first row per user: previous ROW's item from state, or
+            # NULL_SENTINEL for never-seen users (lag() returns NULL)
+            prev_first = np.full(len(fi0), NULL_SENTINEL, dtype="int64")
             if hc.any():
-                prev_first[hc] = si[carry_pos[fi0][hc]]
+                prev_first[hc] = sla[carry_pos[fi0][hc]]
             prev_it[fi0] = prev_first
-            change = it != prev_it
+            # oracle ch: prev IS NULL OR prev <> item (three-valued)
+            change = (prev_it == NULL_SENTINEL) | (
+                (it != NULL_SENTINEL) & (it != prev_it)
+            )
             # start rows of this batch = change rows; prepend the carried
             # interval as a synthetic start for users that have one
             ch = np.flatnonzero(change)
@@ -665,9 +718,9 @@ def scd2_closed_intervals(
             )
             o = np.lexsort((order0, s_t, s_u))
             s_u, s_t, s_i, s_base = s_u[o], s_t[o], s_i[o], s_base[o]
+            # m > 0 always: every user with rows has either a carried
+            # synthetic start or a change first row (prev IS NULL)
             m = len(s_u)
-            if m == 0:
-                continue
             sfirst = np.empty(m, dtype=bool)
             sfirst[0] = True
             sfirst[1:] = s_u[1:] != s_u[:-1]
@@ -681,16 +734,21 @@ def scd2_closed_intervals(
             closed[-1] = False
             if closed.any():
                 ci = np.flatnonzero(closed)
+                iv = s_i[ci]
                 yield pd.DataFrame(
                     {
                         "user_id": s_u[ci],
-                        "item_id": s_i[ci],
+                        "item_id": pd.Series(iv, dtype="Int64").mask(
+                            pd.Series(iv == NULL_SENTINEL)
+                        ),
                         "effective_from": pd.to_datetime(s_t[ci], unit="us"),
                         "effective_to": pd.to_datetime(s_t[ci + 1], unit="us"),
                         "version": version[ci],
                     }
                 )
-            # new open interval per user in this batch = its LAST start
+            # new open interval per user in this batch = its LAST start;
+            # the carried last-ROW item comes from the raw batch (it may
+            # be a null or a repeat that is not a start row)
             last = np.empty(m, dtype=bool)
             last[:-1] = s_u[1:] != s_u[:-1]
             last[-1] = True
@@ -699,22 +757,33 @@ def scd2_closed_intervals(
                 int(s_u[i]): (int(s_i[i]), int(s_t[i]), int(version[i]))
                 for i in li
             }
+            lastr = np.empty(n, dtype=bool)
+            lastr[:-1] = u[1:] != u[:-1]
+            lastr[-1] = True
+            last_item = {int(u[i]): int(it[i]) for i in np.flatnonzero(lastr)}
             keep = np.array(
                 [int(x) not in upd for x in su], dtype=bool
             ) if len(su) else np.empty(0, dtype=bool)
+            # every batch user is in upd (synthetic or change start), so
+            # kept rows are exactly the users untouched this batch
             nu = np.array(sorted(upd), dtype="int64")
+            sla_k = sla[keep]
             su = np.concatenate([su[keep], nu])
             si = np.concatenate([si[keep], np.array([upd[int(x)][0] for x in nu], dtype="int64")])
             sf_ = np.concatenate([sf_[keep], np.array([upd[int(x)][1] for x in nu], dtype="int64")])
             sv = np.concatenate([sv[keep], np.array([upd[int(x)][2] for x in nu], dtype="int64")])
+            sla = np.concatenate(
+                [sla_k, np.array([last_item[int(x)] for x in nu], dtype="int64")]
+            )
         state.update(
             ([int(x) for x in su], [int(x) for x in si],
-             [int(x) for x in sf_], [int(x) for x in sv])
+             [int(x) for x in sf_], [int(x) for x in sv],
+             [int(x) for x in sla])
         )
 
-    bucketed = df.where(F.col(item_col).isNotNull()).withColumn(
-        "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
-    )
+    bucketed = df.withColumn(
+        "_item_s", F.coalesce(F.col(item_col).cast("long"), F.lit(NULL_SENTINEL))
+    ).withColumn("_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long"))
     return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, SCD2_OUT, _SCD2_STATE, "append", GroupStateTimeout.NoTimeout
     )
@@ -765,11 +834,10 @@ def gap_fill_stream(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
             return _round_away(float(v) / (n * 1000000.0), 6)
 
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values(ts_col)
-            hs = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+            hs = _ts_us(pdf[ts_col]).to_numpy()
             ns = pdf["n"].to_numpy(dtype="int64")
             vs = pdf["v_fp"].to_numpy(dtype="int64")
             for h, n, v in zip(hs, ns, vs):
@@ -814,6 +882,10 @@ _LEDGER_STATE = StructType(
         StructField("users", ArrayType(LongType())),
         StructField("run_s", ArrayType(LongType())),
         StructField("run_min", ArrayType(LongType())),
+        # 1 once the user has had any NON-NULL delta: SQL sum() OVER is
+        # NULL until the first non-null operand, so balances before that
+        # point must emit NULL, not 0
+        StructField("seen", ArrayType(LongType())),
     ]
 )
 
@@ -840,24 +912,25 @@ def clamped_ledger(
         import numpy as np
 
         if state.exists:
-            su, ss, sm = (np.asarray(x, dtype="int64") for x in state.get)
+            su, ss, sm, sn = (np.asarray(x, dtype="int64") for x in state.get)
         else:
-            su = ss = sm = np.empty(0, dtype="int64")
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+            su = ss = sm = sn = np.empty(0, dtype="int64")
+        pdf = _one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
             u = pdf[key_col].to_numpy(dtype="int64")
-            d = pdf[delta_col].to_numpy(dtype="int64")
+            nul = pdf["_dnull"].to_numpy(dtype=bool)
+            d = pdf["_dfill"].to_numpy(dtype="int64")
             n = len(u)
             first = np.empty(n, dtype=bool)
             first[0] = True
             first[1:] = u[1:] != u[:-1]
             fi = np.flatnonzero(first)
             seg = np.repeat(np.arange(len(fi)), np.diff(np.append(fi, n)))
-            # carried (S, M) per segment; users with no state start (0, 0)
+            # carried (S, M, seen) per segment; new users start (0, 0, 0)
             carry_s = np.zeros(len(fi), dtype="int64")
             carry_m = np.zeros(len(fi), dtype="int64")
+            carry_n = np.zeros(len(fi), dtype="int64")
             if len(su):
                 pos = {int(x): i for i, x in enumerate(su)}
                 cp = np.array([pos.get(int(x), -1) for x in u[fi]], dtype="int64")
@@ -865,6 +938,7 @@ def clamped_ledger(
                 if hc.any():
                     carry_s[hc] = ss[cp[hc]]
                     carry_m[hc] = sm[cp[hc]]
+                    carry_n[hc] = sn[cp[hc]]
             # segmented prefix sums: global cumsum minus the value just
             # before each segment start, plus the segment's carried S
             cs = np.cumsum(d)
@@ -884,21 +958,35 @@ def clamped_ledger(
                 pd.Series(work).groupby(seg).cummin().to_numpy(dtype="int64")
             )
             bal = S - np.minimum(M, 0)
+            # SQL null semantics: delta NULL on null rows; balance NULL
+            # until the user's first non-null delta (sum OVER is NULL on
+            # an all-null prefix). Running count of non-nulls per segment
+            # (carried) decides definedness.
+            nn = (~nul).astype("int64")
+            cnn = np.cumsum(nn)
+            base_nn = np.concatenate(([0], cnn))[fi]
+            seen_cnt = cnn - base_nn[seg] + carry_n[seg]
+            defined = seen_cnt > 0
             yield pd.DataFrame(
                 {
                     "user_id": u,
                     "ts": pdf[ts_cols[0]].to_numpy(),
                     "event_id": pdf[ts_cols[1]].to_numpy(dtype="int64"),
-                    "delta": np.round(d / 100.0, 2),
-                    "balance": np.round(bal / 100.0, 2),
+                    "delta": np.where(nul, np.nan, np.round(d / 100.0, 2)),
+                    "balance": np.where(
+                        defined, np.round(bal / 100.0, 2), np.nan
+                    ),
                 }
             )
-            # new state per entity = its last (S, M)
+            # new state per entity = its last (S, M, seen)
             last = np.empty(n, dtype=bool)
             last[:-1] = u[1:] != u[:-1]
             last[-1] = True
             li = np.flatnonzero(last)
-            upd = {int(u[i]): (int(S[i]), int(M[i])) for i in li}
+            upd = {
+                int(u[i]): (int(S[i]), int(M[i]), int(seen_cnt[i] > 0))
+                for i in li
+            }
             keep = (
                 np.array([int(x) not in upd for x in su], dtype=bool)
                 if len(su)
@@ -912,12 +1000,18 @@ def clamped_ledger(
             sm = np.concatenate(
                 [sm[keep], np.array([upd[int(x)][1] for x in nu], dtype="int64")]
             )
+            sn = np.concatenate(
+                [sn[keep], np.array([upd[int(x)][2] for x in nu], dtype="int64")]
+            )
         state.update(
-            ([int(x) for x in su], [int(x) for x in ss], [int(x) for x in sm])
+            ([int(x) for x in su], [int(x) for x in ss],
+             [int(x) for x in sm], [int(x) for x in sn])
         )
 
-    bucketed = df.where(F.col(delta_col).isNotNull()).withColumn(
-        "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long")
+    bucketed = (
+        df.withColumn("_dnull", F.col(delta_col).isNull())
+        .withColumn("_dfill", F.coalesce(F.col(delta_col), F.lit(0)).cast("long"))
+        .withColumn("_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("long"))
     )
     return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, LEDGER_OUT, _LEDGER_STATE, "append", GroupStateTimeout.NoTimeout

@@ -1006,3 +1006,320 @@ def test_clamped_ledger_cross_batch_and_segments(spark, tmp_path):
     by = {(r.user_id, r.ts.second): r.balance for r in got}
     assert by[(0, 1)] == 5.0 and by[(0, 2)] == 0.0 and by[(0, 3)] == 4.0
     assert by[(64, 1)] == 3.0 and by[(64, 2)] == 2.0 and by[(64, 3)] == 1.5
+
+
+def test_stateful_chunk_split_large_group(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as SEVERAL
+    pandas chunks whose relative order is storage order, not time order:
+    the op must concat and sort the whole micro-batch group before the
+    carry logic (per-chunk sorting corrupts transitions). Planted: one
+    bucket, 120 rows written in REVERSE time order, chunk size 10."""
+    from flink_tutorial_spark.streaming.stateful import transition_pairs
+
+    src = str(tmp_path / "src")
+    # user 1, items 0..119 at seconds 0..119, file rows REVERSED so the
+    # first arrow chunk holds the LATEST rows
+    rows = [_row(sec, user=1, value=float(sec)) for sec in range(119, -1, -1)]
+    write_batches(src, [rows])
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        got = run_stream(
+            spark,
+            src,
+            lambda s: transition_pairs(
+                s.selectExpr(
+                    "user", "ts", "CAST(value AS LONG) AS item",
+                    "CAST(0 AS LONG) AS event_id",
+                ),
+                "user",
+                ["ts", "event_id"],
+                "item",
+            ),
+            "append",
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    pairs = sorted((r.src, r.dst) for r in got)
+    assert pairs == [(i, i + 1) for i in range(119)]
+
+
+def test_transition_pairs_null_breaks_chain(spark, tmp_path):
+    """NULL items follow the oracle's lag() three-valued semantics: no
+    edge into or out of a null, and the null poisons the next real
+    transition too (prev IS NULL)."""
+    from flink_tutorial_spark.streaming.stateful import transition_pairs
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            # A -> B emits; B -> NULL and NULL -> C must not; C -> D emits
+            [_row(1, user=1, value=10), _row(2, user=1, value=20)],
+            [_row(3, user=1, value=None), _row(4, user=1, value=30)],
+            [_row(5, user=1, value=40)],
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: transition_pairs(
+            s.selectExpr(
+                "user", "ts", "CAST(value AS LONG) AS item",
+                "CAST(0 AS LONG) AS event_id",
+            ),
+            "user",
+            ["ts", "event_id"],
+            "item",
+        ),
+        "append",
+    ).collect()
+    pairs = sorted((r.src, r.dst) for r in got)
+    assert pairs == [(10, 20), (30, 40)]
+
+
+def test_scd2_null_lag_semantics(spark, tmp_path):
+    """NULL rows mirror the SQL oracle exactly: a null never closes the
+    open interval itself, but the row AFTER it is always a change row
+    (prev IS NULL) — even a same-item repeat re-opens; a null preceded
+    by a null opens a NULL-item interval."""
+    from flink_tutorial_spark.streaming.stateful import scd2_closed_intervals
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            # user 1: A@10, NULL@20, A@30, B@40
+            #   -> A[10,30) v1 (null extends, then same-item change),
+            #      A[30,40) v2, B open v3
+            [_row(10, user=1, value=5), _row(20, user=1, value=None)],
+            [_row(30, user=1, value=5), _row(40, user=1, value=7)],
+            # user 2: A@10, NULL@20, NULL@30, B@40
+            #   -> A[10,30) v1, NULL[30,40) v2, B open v3
+            [_row(10, user=2, value=5), _row(20, user=2, value=None)],
+            [_row(30, user=2, value=None), _row(40, user=2, value=7)],
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: scd2_closed_intervals(
+            s.selectExpr(
+                "user AS user_id", "ts", "CAST(value AS LONG) AS item",
+                "CAST(0 AS LONG) AS event_id",
+            ),
+            "user_id",
+            ["ts", "event_id"],
+            "item",
+        ),
+        "append",
+    ).collect()
+    u1 = sorted([r for r in got if r.user_id == 1], key=lambda r: r.version)
+    assert [(r.item_id, r.version, r.effective_from.second, r.effective_to.second)
+            for r in u1] == [(5, 1, 10, 30), (5, 2, 30, 40)]
+    u2 = sorted([r for r in got if r.user_id == 2], key=lambda r: r.version)
+    assert [(r.item_id, r.version, r.effective_from.second, r.effective_to.second)
+            for r in u2] == [(5, 1, 10, 30), (None, 2, 30, 40)]
+
+
+def test_clamped_ledger_null_delta(spark, tmp_path):
+    """NULL deltas mirror SQL sum()/min() OVER: the row still emits
+    (delta NULL, balance = running balance so far), the running sums
+    skip it, and balances are NULL until the first non-null delta."""
+    import math
+
+    from flink_tutorial_spark.streaming.stateful import clamped_ledger
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            # deltas: NULL, +500, NULL, -1000, +300 (cents)
+            [_row(1, user=1, value=None), _row(2, user=1, value=500)],
+            [_row(3, user=1, value=None), _row(4, user=1, value=-1000)],
+            [_row(5, user=1, value=300)],
+        ],
+    )
+    got = run_stream(
+        spark,
+        src,
+        lambda s: clamped_ledger(
+            s.selectExpr(
+                "user AS user_id", "ts",
+                "CAST(value AS LONG) AS delta_c",
+                "CAST(0 AS LONG) AS event_id",
+            ),
+            "user_id",
+            ["ts", "event_id"],
+            "delta_c",
+        ),
+        "append",
+    ).collect()
+    rows = sorted(got, key=lambda r: r.ts)
+    def nan2none(x):
+        return None if x is None or (isinstance(x, float) and math.isnan(x)) else x
+    assert [(nan2none(r.delta), nan2none(r.balance)) for r in rows] == [
+        (None, None),   # leading null: run undefined
+        (5.0, 5.0),
+        (None, 5.0),    # null row emits, balance carries
+        (-10.0, 0.0),   # clamp engages
+        (3.0, 3.0),
+    ]
+
+
+def _write_one_batch(tmpdir, rows, idx):
+    os.makedirs(tmpdir, exist_ok=True)
+    pdf = pd.DataFrame(rows, columns=["ts", "key", "user", "kind", "value"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=_ARROW_SCHEMA, preserve_index=False),
+        os.path.join(tmpdir, f"b{idx:03d}.parquet"),
+    )
+
+
+def _run_ckpt(spark, src, build, out_dir, ckpt):
+    """Run a checkpointed file-sink query to completion (availableNow)
+    — starting it again later on the same checkpointLocation is the
+    crash-recovery path: state reloads from the state store."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        build(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _restart_equals_single(spark, tmp_path, batch1, batch2, build, sort_key):
+    """Drive build() over batch1, STOP, add batch2, RESTART on the same
+    checkpoint; assert the restarted two-run output row-equals a fresh
+    single run over both batches (i.e. the carried state round-tripped
+    through the state store bit-exactly)."""
+    src_a, src_b = str(tmp_path / "src_a"), str(tmp_path / "src_b")
+    _write_one_batch(src_a, batch1, 0)
+    out_a, ck_a = str(tmp_path / "out_a"), str(tmp_path / "ck_a")
+    _run_ckpt(spark, src_a, build, out_a, ck_a)  # run 1: batch 1 only
+    _write_one_batch(src_a, batch2, 1)
+    _run_ckpt(spark, src_a, build, out_a, ck_a)  # run 2: restart, batch 2
+    # reference: one uninterrupted run over both batches
+    _write_one_batch(src_b, batch1, 0)
+    _write_one_batch(src_b, batch2, 1)
+    out_b, ck_b = str(tmp_path / "out_b"), str(tmp_path / "ck_b")
+    _run_ckpt(spark, src_b, build, out_b, ck_b)
+    got = sorted(map(tuple, spark.read.parquet(out_a).collect()), key=sort_key)
+    want = sorted(map(tuple, spark.read.parquet(out_b).collect()), key=sort_key)
+    assert got == want and len(want) > 0
+    return want
+
+
+def test_crash_recovery_transitions_state(spark, tmp_path):
+    """transition_pairs' parallel-array bucket state (users, last_items)
+    survives a query restart from its checkpoint: a transition whose
+    endpoints straddle the stop/restart boundary still emits exactly
+    once, including the null-poisoned chain."""
+    from flink_tutorial_spark.streaming.stateful import transition_pairs
+
+    build = lambda s: transition_pairs(
+        s.selectExpr(
+            "user", "ts", "CAST(value AS LONG) AS item",
+            "CAST(0 AS LONG) AS event_id",
+        ),
+        "user",
+        ["ts", "event_id"],
+        "item",
+    )
+    want = _restart_equals_single(
+        spark,
+        tmp_path,
+        [_row(1, user=1, value=10), _row(2, user=1, value=20),
+         _row(3, user=2, value=7), _row(4, user=3, value=1),
+         _row(5, user=3, value=None)],
+        [_row(6, user=1, value=30), _row(7, user=2, value=8),
+         _row(8, user=3, value=2)],
+        build,
+        sort_key=lambda t: t,
+    )
+    # cross-restart carries: 20->30, 7->8; user 3's null in batch 1
+    # poisons 1->2 after the restart (lasts carried as sentinel)
+    assert want == [(7, 8), (10, 20), (20, 30)]
+
+
+def test_crash_recovery_scd2_state(spark, tmp_path):
+    """scd2's 5-array bucket state (open interval + version + last-ROW
+    item) survives restart: an interval closed after the restart keeps
+    its pre-restart start and version, and a trailing null from before
+    the stop still forces the post-restart change row."""
+    from flink_tutorial_spark.streaming.stateful import scd2_closed_intervals
+
+    build = lambda s: scd2_closed_intervals(
+        s.selectExpr(
+            "user AS user_id", "ts", "CAST(value AS LONG) AS item",
+            "CAST(0 AS LONG) AS event_id",
+        ),
+        "user_id",
+        ["ts", "event_id"],
+        "item",
+    )
+    want = _restart_equals_single(
+        spark,
+        tmp_path,
+        # u1 opens A@10 then sees a null@15 (lasts = NULL across restart)
+        # u2 opens A@10 and extends with a repeat
+        [_row(10, user=1, value=5), _row(15, user=1, value=None),
+         _row(10, user=2, value=9), _row(12, user=2, value=9)],
+        # u1: same-item A@20 is a CHANGE row (prev IS NULL) -> closes
+        # A[10,20) v1; then B@30 closes A[20,30) v2
+        # u2: B@20 closes A[10,20) v1
+        [_row(20, user=1, value=5), _row(30, user=1, value=7),
+         _row(20, user=2, value=8)],
+        build,
+        sort_key=lambda t: (t[0], t[4]),
+    )
+    by_user = {}
+    for u, item, f, to, v in want:
+        by_user.setdefault(u, []).append((item, f.second, to.second, v))
+    assert by_user[1] == [(5, 10, 20, 1), (5, 20, 30, 2)]
+    assert by_user[2] == [(9, 10, 20, 1)]
+
+
+def test_crash_recovery_ledger_state(spark, tmp_path):
+    """clamped_ledger's (S, M, seen) bucket state survives restart: a
+    drawdown clamp engaging across the stop/restart boundary floors at
+    the pre-restart minimum, and a user whose pre-restart rows were all
+    NULL stays balance-NULL until their first real delta."""
+    import math
+
+    from flink_tutorial_spark.streaming.stateful import clamped_ledger
+
+    build = lambda s: clamped_ledger(
+        s.selectExpr(
+            "user AS user_id", "ts",
+            "CAST(value AS LONG) AS delta_c",
+            "CAST(0 AS LONG) AS event_id",
+        ),
+        "user_id",
+        ["ts", "event_id"],
+        "delta_c",
+    )
+    want = _restart_equals_single(
+        spark,
+        tmp_path,
+        [_row(1, user=1, value=500), _row(2, user=1, value=-800),
+         _row(1, user=2, value=None)],
+        [_row(3, user=1, value=400), _row(4, user=2, value=100)],
+        build,
+        sort_key=lambda t: (t[0], t[1]),
+    )
+    def nn(x):
+        return None if x is None or (isinstance(x, float) and math.isnan(x)) else x
+    bal = {(u, ts.second): nn(b) for u, ts, e, d, b in want}
+    assert bal[(1, 1)] == 5.0 and bal[(1, 2)] == 0.0 and bal[(1, 3)] == 4.0
+    assert bal[(2, 1)] is None and bal[(2, 4)] == 1.0
