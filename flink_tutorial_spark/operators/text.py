@@ -640,6 +640,7 @@ def substring_dedup(
     gram_words: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_gram_cap: int | None = 1 << 16,
 ) -> DataFrame:
     """Exact substring-level dedup (the Lee et al. "Deduplicating
     Training Data Makes Language Models Better" operator): slide a
@@ -661,29 +662,66 @@ def substring_dedup(
     — the price of an exact cross-engine anchor (md5); a production
     deployment swaps in a rolling polynomial hash for O(tokens) with
     the identical plan shape. Every shuffle is partial-aggregable or
-    key-bounded; nothing is ever globally sorted."""
+    key-bounded; nothing is ever globally sorted.
+
+    ``hot_gram_cap`` is the hot-gram skew guard (the minhash hot-band
+    guard ported to the ownership window): a boilerplate gram repeated
+    millions of times would land every occurrence in ONE window-sort
+    task. Routing is SEMANTICS-FREE — hot and cold branches both
+    compute the identical min-(doc_id,pos) owner, so no oracle change
+    and no planted-data delta: a cheap detection pass (xxhash64, no
+    md5; partial-agg counts, output bounded by tokens/cap) collects
+    over-cap gram hashes; those grams take a partial-aggregated
+    groupBy-min (map-side combine collapses the repeats, so the reducer
+    sees <= #map-partitions rows per hot gram) + broadcast join-back
+    (owner table is hot-set-sized — zero extra shuffle), while cold
+    grams keep the measured single-shuffle window. Benign corpora
+    (empty hot set) keep the exact r8 plan and pay only the detection
+    pass; None disables the guard."""
     from pyspark.sql import Window
 
     L = gram_words
     ws = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col), ws.alias("ws"), F.size(ws).alias("n_tokens"))
+    eligible = base.where(F.col("n_tokens") >= L)
+
+    def _gram_str(i):
+        return F.array_join(F.slice(F.col("ws"), i + 1, L), " ")
+
+    hot: list[int] = []
+    if hot_gram_cap is not None:
+        hot = [
+            r["dh"]
+            for r in (
+                eligible.select(
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.col("n_tokens") - L),
+                            lambda i: F.xxhash64(_gram_str(i)),
+                        )
+                    ).alias("dh")
+                )
+                .groupBy("dh")
+                .agg(F.count("*").alias("_c"))
+                .where(F.col("_c") > hot_gram_cap)
+                .collect()
+            )
+        ]
     grams = (
-        base.where(F.col("n_tokens") >= L)
-        .select(
+        eligible.select(
             F.col(id_col),
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.col("n_tokens") - L),
                     lambda i: F.struct(
                         i.cast("long").alias("pos"),
-                        md5_long(
-                            F.array_join(F.slice(F.col("ws"), i + 1, L), " ")
-                        ).alias("h"),
+                        md5_long(_gram_str(i)).alias("h"),
+                        *([F.xxhash64(_gram_str(i)).alias("dh")] if hot else []),
                     ),
                 )
             ).alias("g"),
         )
-        .select(F.col(id_col), F.col("g.pos"), F.col("g.h"))
+        .select(F.col(id_col), F.col("g.*"))
     )
     # Ownership via min-over-Window.partitionBy(hash): ONE shuffle of the
     # gram table instead of the groupBy+join-back form's two (chunk_dedup
@@ -692,16 +730,34 @@ def substring_dedup(
     # second full shuffle of ~tokens rows dominates; the window's
     # per-partition sort is cheaper than re-shuffling.
     wh = Window.partitionBy("h")
-    j = grams.withColumn(
-        "own", F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh)
-    ).select(
-        F.col(id_col),
-        "pos",
-        (
-            (F.col(f"own.{id_col}") != F.col(id_col))
-            | (F.col("own.pos") != F.col("pos"))
-        ).alias("is_dup"),
-    )
+
+    def _mark(df):
+        return df.select(
+            F.col(id_col),
+            "pos",
+            (
+                (F.col(f"own.{id_col}") != F.col(id_col))
+                | (F.col("own.pos") != F.col("pos"))
+            ).alias("is_dup"),
+        )
+
+    if hot:
+        cold = grams.where(~F.col("dh").isin(hot))
+        hotg = grams.where(F.col("dh").isin(hot))
+        owners = hotg.groupBy("h").agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("own")
+        )
+        j = _mark(
+            cold.withColumn(
+                "own", F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh)
+            )
+        ).unionByName(_mark(hotg.join(F.broadcast(owners), "h")))
+    else:
+        j = _mark(
+            grams.withColumn(
+                "own", F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh)
+            )
+        )
     stats = j.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_grams"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dup_grams"),

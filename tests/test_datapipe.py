@@ -610,3 +610,48 @@ def test_code_prose_marker_class_matches_duckdb():
             [s, s, CODE_MARKER_CLASS],
         ).fetchone()[0]
         assert java_like == duck, (s, java_like, duck)
+
+
+def test_substring_dedup_hot_gram_guard(spark):
+    """Hot-gram skew guard: a boilerplate gram repeated across hundreds
+    of docs routes to the partial-agg + broadcast-join branch (no
+    window sort over the hot hash partition), cold grams keep the
+    window path, and the guarded result is IDENTICAL to the unguarded
+    one — routing is semantics-free because both branches compute the
+    same min-(doc_id, pos) owner."""
+    from flink_tutorial_spark.operators.text import substring_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(6))  # 3 grams at L=4, x200 docs
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 201)]
+        + [(500, "u1 u2 u3 u4 u5"), (501, "a b c")],
+        ["doc_id", "text"],
+    )
+    guarded = substring_dedup(docs, gram_words=4, hot_gram_cap=50)
+    unguarded = substring_dedup(docs, gram_words=4, hot_gram_cap=None)
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, guarded.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, unguarded.collect()), key=lambda t: t[0]
+    )
+    got = {r.doc_id: r for r in guarded.collect()}
+    # doc 1 owns the boilerplate; 199 copies fully duplicated
+    assert (got[1].n_dup_grams, got[1].removed_tokens) == (0, 0)
+    assert (got[2].n_dup_grams, got[2].removed_tokens) == (3, 6)
+    assert (got[500].n_dup_grams, got[501].n_grams) == (0, 0)
+    # plan shape: hot branch = partial-agg owners + broadcast join-back
+    # + union with the cold window — the hot hash never hits a window
+    # sort task
+    plan = guarded._jdf.queryExecution().explainString(
+        guarded.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Union" in plan
+    # the unguarded plan has no hot/cold branch union
+    plan_u = unguarded._jdf.queryExecution().explainString(
+        unguarded.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Union" not in plan_u
