@@ -2281,3 +2281,176 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame = one(rel, col)
         out = frame if out is None else out.unionByName(frame)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Planted-marker fixtures (VERDICT r8 #4): the synthetic corpus has no PII
+# or code markers, so these queries DERIVE a marker-bearing corpus from
+# `documents` with deterministic doc_id-seeded injections expressed
+# identically in Spark and DuckDB SQL — real driver-green rows without
+# touching the read-only testdata. Pure string concat, so both engines
+# build byte-identical inputs.
+
+_PII_MARKED_SQL = """
+marked AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com now' ELSE '' END
+           || CASE WHEN doc_id % 11 = 3
+                THEN ' call +1 415-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 13 = 5
+                THEN ' ref ' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 9, '0')
+                ELSE '' END AS text
+    FROM documents
+)"""
+
+
+def _pii_marked(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 3,
+                F.concat(
+                    F.lit(" call +1 415-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 5,
+                F.concat(
+                    F.lit(" ref "),
+                    F.lpad((did % 1000000).cast("string"), 9, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH {_PII_MARKED_SQL},
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_RE}')) AS INT)
+               AS n_emails,
+           regexp_replace(text, '{T.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM marked
+), s2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{T.PII_PHONE_RE}')) AS INT)
+               AS n_phones,
+           regexp_replace(t1, '{T.PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+    FROM s1
+), s3 AS (
+    SELECT doc_id, n_emails, n_phones,
+           CAST(len(regexp_extract_all(t2, '{T.PII_DIGITS_RE}')) AS INT)
+               AS n_digit_runs,
+           regexp_replace(t2, '{T.PII_DIGITS_RE}', '<NUM>', 'g') AS t3
+    FROM s2
+)
+SELECT doc_id, n_emails, n_phones, n_digit_runs,
+       (n_emails + n_phones + n_digit_runs) = 0 AS pii_clean,
+       md5(t3) AS scrub_md5
+FROM s3
+""",
+    tags=("datapipe", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the marker-planted corpus: typed
+    placeholder substitution (email -> phone -> digit-run, in that
+    order so a pattern never matches inside an earlier redaction) with
+    per-doc match counts and the scrubbed text's md5 — the full scrub
+    output is hash-checked cross-engine, not just the counts. Pure
+    JVM regexp column work, zero shuffle, zero Python
+    (operators/text.py:pii_scrub)."""
+    out = T.pii_scrub(_pii_marked(load_table(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_digit_runs",
+        "pii_clean",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+#: deterministic code snippet appended to every doc_id % 5 == 2 doc —
+#: 16 words so it spans exactly two 8-word chunks, dense in
+#: CODE_MARKER_CLASS characters
+_CODE_SNIPPET = (
+    "x = arr[42] + foo(y); if (x > 0) { return x * 2; } "
+    "for i in range(10): total += vals[i] / 3;"
+)
+
+
+@query(
+    "text_code_prose_mix",
+    oracle=f"""
+WITH marked AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 5 = 2
+                THEN ' {_CODE_SNIPPET}' ELSE '' END AS text
+    FROM documents
+), t AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM marked
+), idx AS (
+    SELECT doc_id, ws,
+           unnest(range(0, CAST(ceil(len(ws) / 8.0) AS INT))) AS ci
+    FROM t
+), ch AS (
+    SELECT doc_id,
+           array_to_string(ws[(ci*8+1):(ci*8+8)], ' ') AS chunk
+    FROM idx
+), cl AS (
+    SELECT doc_id,
+           (length(chunk)
+            - length(regexp_replace(chunk, '{T.CODE_MARKER_CLASS}', '', 'g')))
+           ::DOUBLE / greatest(length(chunk), 1) >= 0.08 AS chunk_code
+    FROM ch
+), agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN chunk_code THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_code
+    FROM cl GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, n_code,
+       round(n_code::DOUBLE / n_chunks, 4) AS code_ratio,
+       n_code > 0 AND n_code < n_chunks AS is_mixed
+FROM agg
+""",
+    tags=("datapipe", "text"),
+)
+def text_code_prose_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc code-vs-prose mixing over the snippet-planted corpus:
+    per-chunk code-marker character ratio on the shared 8-word chunk
+    frame (operators/text.py:code_prose_mix_detect). Docs with the
+    planted snippet flag is_mixed; clean docs stay all-prose — both
+    classes hash-checked cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 2, F.lit(" " + _CODE_SNIPPET)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return T.code_prose_mix_detect(marked)
