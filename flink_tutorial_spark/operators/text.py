@@ -688,22 +688,33 @@ def substring_dedup(
     def _gram_str(i):
         return F.array_join(F.slice(F.col("ws"), i + 1, L), " ")
 
+    # Detection samples 1-in-8 POSITIONS by a deterministic hash of
+    # (doc_id, pos) BEFORE building/hashing the gram string, so both the
+    # explode volume and the hash work drop 8x (measured at sf10: the
+    # full count agg over ~28M mostly-unique gram hashes cost MORE than
+    # the main query, 91s vs 78s; sampled detection ~12s). Every
+    # occurrence of a gram is an independent 1/8 coin decided by data,
+    # so an over-cap gram's sampled count concentrates at cap/8 and the
+    # cap/16 threshold catches it (Chernoff margin e^-thousands for the
+    # 65536 default); a miss only costs falling back to today's window
+    # behavior — routing is semantics-free either way.
     hot: list[int] = []
     if hot_gram_cap is not None:
+        sampled = F.filter(
+            F.sequence(F.lit(0), F.col("n_tokens") - L),
+            lambda i: F.pmod(F.xxhash64(F.col(id_col), i), F.lit(8)) == 0,
+        )
         hot = [
             r["dh"]
             for r in (
                 eligible.select(
                     F.explode(
-                        F.transform(
-                            F.sequence(F.lit(0), F.col("n_tokens") - L),
-                            lambda i: F.xxhash64(_gram_str(i)),
-                        )
+                        F.transform(sampled, lambda i: F.xxhash64(_gram_str(i)))
                     ).alias("dh")
                 )
                 .groupBy("dh")
                 .agg(F.count("*").alias("_c"))
-                .where(F.col("_c") > hot_gram_cap)
+                .where(F.col("_c") > hot_gram_cap // 16)
                 .collect()
             )
         ]
