@@ -2548,3 +2548,202 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_learn_and_encode(
         load_table(spark, sf_dir, "documents"), rounds=3
     )
+
+
+@query(
+    "text_repetition_profile",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+), m AS (
+    SELECT doc_id, n_words, ws,
+           list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+               AS bg,
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [] END AS tg
+    FROM t
+), p AS (
+    SELECT doc_id, n_words,
+           list_max(list_transform(list_distinct(ws),
+               w -> len(list_filter(ws, x -> x = w)))) AS top_w,
+           CASE WHEN len(bg) > 0 THEN
+               list_max(list_transform(list_distinct(bg),
+                   w -> len(list_filter(bg, x -> x = w)))) ELSE 0 END AS top_b,
+           len(bg) AS n_bg,
+           len(tg) AS n_tg,
+           len(tg) - len(list_distinct(tg)) AS dup_tg
+    FROM m
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(top_w::DOUBLE / n_words, 4) AS top_word_share,
+       round(CASE WHEN n_bg > 0 THEN top_b::DOUBLE / n_bg ELSE 0 END, 4)
+           AS top_bigram_share,
+       round(CASE WHEN n_tg > 0 THEN dup_tg::DOUBLE / n_tg ELSE 0 END, 4)
+           AS dup_trigram_frac,
+       (top_w::DOUBLE / n_words > 0.2
+        OR (n_bg > 0 AND top_b::DOUBLE / n_bg > 0.18)
+        OR (n_tg > 0 AND dup_tg::DOUBLE / n_tg > 0.3)) AS is_repetitive
+FROM p
+""",
+    tags=("datapipe", "text", "quality"),
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the Gopher/MassiveText
+    repetition quality filters (Rae et al. 2021 §A1.1) adapted to the
+    word-stream corpus: top-unigram share, top-bigram share, and the
+    duplicate-trigram fraction, with the standard threshold flags. The
+    signal that catches keyword-stuffed spam, boilerplate loops, and
+    degenerate generations that document-level dedup can't see.
+
+    Scale shape: ZERO SHUFFLE — every profile is a per-row array
+    expression (distinct + filter-count over the doc's own words,
+    O(n_words * n_distinct) per doc on bounded-length docs), so the
+    whole filter is map-side and composes with the quality/lang/PII
+    stages in one pass. The same expressions run as DuckDB list
+    lambdas, so thresholds are hash-checked cross-engine."""
+    ws = F.split(F.col("text"), " ")
+
+    def top_share(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda w: F.size(F.filter(arr, lambda x: x == w)),
+            )
+        )
+
+    bg = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+    )
+    tg = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+        " transform(sequence(0, size(split(text, ' ')) - 3),"
+        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1],"
+        " ' ', split(text, ' ')[i + 2]))"
+        " ELSE array() END"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        top_share(ws).alias("top_w"),
+        F.when(F.size(bg) > 0, top_share(bg)).otherwise(F.lit(0)).alias("top_b"),
+        F.size(bg).alias("n_bg"),
+        F.size(tg).alias("n_tg"),
+        (F.size(tg) - F.size(F.array_distinct(tg))).alias("dup_tg"),
+    )
+    return p.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("top_w") / F.col("n_words"), 4).alias("top_word_share"),
+        F.round(
+            F.when(F.col("n_bg") > 0, F.col("top_b") / F.col("n_bg")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("top_bigram_share"),
+        F.round(
+            F.when(
+                F.col("n_tg") > 0, F.col("dup_tg") / F.col("n_tg")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_trigram_frac"),
+        (
+            (F.col("top_w") / F.col("n_words") > 0.2)
+            | ((F.col("n_bg") > 0) & (F.col("top_b") / F.col("n_bg") > 0.18))
+            | ((F.col("n_tg") > 0) & (F.col("dup_tg") / F.col("n_tg") > 0.3))
+        ).alias("is_repetitive"),
+    )
+
+
+@query(
+    "datapipe_decontamination",
+    oracle="""
+WITH bench AS (
+    SELECT DISTINCT g.gram
+    FROM (
+        SELECT list_transform(range(1, len(ws) - 6),
+                   i -> array_to_string(ws[i:i+7], ' ')) AS gs
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents
+              WHERE doc_id % 7 = 0)
+        WHERE len(ws) >= 8
+    ), unnest(gs) AS g(gram)
+), train AS (
+    SELECT doc_id, string_split(text, ' ') AS ws
+    FROM documents WHERE doc_id % 7 <> 0
+), tg AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 8
+                THEN list_transform(range(1, len(ws) - 6),
+                     i -> array_to_string(ws[i:i+7], ' '))
+                ELSE [] END AS gs
+    FROM train
+), flat AS (
+    SELECT doc_id, g.gram, len(gs) AS n_grams
+    FROM tg, unnest(gs) AS g(gram)
+), hit AS (
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM flat f JOIN bench b ON f.gram = b.gram
+    GROUP BY f.doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.ws) - 7, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM train t LEFT JOIN hit h USING (doc_id)
+""",
+    tags=("datapipe", "text", "dedup"),
+)
+def datapipe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the held-out n-gram overlap check
+    every pretraining pipeline runs before training (GPT-3 appx C /
+    Lee et al.): docs sharing any 8-gram with the benchmark set are
+    flagged, with the overlapping-gram count per doc. The benchmark
+    here is the deterministic doc_id % 7 == 0 slice standing in for a
+    real eval set; the operator shape is identical.
+
+    Scale shape: the benchmark gram set is BOUNDED BY CONTRACT (eval
+    suites are fixed-size, not corpus-sized), so it broadcasts and the
+    training-side check is one map-side explode + broadcast hash join +
+    partial-agg count — the 100 TB corpus is scanned once with zero
+    corpus-sized shuffles. Grams join on the raw 8-gram string (no
+    hash round-trip) for exact cross-engine parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    gram8 = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN"
+        " transform(sequence(0, size(split(text, ' ')) - 8),"
+        " i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
+        " ELSE array() END"
+    )
+    bench = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(F.explode(gram8).alias("gram"))
+        .distinct()
+    )
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    flat = train.select("doc_id", F.explode(gram8).alias("gram"))
+    hit = (
+        flat.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return (
+        train.select(
+            "doc_id",
+            F.greatest(F.size(ws) - 7, F.lit(0)).cast("long").alias("n_grams"),
+        )
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

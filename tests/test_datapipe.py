@@ -681,3 +681,62 @@ def test_bpe_encode_token_budget_consistency(spark, sf_dir):
     }
     got = {(r.source, r.lang): r.bpe_tokens for r in bud.collect()}
     assert got == per_cell and len(got) > 0
+
+
+def test_repetition_profile_planted(spark):
+    """Planted repetition pathologies flag; varied prose does not."""
+    import os
+
+    import pandas as pd
+
+    import flink_tutorial_spark.plans.queries_datapipe as Q
+
+    tmp = "/tmp/rep_planted"
+    os.makedirs(tmp, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "spam " * 19 + "spam",                      # one word repeated
+                "the cat sat on the mat and then left now", # varied prose
+                "buy now " * 9 + "buy now",                 # repeated phrase
+            ],
+            "source": ["s"] * 3,
+            "lang": ["en"] * 3,
+        }
+    ).to_parquet(f"{tmp}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in Q.text_repetition_profile(spark, tmp).collect()
+    }
+    assert got[1].top_word_share == 1.0 and got[1].is_repetitive
+    assert got[3].dup_trigram_frac > 0.8 and got[3].is_repetitive
+    assert not got[2].is_repetitive
+
+
+def test_decontamination_planted(spark):
+    """A training doc sharing an 8-gram with a benchmark doc flags with
+    the right overlap count; disjoint docs stay clean."""
+    import os
+
+    import pandas as pd
+
+    import flink_tutorial_spark.plans.queries_datapipe as Q
+
+    tmp = "/tmp/decon_planted"
+    os.makedirs(tmp, exist_ok=True)
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leak = "xx yy " + " ".join(bench_text.split()[:8]) + " zz"  # one 8-gram window matches
+    pd.DataFrame(
+        {
+            # doc_id 7 and 14 are benchmark (% 7 == 0)
+            "doc_id": [7, 1, 2],
+            "text": [bench_text, leak, "totally different words here padded out to be long enough"],
+            "source": ["s"] * 3,
+            "lang": ["en"] * 3,
+        }
+    ).to_parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in Q.datapipe_decontamination(spark, tmp).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].contaminated and got[1].n_contaminated == 1
+    assert not got[2].contaminated and got[2].n_contaminated == 0

@@ -61,10 +61,16 @@ def write_batches(tmpdir: str, batches):
     os.makedirs(tmpdir, exist_ok=True)
     for i, rows in enumerate(batches):
         pdf = pd.DataFrame(rows, columns=["ts", "key", "user", "kind", "value"])
+        path = os.path.join(tmpdir, f"b{i:03d}.parquet")
         pq.write_table(
             pa.Table.from_pandas(pdf, schema=_ARROW_SCHEMA, preserve_index=False),
-            os.path.join(tmpdir, f"b{i:03d}.parquet"),
+            path,
         )
+        # FileStreamSource orders new files by MTIME: files written in
+        # the same clock tick (easy under full-suite load) would process
+        # in arbitrary order and break every cross-batch carry test.
+        # Pin strictly increasing mtimes so batch order is deterministic.
+        os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
 
 
 def run_stream(spark, src_dir, build_query, mode, name=None):
@@ -1170,10 +1176,13 @@ def test_clamped_ledger_null_delta(spark, tmp_path):
 def _write_one_batch(tmpdir, rows, idx):
     os.makedirs(tmpdir, exist_ok=True)
     pdf = pd.DataFrame(rows, columns=["ts", "key", "user", "kind", "value"])
+    path = os.path.join(tmpdir, f"b{idx:03d}.parquet")
     pq.write_table(
         pa.Table.from_pandas(pdf, schema=_ARROW_SCHEMA, preserve_index=False),
-        os.path.join(tmpdir, f"b{idx:03d}.parquet"),
+        path,
     )
+    # deterministic micro-batch order (see write_batches)
+    os.utime(path, (1_600_000_000 + idx, 1_600_000_000 + idx))
 
 
 def _run_ckpt(spark, src, build, out_dir, ckpt):
