@@ -2714,12 +2714,16 @@ FROM train t LEFT JOIN hit h USING (doc_id)
     tags=("datapipe", "text", "dedup"),
 )
 def datapipe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination — the held-out n-gram overlap check
-    every pretraining pipeline runs before training (GPT-3 appx C /
-    Lee et al.): docs sharing any 8-gram with the benchmark set are
-    flagged, with the overlapping-gram count per doc. The benchmark
-    here is the deterministic doc_id % 7 == 0 slice standing in for a
-    real eval set; the operator shape is identical.
+    """Benchmark decontamination, VERBATIM-SEQUENCE convention — the
+    GPT-3 appx C / Lee et al. rule: a training doc is contaminated if
+    it contains any CONTIGUOUS 8-gram from the held-out set, reported
+    for EVERY training doc with its overlapping-window count. The
+    deliberate sibling of decontaminate_ngram_overlap, which measures
+    bag-of-3-gram overlap VOLUME (>=5 shared shingles) — that rule
+    catches paraphrased/reordered leakage, this one catches verbatim
+    quotation down to a single long phrase; production pipelines run
+    both. Benchmark = the deterministic doc_id % 7 == 0 slice standing
+    in for a real eval set; the operator shape is identical.
 
     Scale shape: the benchmark gram set is BOUNDED BY CONTRACT (eval
     suites are fixed-size, not corpus-sized), so it broadcasts and the

@@ -740,3 +740,44 @@ def test_decontamination_planted(spark):
     assert set(got) == {1, 2}
     assert got[1].contaminated and got[1].n_contaminated == 1
     assert not got[2].contaminated and got[2].n_contaminated == 0
+
+
+def test_bpe_fold_matches_reference_greedy(spark):
+    """The Spark aggregate-fold merge must equal a reference Python
+    greedy-leftmost BPE merge on adversarial words (same-char runs,
+    overlapping pair positions, multi-round interactions)."""
+    from flink_tutorial_spark.operators.text import _bpe_merge_expr
+
+    import pyspark.sql.functions as F
+
+    def ref_merge(tokens, x, y):
+        out = []
+        i = 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == x and tokens[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    words = [
+        "aaaaa", "aaaa", "aaa", "aa", "a",
+        "ababab", "aabbaabb", "abba", "baab",
+        "hello", "mississippi", "banana", "xyzzy",
+    ]
+    merges = [("a", "a"), ("a", "b"), ("b", "a"), ("s", "s"), ("an", "a")]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    toks = F.split(F.col("word"), "")
+    expect = {}
+    for w in words:
+        t = list(w)
+        for x, y in merges:
+            t = ref_merge(t, x, y)
+        expect[w] = t
+    expr = toks
+    for x, y in merges:
+        expr = _bpe_merge_expr(expr, x, y)
+    got = {r.word: r.t for r in df.select("word", expr.alias("t")).collect()}
+    assert got == expect
