@@ -718,16 +718,23 @@ def substring_dedup(
                 .collect()
             )
         ]
+    # gram string built ONCE per position via a staged transform (HOFs
+    # defeat CSE: inlining _gram_str into both hash lambdas would run
+    # the array_join twice per position on the hot-guarded path)
+    pos_grams = F.transform(
+        F.sequence(F.lit(0), F.col("n_tokens") - L),
+        lambda i: F.struct(i.cast("long").alias("pos"), _gram_str(i).alias("s")),
+    )
     grams = (
         eligible.select(
             F.col(id_col),
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - L),
-                    lambda i: F.struct(
-                        i.cast("long").alias("pos"),
-                        md5_long(_gram_str(i)).alias("h"),
-                        *([F.xxhash64(_gram_str(i)).alias("dh")] if hot else []),
+                    pos_grams,
+                    lambda g: F.struct(
+                        g["pos"].alias("pos"),
+                        md5_long(g["s"]).alias("h"),
+                        *([F.xxhash64(g["s"]).alias("dh")] if hot else []),
                     ),
                 )
             ).alias("g"),
@@ -1056,6 +1063,10 @@ def bpe_encoded_vocab(
     bpe_learn_and_encode for the scale argument."""
     vocab = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        # empty tokens (split artifacts of doubled/boundary spaces) carry
+        # zero characters: excluded on BOTH engines (the oracle's
+        # list_reduce errors on an empty token list)
+        .where(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("wf"))
         .persist()

@@ -1884,7 +1884,7 @@ p{r} AS (
 #: a `bw` CTE exposing a `word` column (with duplicates) for the corpus
 #: vocabulary
 _BPE_ENC_SQL = """w AS (
-    SELECT word, count(*) AS wf FROM bw GROUP BY word
+    SELECT word, count(*) AS wf FROM bw WHERE word <> '' GROUP BY word
 ), t0 AS (
     SELECT word, wf,
            list_transform(range(1, len(word) + 1), i -> word[i]) AS toks
@@ -2453,8 +2453,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: deterministic code snippet appended to every doc_id % 5 == 2 doc —
-#: 16 words so it spans exactly two 8-word chunks, dense in
-#: CODE_MARKER_CLASS characters
+#: 24 words (about three 8-word chunks, exact alignment depends on the
+#: host doc's length), dense in CODE_MARKER_CLASS characters
 _CODE_SNIPPET = (
     "x = arr[42] + foo(y); if (x > 0) { return x * 2; } "
     "for i in range(10): total += vals[i] / 3;"
@@ -2542,9 +2542,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges via the same greedy-leftmost array fold the DuckDB oracle
     runs through list_reduce. Reports per-doc whitespace words,
     character tokens (round-0 BPE), and encoded tokens — real
-    tokenizer token counts, where datapipe_token_budget's bpe_tokens
-    column is a regex approximation
-    (operators/text.py:bpe_learn_and_encode)."""
+    tokenizer token counts — unlike text_quality's bpe_tokens column,
+    which is a BPE-ish regex approximation
+    (operators/text.py:bpe_learn_and_encode). datapipe_token_budget's
+    bpe_tokens aggregates this same encoded vocabulary (equality pinned
+    by test_bpe_encode_token_budget_consistency)."""
     return T.bpe_learn_and_encode(
         load_table(spark, sf_dir, "documents"), rounds=3
     )

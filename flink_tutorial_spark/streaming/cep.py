@@ -21,7 +21,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from flink_tutorial_spark.streaming.stateful import _one_frame, _ts_us
+from flink_tutorial_spark.streaming.stateful import one_frame, ts_us
 
 SEQ_OUT = StructType(
     [
@@ -75,12 +75,12 @@ def detect_consecutive(
 
         carry = list(state.get[0]) if state.exists else []
         out = []
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             pdf = pdf.sort_values(ts_col)
             # micros end-to-end: second-truncated bounds would disagree
             # with the relational oracle on sub-second margins
-            ts = _ts_us(pdf[ts_col]).to_numpy()
+            ts = ts_us(pdf[ts_col]).to_numpy()
             flags = pdf[flag_col].to_numpy(dtype=bool)
             run_id = np.cumsum(~flags)
             flagged = np.flatnonzero(flags)
@@ -181,16 +181,16 @@ def _sequence_advance_batch(
         pdf = pdf.sort_values(ts_col)
         # micros end-to-end (sub-second margins must agree with the
         # relational oracle)
-        ts_us = _ts_us(pdf[ts_col]).to_numpy()
+        tsu = ts_us(pdf[ts_col]).to_numpy()
         # per step column: sorted event times where the flag is set
-        step_ts = [ts_us[pdf[c].to_numpy(dtype=bool)] for c in step_cols]
+        step_ts = [tsu[pdf[c].to_numpy(dtype=bool)] for c in step_cols]
         if veto_col:
-            batch_veto = ts_us[pdf[veto_col].to_numpy(dtype=bool)]
+            batch_veto = tsu[pdf[veto_col].to_numpy(dtype=bool)]
             # strict (start, end) bounds make tie order irrelevant, so
             # the whole batch's vetoes can be merged upfront
             vetoes = np.sort(np.concatenate([vetoes, batch_veto]))
         starts = step_ts[0]
-        batch_last = int(ts_us[-1])
+        batch_last = int(tsu[-1])
         keep_f, keep_p, keep_l, keep_v = [], [], [], []
         for vi, chain in enumerate(chains):
             if len(chain) == 1:
@@ -333,7 +333,7 @@ def detect_sequence(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         st = tuple(state.get) if state.exists else None
         out = []
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             rows, st = _sequence_advance_batch(
                 key[0], pdf, st, chains, step_cols, ts_col, veto_col, within_us
@@ -381,10 +381,10 @@ def timer_gated_forward(
 
         (open_until,) = state.get if state.exists else (0,)
         out = []
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             pdf = pdf.sort_values(ts_col)
-            ts = (_ts_us(pdf[ts_col]) // 1_000_000).to_numpy()
+            ts = (ts_us(pdf[ts_col]) // 1_000_000).to_numpy()
             kinds = pdf[kind_col].to_numpy()
             # gate deadline in effect at each row = running max of every
             # prior control's (ts + open) and the carried-in deadline —
@@ -527,13 +527,13 @@ def match_or_timeout(
             state.remove()
         else:
             start_ts, start_value = state.get if state.exists else (0, 0.0)
-            pdf = _one_frame(pdfs)
+            pdf = one_frame(pdfs)
             if pdf is not None:
                 # deterministic order: ts, then kind ascending (stable
                 # mergesort) so equal-ts start/end pairs always process
                 # end-first, mirroring the oracle's ORDER BY ts, kind
                 pdf = pdf.sort_values([ts_col, kind_col], kind="mergesort")
-                ts_arr = _ts_us(pdf[ts_col]).to_numpy()
+                ts_arr = ts_us(pdf[ts_col]).to_numpy()
                 kind_arr = pdf[kind_col].to_numpy()
                 val_arr = pdf["value"].to_numpy(dtype="float64")
                 rows, (start_ts, start_value) = _match_advance_batch(

@@ -63,7 +63,7 @@ def keyed_process(
     )
 
 
-def _one_frame(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+def one_frame(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
     """Concatenate a group's Arrow chunk iterator into ONE frame.
 
     applyInPandasWithState guarantees GROUPING, not intra-group chunk
@@ -80,7 +80,7 @@ def _one_frame(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
     return chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
 
 
-def _ts_us(s: pd.Series) -> pd.Series:
+def ts_us(s: pd.Series) -> pd.Series:
     """Timestamp column -> int64 microseconds, resolution-independent.
 
     Arrow->pandas may hand back datetime64[us] (pandas 2 non-ns units)
@@ -137,7 +137,7 @@ def count_window_sum(
 
         buf_cnt, buf_sum, emitted = state.get if state.exists else (0, 0.0, 0)
         out = []
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             vals = pdf.sort_values(order)[value_col].to_numpy(dtype="float64")
             cs = np.cumsum(vals)
@@ -199,7 +199,7 @@ def sliding_count_window_sum(
         )
         recent = list(recent)
         out = []
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             vals = pdf.sort_values([ts_col, value_col])[value_col].to_numpy(
                 dtype="float64"
@@ -253,10 +253,10 @@ def windowed_count_with_running_total(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (total,) = state.get if state.exists else (0,)
         rows = []
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             pdf = pdf.assign(
-                _w=(_ts_us(pdf[ts_col]) // 1_000_000 // window_seconds)
+                _w=(ts_us(pdf[ts_col]) // 1_000_000 // window_seconds)
                 * window_seconds
             )
             for w, grp in pdf.groupby("_w", sort=True):
@@ -341,11 +341,11 @@ def blacklist_filter(
             else None
         )
         max_day = int(max(days)) if len(days) else None
-        whole = _one_frame(pdfs)
-        for pdf in ([whole] if whole is not None else []):
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             merged = pdf.sort_values([ts_col, order_col], kind="mergesort").assign(
                 _it=pdf[ad_col].astype("int64"),
-                _dy=_ts_us(pdf[day_col]),
+                _dy=ts_us(pdf[day_col]),
             )
             grp = merged.groupby(["_it", "_dy"], sort=False)
             if carried is not None:  # splice counts carried across batches
@@ -450,7 +450,7 @@ def transition_pairs(
             su, sl = (np.asarray(x, dtype="int64") for x in state.get)
         else:
             su = sl = np.empty(0, dtype="int64")
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
             u = pdf[key_col].to_numpy(dtype="int64")
@@ -564,7 +564,7 @@ def rolling_zscore(
 
         ring = list(state.get[0]) if state.exists else []
         out = []
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[val_col]):
@@ -669,11 +669,11 @@ def scd2_closed_intervals(
             su, si, sf_, sv, sla = (np.asarray(x, dtype="int64") for x in state.get)
         else:
             su = si = sf_ = sv = sla = np.empty(0, dtype="int64")
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
             u = pdf[key_col].to_numpy(dtype="int64")
-            t = _ts_us(pdf[ts_cols[0]]).to_numpy()
+            t = ts_us(pdf[ts_cols[0]]).to_numpy()
             it = pdf["_item_s"].to_numpy(dtype="int64")
             n = len(u)
             first = np.empty(n, dtype=bool)
@@ -834,10 +834,10 @@ def gap_fill_stream(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
             return _round_away(float(v) / (n * 1000000.0), 6)
 
         out = []
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             pdf = pdf.sort_values(ts_col)
-            hs = _ts_us(pdf[ts_col]).to_numpy()
+            hs = ts_us(pdf[ts_col]).to_numpy()
             ns = pdf["n"].to_numpy(dtype="int64")
             vs = pdf["v_fp"].to_numpy(dtype="int64")
             for h, n, v in zip(hs, ns, vs):
@@ -915,7 +915,7 @@ def clamped_ledger(
             su, ss, sm, sn = (np.asarray(x, dtype="int64") for x in state.get)
         else:
             su = ss = sm = sn = np.empty(0, dtype="int64")
-        pdf = _one_frame(pdfs)
+        pdf = one_frame(pdfs)
         if pdf is not None:
             pdf = pdf.sort_values([key_col, *ts_cols], kind="mergesort")
             u = pdf[key_col].to_numpy(dtype="int64")
