@@ -1332,3 +1332,154 @@ def test_crash_recovery_ledger_state(spark, tmp_path):
     bal = {(u, ts.second): nn(b) for u, ts, e, d, b in want}
     assert bal[(1, 1)] == 5.0 and bal[(1, 2)] == 0.0 and bal[(1, 3)] == 4.0
     assert bal[(2, 1)] is None and bal[(2, 4)] == 1.0
+
+
+def test_null_semantics_randomized_vs_sql_oracle(spark, tmp_path):
+    """Randomized dirty-data check: transitions / SCD2 / ledger over a
+    seeded random event stream with ~25% null items/deltas, split into
+    3 micro-batches, must equal the exact SQL three-valued-logic
+    oracles computed by DuckDB over the same rows."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(240):
+        user = rng.randint(1, 6)
+        item = rng.choice([None, 1, 2, 3])
+        rows.append((T0 + pd.Timedelta(seconds=i), f"u{user}", user,
+                     "x", float(item) if item is not None else None))
+    batches = [rows[0:80], rows[80:160], rows[160:240]]
+    src = str(tmp_path / "src")
+    write_batches(src, batches)
+
+    con = duckdb.connect()
+    pdf_all = pd.DataFrame(
+        rows, columns=["ts", "key", "user", "kind", "value"]
+    )
+    con.register("ev", pdf_all)
+
+    from flink_tutorial_spark.streaming.stateful import (
+        clamped_ledger,
+        scd2_closed_intervals,
+        transition_pairs,
+    )
+
+    sel = (
+        "user", "ts", "CAST(value AS LONG) AS item",
+        "CAST(0 AS LONG) AS event_id",
+    )
+
+    # --- transitions ---------------------------------------------------
+    got = sorted(
+        (r.src, r.dst)
+        for r in run_stream(
+            spark, src,
+            lambda s: transition_pairs(
+                s.selectExpr(*sel), "user", ["ts", "event_id"], "item"
+            ),
+            "append",
+        ).collect()
+    )
+    want = sorted(
+        (int(a), int(b))
+        for a, b in con.execute("""
+            WITH seq AS (
+              SELECT CAST(value AS INT) AS item,
+                     lag(CAST(value AS INT)) OVER
+                       (PARTITION BY user ORDER BY ts) AS prev
+              FROM ev)
+            SELECT prev, item FROM seq
+            WHERE prev IS NOT NULL AND prev <> item
+        """).fetchall()
+    )
+    assert got == want
+
+    # --- SCD2 ----------------------------------------------------------
+    got = sorted(
+        (
+            (r.user_id, r.item_id, r.effective_from, r.effective_to, r.version)
+            for r in run_stream(
+                spark, src,
+                lambda s: scd2_closed_intervals(
+                    s.selectExpr(*[c.replace("user", "user AS user_id", 1)
+                                   if c == "user" else c for c in sel]),
+                    "user_id", ["ts", "event_id"], "item",
+                ),
+                "append",
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[4]),
+    )
+    want = sorted(
+        (
+            (int(u), None if i is None else int(i), f, t, int(v))
+            for u, i, f, t, v in con.execute("""
+            WITH o AS (
+              SELECT user, CAST(value AS INT) AS item, ts,
+                     lag(CAST(value AS INT)) OVER
+                       (PARTITION BY user ORDER BY ts) AS prev
+              FROM ev),
+            ch AS (
+              SELECT user, item, ts FROM o
+              WHERE prev IS NULL OR prev <> item),
+            iv AS (
+              SELECT user, item, ts AS f,
+                     lead(ts) OVER (PARTITION BY user ORDER BY ts) AS t,
+                     row_number() OVER (PARTITION BY user ORDER BY ts) AS v
+              FROM ch)
+            SELECT user, item, f, t, v FROM iv WHERE t IS NOT NULL
+        """).fetchall()
+        ),
+        key=lambda t: (t[0], t[4]),
+    )
+    got_norm = [
+        (u, i, f.to_pydatetime() if hasattr(f, "to_pydatetime") else f,
+         t.to_pydatetime() if hasattr(t, "to_pydatetime") else t, v)
+        for u, i, f, t, v in got
+    ]
+    assert got_norm == want
+
+    # --- ledger (value doubles as the delta in cents) -------------------
+    got = {
+        (r.user_id, r.ts): (r.delta, r.balance)
+        for r in run_stream(
+            spark, src,
+            lambda s: clamped_ledger(
+                s.selectExpr(
+                    "user AS user_id", "ts",
+                    "CAST(value * 100 AS LONG) AS delta_c",
+                    "CAST(0 AS LONG) AS event_id",
+                ),
+                "user_id", ["ts", "event_id"], "delta_c",
+            ),
+            "append",
+        ).collect()
+    }
+    oracle = con.execute("""
+        WITH led AS (
+          SELECT user, ts, CAST(value * 100 AS BIGINT) AS d FROM ev),
+        s AS (
+          SELECT user, ts, d,
+                 sum(d) OVER (PARTITION BY user ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM led),
+        m AS (
+          SELECT *, min(run) OVER (PARTITION BY user ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+          FROM s)
+        SELECT user, ts, round(d / 100.0, 2),
+               round((run - least(mn, 0)) / 100.0, 2)
+        FROM m
+    """).fetchall()
+    import math
+
+    def nn(x):
+        return None if x is None or (isinstance(x, float) and math.isnan(x)) else x
+
+    assert len(got) == len(oracle)
+    for u, ts, d, b in oracle:
+        gd, gb = got[(int(u), ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts)]
+        assert nn(gd) == (None if d is None else float(d)), (u, ts, d, gd)
+        assert nn(gb) == (None if b is None else float(b)), (u, ts, b, gb)
