@@ -394,3 +394,34 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_repetition_profile_zero_shuffle(spark, sf_dir):
+    # per-row array lambdas only: no Exchange of any kind, and the
+    # staged selects must not collapse back into per-element re-splits
+    plan = formatted_plan(spark, "text_repetition_profile", sf_dir)
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_decontamination_broadcast_only(spark, sf_dir):
+    # benchmark gram set broadcasts; the corpus side never shuffles for
+    # the overlap join (only the per-doc count agg exchanges)
+    plan = formatted_plan(spark, "datapipe_decontamination", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_bpe_encode_broadcast_vocab(spark, sf_dir):
+    # the encoded vocabulary joins back to the corpus word stream as a
+    # broadcast; the learn loop's actions already ran at plan build
+    plan = formatted_plan(spark, "text_bpe_encode", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan, plan[:800]
+
+
+def test_pii_scrub_map_side_only(spark, sf_dir):
+    # derived marker fixture + regex scrub: pure column work, no shuffle
+    plan = formatted_plan(spark, "text_pii_scrub", sf_dir)
+    assert "Exchange" not in plan, plan[:800]
+    assert "BatchEvalPython" not in plan, plan[:800]
