@@ -309,3 +309,44 @@ def bfs_hops(edges: DataFrame, source_item: int, max_hops: int = 4) -> DataFrame
         F.col("item").cast("long").alias("item_id"),
         F.col("hops").cast("long").alias("hops"),
     )
+
+
+def cheapest_paths(
+    edges: DataFrame, source_item: int, rounds: int = 4
+) -> DataFrame:
+    """Single-source CHEAPEST paths (Bellman-Ford) over directed
+    (src, dst, cnt) edges — the weighted sibling of bfs_hops: edge cost
+    is the integer fixed-point ceil(1e6 / cnt) ("popular transitions
+    are cheap"), so the minimum-cost route prefers well-trodden paths.
+    `rounds` synchronous relaxations bound the path length, exactly the
+    iterate contract bfs_hops/pagerank use; nodes unreached within the
+    bound are absent. Returns (item_id, cost_fp, cost).
+
+    All-integer arithmetic (the ceil is computed with integer div, not
+    a double round-trip), so the distributed loop is bit-exact against
+    an unrolled-CTE oracle. Scale shape identical to bfs_hops: per
+    round one equi-join against the cached weighted edge list + one
+    partial-aggregable min-groupBy, dist localCheckpointed per round;
+    the edge table never moves."""
+    e = edges.selectExpr(
+        "src", "dst", "div(1000000 + cnt - 1, cnt) AS w"
+    ).localCheckpoint()
+    dist = e.sparkSession.createDataFrame(
+        [(source_item, 0)], "item long, cost_fp long"
+    )
+    for _ in range(rounds):
+        step = e.join(dist, e.src == dist.item).select(
+            F.col("dst").alias("item"),
+            (F.col("cost_fp") + F.col("w")).alias("cost_fp"),
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("item")
+            .agg(F.min("cost_fp").alias("cost_fp"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("item").cast("long").alias("item_id"),
+        F.col("cost_fp").cast("long").alias("cost_fp"),
+        F.round(F.col("cost_fp") / 1000000.0, 6).alias("cost"),
+    )

@@ -234,3 +234,41 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_item=0,
         max_hops=4,
     )
+
+
+_SSSP_ITER = """
+c{i} AS (
+  SELECT item, min(cost_fp) AS cost_fp FROM (
+    SELECT item, cost_fp FROM c{p}
+    UNION ALL
+    SELECT e.dst AS item, d.cost_fp + (1000000 + e.cnt - 1) // e.cnt
+        AS cost_fp
+    FROM edges e JOIN c{p} d ON e.src = d.item
+  ) GROUP BY item
+)"""
+
+
+@query(
+    "graph_cheapest_path",
+    oracle=f"""
+WITH {_EDGES},
+c0 AS (SELECT 0 AS item, CAST(0 AS BIGINT) AS cost_fp),
+{",".join(_SSSP_ITER.format(i=i, p=i - 1) for i in (1, 2, 3, 4))}
+SELECT CAST(item AS BIGINT) AS item_id, CAST(cost_fp AS BIGINT) AS cost_fp,
+       round(cost_fp / 1000000.0, 6) AS cost
+FROM c4
+""",
+    tags=("graph", "iterate"),
+)
+def graph_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source cheapest paths (4 Bellman-Ford relaxations from
+    item 0) over the transition graph with integer fixed-point edge
+    costs ceil(1e6 / cnt) — the weighted sibling of graph_bfs_hops:
+    'the most-likely click route to each page', since popular
+    transitions cost least. Pure integer relaxation, bit-exact against
+    the unrolled-CTE oracle. See operators/graph.py:cheapest_paths."""
+    return G.cheapest_paths(
+        G.transition_edges(_events_with_item(spark, sf_dir)),
+        source_item=0,
+        rounds=4,
+    )

@@ -133,3 +133,22 @@ def test_bfs_hops_chain_and_unreached(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
     # 9 unreachable (wrong direction); nothing beyond 4 hops needed here
     assert 9 not in got
+
+
+def test_cheapest_paths_prefers_cheap_multihop(spark):
+    """Bellman-Ford must pick a cheap 2-hop route over an expensive
+    direct edge (where BFS would pick the direct one), carry exact
+    integer costs, and leave unreachable nodes absent."""
+    from flink_tutorial_spark.operators.graph import cheapest_paths
+
+    # costs: w = ceil(1e6 / cnt). 0->1 cnt=1 (w=1e6); 0->2 cnt=100
+    # (w=10000), 2->1 cnt=100 (w=10000): via 2 costs 20000 < 1e6.
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 100), (2, 1, 100), (3, 4, 50)],
+        "src long, dst long, cnt long",
+    )
+    got = {r.item_id: r.cost_fp for r in cheapest_paths(edges, 0).collect()}
+    assert got[0] == 0
+    assert got[2] == 10_000
+    assert got[1] == 20_000  # NOT the direct 1_000_000 edge
+    assert 3 not in got and 4 not in got  # disconnected component
