@@ -994,3 +994,91 @@ FROM v_orders JOIN v_customer ON o_custkey = c_custkey
 GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
                         (c_mktsegment), (o_orderpriority), ())
 """)
+
+
+_CM_HASH = (
+    "CAST(concat('0x', substr(md5(concat(CAST(item AS VARCHAR), ':cm:', "
+    "{i})), 1, 15)) AS BIGINT) % 512"
+)
+
+
+@query(
+    "freq_cm_sketch",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+), exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt FROM ev GROUP BY item
+), cells AS (
+  SELECT r.i AS row_i, {_CM_HASH.format(i="r.i")} AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ev, (SELECT unnest(range(4)) AS i) r
+  GROUP BY 1, 2
+), est AS (
+  SELECT e.item, min(c.c) AS est_cnt
+  FROM exact e
+  JOIN cells c
+    ON c.cell = ({_CM_HASH.format(i="c.row_i")})
+  GROUP BY e.item
+)
+SELECT CAST(e.item AS BIGINT) AS item_id, x.exact_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       CAST(e.est_cnt - x.exact_cnt AS BIGINT) AS overestimate
+FROM est e JOIN exact x USING (item)
+""",
+    tags=("business", "approx", "sketch", "measurement"),
+)
+def freq_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch CALIBRATION — the mergeable
+    heavy-hitter sketch next to KMV's distinct sketch: 4 hash rows x
+    512 cells of integer SUMS (adds commute, so unlike HLL/Misra-Gries
+    the sketch is order-independent and therefore bit-exact
+    cross-engine with an exact oracle); each item's estimate is the min
+    over its 4 cells, always >= the exact count. The report shows
+    est-vs-exact per item — the table you read before trusting CM
+    widths at scale, like dedup_minhash_calibration for LSH.
+
+    Scale shape: the cell build shuffles only (row, cell) partial
+    aggregates (<= 2048 cells regardless of corpus size — at 100 TB
+    this replaces the |keys|-sized exact shuffle for heavy-hitter
+    screening); the estimate joins the bounded cell table back as a
+    broadcast. The exact side rides along here as the calibration
+    reference, bounded by |items|."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).where(F.col("item").isNotNull())
+
+    def cm_cell(item_col, i_col):
+        return (
+            md5_long(
+                F.concat(
+                    item_col.cast("string"), F.lit(":cm:"), i_col.cast("string")
+                )
+            )
+            % 512
+        )
+
+    rows_df = ev.sparkSession.range(4).select(F.col("id").cast("int").alias("row_i"))
+    cells = (
+        ev.crossJoin(F.broadcast(rows_df))
+        .groupBy("row_i", cm_cell(F.col("item"), F.col("row_i")).alias("cell"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = ev.groupBy("item").agg(F.count("*").cast("long").alias("exact_cnt"))
+    est = (
+        exact.crossJoin(F.broadcast(rows_df))
+        .withColumn("cell", cm_cell(F.col("item"), F.col("row_i")))
+        .join(F.broadcast(cells), ["row_i", "cell"])
+        .groupBy("item", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("item").cast("long").alias("item_id"),
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )

@@ -298,3 +298,16 @@ def test_clamped_ledger_matches_sequential_recursion(spark, sf_dir):
         for r in seq:
             bal = max(0.0, round(bal + r.delta, 2))
             assert abs(r.balance - bal) < 1e-9, (r, bal)
+
+
+def test_cm_sketch_invariants(spark, sf_dir):
+    """Count-min guarantees: estimate never underestimates, and on a
+    corpus smaller than the cell space most items estimate exactly."""
+    from flink_tutorial_spark import plans
+
+    rows = plans.REGISTRY["freq_cm_sketch"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.est_cnt >= r.exact_cnt for r in rows)
+    exact_frac = sum(1 for r in rows if r.overestimate == 0) / len(rows)
+    assert exact_frac >= 0.5, exact_frac
