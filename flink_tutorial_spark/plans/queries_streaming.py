@@ -2103,3 +2103,93 @@ def streaming_clamped_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = clamped_ledger(led, "user_id", ["ts", "event_id"], "delta_c")
     return run_to_memory(out, "append")
+
+
+_CM_HASH_S = (
+    "CAST(concat('0x', substr(md5(concat(CAST(item AS VARCHAR), ':cm:', "
+    "{i})), 1, 15)) AS BIGINT) % 512"
+)
+
+
+@query(
+    "streaming_freq_cm",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+), exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt FROM ev GROUP BY item
+), cells AS (
+  SELECT r.i AS row_i, {_CM_HASH_S.format(i="r.i")} AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ev, (SELECT unnest(range(4)) AS i) r
+  GROUP BY 1, 2
+), est AS (
+  SELECT e.item, min(c.c) AS est_cnt
+  FROM exact e
+  JOIN cells c
+    ON c.cell = ({_CM_HASH_S.format(i="c.row_i")})
+  GROUP BY e.item
+)
+SELECT CAST(e.item AS BIGINT) AS item_id, x.exact_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       CAST(e.est_cnt - x.exact_cnt AS BIGINT) AS overestimate
+FROM est e JOIN exact x USING (item)
+""",
+    tags=("streaming", "approx", "sketch", "measurement"),
+)
+def streaming_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch LIVE — the frequency sibling of
+    streaming_uv_kmv: two continuously-updated aggregation pipelines
+    (the streaming_anomaly two-pipeline topology) maintain (a) the 4x512
+    cell sums — counts are additive, so the CM cells are exactly what
+    update/complete-mode streaming aggregation maintains natively — and
+    (b) the exact per-item reference counts; the converged tables join
+    batch-side into the same est-vs-exact calibration report as the
+    batch twin, stated by the identical oracle.
+
+    Scale shape: pipeline (a)'s state is the FIXED 2048 cells however
+    large the stream gets — the sketch is why a 100 TB deployment keeps
+    only the cell table hot and reads exact counts from batch; the
+    4-row expansion is a broadcast stream-static crossJoin."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    events = stream_table(spark, sf_dir, "events")
+    ev = events.select(
+        F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).where(F.col("item").isNotNull())
+
+    def cm_cell(item_col, i_col):
+        return (
+            md5_long(
+                F.concat(
+                    item_col.cast("string"), F.lit(":cm:"), i_col.cast("string")
+                )
+            )
+            % 512
+        )
+
+    rows_df = spark.range(4).select(F.col("id").cast("int").alias("row_i"))
+    cells_stream = (
+        ev.crossJoin(F.broadcast(rows_df))
+        .groupBy("row_i", cm_cell(F.col("item"), F.col("row_i")).alias("cell"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cells = run_to_memory(cells_stream, "complete")
+    exact_stream = ev.groupBy("item").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    exact = run_to_memory(exact_stream, "complete")
+    est = (
+        exact.crossJoin(F.broadcast(rows_df))
+        .withColumn("cell", cm_cell(F.col("item"), F.col("row_i")))
+        .join(F.broadcast(cells), ["row_i", "cell"])
+        .groupBy("item", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("item").cast("long").alias("item_id"),
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )
