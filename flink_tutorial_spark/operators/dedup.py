@@ -290,6 +290,66 @@ def minhash_lsh_dedup(
 #: 1.8x at ~90 (sf1: 29.5s vs 16.2s).
 PREFIX_DISPATCH_AVG_DF = 25.0
 
+#: default candidate budget for ngram_jaccard_pairs' saturation circuit
+#: breaker: sum over shingles of df^2 — the (ordered) candidate-row
+#: volume the blocked self-join would materialize, and the quantity the
+#: r9 sf10 study measured tracking the output cliff (2.7M at sf1 ->
+#: 23.7B at sf10 on the saturated closed-vocab corpus, SCALING.md).
+#: 1e9 sits two decades above any healthy open-vocab corpus at the
+#: study scales while tripping well before the measured sf10 cliff.
+NGRAM_CANDIDATE_BUDGET = 1e9
+
+
+class CandidateBudgetExceeded(RuntimeError):
+    """ngram_jaccard_pairs refused to run: the corpus' shingle space is
+    saturated, so EXACT all-pairs Jaccard is output-bound quadratic
+    (the r9 sf10 adjudication, SCALING.md). Route saturated corpora to
+    minhash_lsh_dedup (measured exponent 0.92) and use this operator
+    only as the candidate-bounded verifier — or pass
+    on_exceed="lsh-verify" to do exactly that automatically."""
+
+    def __init__(self, sum_df2: float, budget: float):
+        self.sum_df2 = sum_df2
+        self.budget = budget
+        super().__init__(
+            f"ngram_jaccard_pairs: estimated candidate volume sum(df^2)="
+            f"{sum_df2:.3g} exceeds candidate_budget={budget:.3g}; the "
+            "shingle space is saturated and exact all-pairs Jaccard is "
+            "output-bound quadratic here. Use minhash_lsh_dedup for "
+            "candidate generation and this operator as the per-candidate "
+            "verifier (pass on_exceed='lsh-verify' to auto-route), or "
+            "raise candidate_budget explicitly if you accept the cost."
+        )
+
+
+def _score_pairs_exact(cand, arr, id_col: str, threshold: float) -> DataFrame:
+    """Exactly score candidate (doc_a, doc_b, na, nb) pairs by sorted-
+    array intersection; shared tail of the prefix strategy and the
+    lsh-verify route."""
+    return (
+        cand.join(
+            arr.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("i"),
+            "na",
+            "nb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -297,9 +357,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     strategy: str | None = None,
+    candidate_budget: float | None = NGRAM_CANDIDATE_BUDGET,
+    on_exceed: str = "raise",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Returns
     (doc_a, doc_b, jaccard) with jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+
+    Saturation circuit breaker: the r9 sf10 study proved exact all-pairs
+    Jaccard is OUTPUT-bound quadratic once the shingle space saturates
+    (the true pair count itself is quadratic; candidates track
+    sum(df^2), measured 2.7M at sf1 -> 23.7B at sf10 — SCALING.md).
+    Before building any self-join this estimates sum(df^2) from the
+    shingle doc-frequency table — the same partial-aggregated stats agg
+    that powers strategy auto-dispatch, so auto mode pays nothing new —
+    and if it exceeds `candidate_budget` (default
+    NGRAM_CANDIDATE_BUDGET; None disables the breaker):
+
+    * on_exceed="raise" (default): raise CandidateBudgetExceeded with
+      the measured volume and the routing advice.
+    * on_exceed="lsh-verify" (opt-in auto-route): generate candidates
+      with MinHash-LSH banding (near-linear, exponent 0.92 measured)
+      and score ONLY those candidates exactly against the shingle
+      arrays. Same output schema with exact jaccard values; recall is
+      bounded by the LSH S-curve (pairs missed by every band are
+      dropped), which at saturation scale is the correct trade.
+
+    NOTE: with the breaker armed (the default) DataFrame construction
+    runs an eager Spark job (the stats agg / dispatch .first()); pass
+    candidate_budget=None AND an explicit strategy for a fully lazy
+    plan.
 
     Two physical strategies with identical output, chosen per-corpus
     from shingle doc-frequency stats (strategy=None -> auto; "block" /
@@ -350,18 +436,54 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
 
-    if strategy is None:
+    if strategy is None or candidate_budget is not None:
         stats = (
             sh.groupBy("sh")
             .agg(F.count("*").alias("df"))
-            .agg((F.sum(F.col("df") * F.col("df")) / F.sum("df")).alias("avg_df"))
+            .agg(
+                F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+                F.sum("df").alias("sum_df"),
+            )
             .first()
         )
-        strategy = (
-            "prefix"
-            if (stats["avg_df"] or 0.0) > PREFIX_DISPATCH_AVG_DF
-            else "block"
-        )
+        sum_df2 = float(stats["sum_df2"] or 0.0)
+        avg_df = sum_df2 / float(stats["sum_df"] or 1)
+        if candidate_budget is not None and sum_df2 > candidate_budget:
+            if on_exceed == "lsh-verify":
+                sizes_a = sizes.select(
+                    F.col(id_col).alias("doc_a"), F.col("n").alias("na")
+                )
+                sizes_b = sizes.select(
+                    F.col(id_col).alias("doc_b"), F.col("n").alias("nb")
+                )
+                cand = (
+                    lsh_candidate_pairs(
+                        minhash_signatures(
+                            # md5 in minhash_signatures needs a string;
+                            # the decimal form of the 60-bit shingle
+                            # hash is a fine (deterministic) base.
+                            sh.select(
+                                id_col, F.col("sh").cast("string").alias("shingle")
+                            ),
+                            id_col,
+                        ),
+                        id_col,
+                    )
+                    .join(sizes_a, "doc_a")
+                    .join(sizes_b, "doc_b")
+                    # pigeonhole size cut: J <= min(|A|,|B|) / max(|A|,|B|)
+                    .where(
+                        F.least("na", "nb")
+                        >= F.lit(threshold) * F.greatest("na", "nb") - F.lit(1e-9)
+                    )
+                )
+                arr = sh.groupBy(id_col).agg(
+                    F.sort_array(F.collect_list("sh")).alias("arr")
+                )
+                return _score_pairs_exact(cand, arr, id_col, threshold)
+            raise CandidateBudgetExceeded(sum_df2, candidate_budget)
+        if strategy is None:
+            strategy = "prefix" if avg_df > PREFIX_DISPATCH_AVG_DF else "block"
 
     if strategy == "block":
         a = sh.select(F.col(id_col).alias("doc_a"), "sh")
@@ -416,29 +538,7 @@ def ngram_jaccard_pairs(
         )
     )
     arr = sh.groupBy(id_col).agg(F.sort_array(F.collect_list("sh")).alias("arr"))
-    return (
-        cand.join(
-            arr.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a")),
-            "doc_a",
-        )
-        .join(
-            arr.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("arr_a", "arr_b")).alias("i"),
-            "na",
-            "nb",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _score_pairs_exact(cand, arr, id_col, threshold)
 
 
 def simhash_near_dup(

@@ -677,7 +677,12 @@ def substring_dedup(
     (owner table is hot-set-sized — zero extra shuffle), while cold
     grams keep the measured single-shuffle window. Benign corpora
     (empty hot set) keep the exact r8 plan and pay only the detection
-    pass; None disables the guard."""
+    pass; None disables the guard.
+
+    Caller contract: with the guard armed (the default), DataFrame
+    CONSTRUCTION runs an eager Spark job (the detection pass collects
+    the hot set) — pass hot_gram_cap=None if you need a fully lazy
+    plan (dry runs, plan inspection)."""
     from pyspark.sql import Window
 
     L = gram_words
@@ -713,8 +718,11 @@ def substring_dedup(
                     ).alias("dh")
                 )
                 .groupBy("dh")
+                # clamp: for caps < 16 an unclamped cap//16 threshold
+                # would be 0, classifying EVERY sampled gram as hot —
+                # the guard would invert into a driver/broadcast blowup
                 .agg(F.count("*").alias("_c"))
-                .where(F.col("_c") > hot_gram_cap // 16)
+                .where(F.col("_c") > max(1, hot_gram_cap // 16))
                 .collect()
             )
         ]
