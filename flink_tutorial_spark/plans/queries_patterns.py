@@ -1082,3 +1082,212 @@ def freq_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (HDR-style fixed-boundary log2 histogram)
+# ---------------------------------------------------------------------------
+# Bucket rule shared by the three quantile-sketch queries and their
+# oracles: value -> integer cents vc -> octave e = floor(log2(vc))
+# (double log2 then INTEGER-corrected with shifts, so a 1-ulp libm
+# difference between engines can never move a bucket) -> 32 linear
+# sub-buckets per octave m = (vc*32) div 2^e - 32. Counts per (e, m)
+# are plain integer sums: order-independent, shard-additive, and
+# therefore bit-exact cross-engine — the same mergeability algebra as
+# the KMV distinct sketch and the count-min frequency sketch. The
+# quantile estimate is the midpoint of the first bucket whose
+# cumulative count reaches ceil(q*n): relative error <= 1/64.
+# Every arithmetic step after the corrected log2 is integer or a
+# single IEEE multiply/divide (2^e via bit shift, never pow), and the
+# quantile fractions are CAST AS DOUBLE in the oracle so DuckDB's
+# decimal literals can't diverge from Spark's doubles.
+
+_QSKETCH_BUCKETS_SQL = """
+ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+), e0t AS (
+  SELECT event_type, vc, CAST(floor(log2(vc)) AS INT) AS e0 FROM ev
+), et AS (
+  SELECT event_type, vc,
+         CASE WHEN vc >= (CAST(1 AS BIGINT) << (e0 + 1)) THEN e0 + 1
+              WHEN vc < (CAST(1 AS BIGINT) << e0) THEN e0 - 1
+              ELSE e0 END AS e
+  FROM e0t
+), b AS (
+  SELECT event_type, e,
+         ((vc * 32) // (CAST(1 AS BIGINT) << e)) - 32 AS m,
+         CAST(count(*) AS BIGINT) AS c
+  FROM et GROUP BY 1, 2, 3
+)"""
+
+_QSKETCH_EST_SQL = """
+cum AS (
+  SELECT event_type, e, m, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY e * 32 + m) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+), picks AS (
+  SELECT c.event_type, q.q, c.n, min(c.e * 32 + c.m) AS idx
+  FROM cum c CROSS JOIN (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q) q
+  WHERE c.cum >= ceil(q.q * c.n)
+  GROUP BY 1, 2, 3
+), reps AS (
+  SELECT event_type, q, n,
+         round((32 + (idx % 32) + 0.5)
+               * CAST(CAST(1 AS BIGINT) << (idx // 32) AS DOUBLE) / 3200.0, 6)
+             AS rep
+  FROM picks
+), est AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         max(CASE WHEN q = 0.5 THEN rep END) AS p50_est,
+         max(CASE WHEN q = 0.95 THEN rep END) AS p95_est,
+         max(CASE WHEN q = 0.99 THEN rep END) AS p99_est
+  FROM reps GROUP BY 1, 2
+)"""
+
+
+def qsketch_buckets(events: DataFrame, *group_cols: str) -> DataFrame:
+    """(*group_cols, e, m, c) histogram cells for the quantile sketch —
+    the Spark twin of _QSKETCH_BUCKETS_SQL (group_cols defaults to
+    event_type). One partial-aggregated groupBy; cell count is bounded
+    by 32 * octaves (~512) per group regardless of input size."""
+    keys = list(group_cols) or ["event_type"]
+    ev = events.select(
+        *keys, F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    e0t = ev.select(*keys, "vc", F.floor(F.log2("vc")).cast("int").alias("e0"))
+    et = e0t.select(
+        *keys,
+        "vc",
+        F.when(
+            F.col("vc") >= F.expr("shiftleft(CAST(1 AS BIGINT), e0 + 1)"),
+            F.col("e0") + 1,
+        )
+        .when(F.col("vc") < F.expr("shiftleft(CAST(1 AS BIGINT), e0)"), F.col("e0") - 1)
+        .otherwise(F.col("e0"))
+        .alias("e"),
+    )
+    return et.groupBy(
+        *keys,
+        F.col("e"),
+        (
+            F.expr("(vc * 32) div shiftleft(CAST(1 AS BIGINT), e)") - 32
+        ).alias("m"),
+    ).agg(F.count("*").cast("long").alias("c"))
+
+
+def qsketch_estimate(buckets: DataFrame) -> DataFrame:
+    """(event_type, n, p50_est, p95_est, p99_est) from histogram cells —
+    the Spark twin of _QSKETCH_EST_SQL. Windows run over the bounded
+    cell table (<= ~512 rows per group), never the raw data; the
+    3-quantile expansion is a broadcast crossJoin."""
+    spark = buckets.sparkSession
+    idx = (F.col("e") * 32 + F.col("m")).alias("idx")
+    wcum = Window.partitionBy("event_type").orderBy(F.col("e") * 32 + F.col("m"))
+    wall = Window.partitionBy("event_type")
+    cum = buckets.select(
+        "event_type",
+        idx,
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], ["q"])
+    picks = (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q", "n")
+        .agg(F.min("idx").alias("idx"))
+    )
+    rep = F.round(
+        (F.lit(32) + F.col("idx") % 32 + F.lit(0.5))
+        * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), idx div 32) AS DOUBLE)")
+        / F.lit(3200.0),
+        6,
+    )
+    return (
+        picks.withColumn("rep", rep)
+        .groupBy("event_type", F.col("n").cast("long").alias("n"))
+        .agg(
+            F.max(F.when(F.col("q") == 0.5, F.col("rep"))).alias("p50_est"),
+            F.max(F.when(F.col("q") == 0.95, F.col("rep"))).alias("p95_est"),
+            F.max(F.when(F.col("q") == 0.99, F.col("rep"))).alias("p99_est"),
+        )
+    )
+
+
+@query(
+    "value_quantile_sketch",
+    oracle=f"""
+WITH {_QSKETCH_BUCKETS_SQL}, {_QSKETCH_EST_SQL},
+exact AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50_exact,
+         round(quantile_cont(value, 0.95), 6) AS p95_exact,
+         round(quantile_cont(value, 0.99), 6) AS p99_exact
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, e.n, e.p50_est, x.p50_exact,
+       e.p95_est, x.p95_exact, e.p99_est, x.p99_exact
+FROM est e JOIN exact x USING (event_type)
+""",
+    tags=("business", "approx", "sketch", "measurement"),
+)
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch CALIBRATION — the third mergeable sketch next to
+    KMV (distinct) and count-min (frequency): an HDR-style fixed-
+    boundary log2 histogram (32 sub-buckets per octave, relative error
+    <= 1/64) whose cells are plain integer counts — order-independent
+    and shard-additive, so unlike t-digest/KLL (whose compactions
+    depend on arrival order) the sketch is bit-exact cross-engine and
+    carries an exact oracle. Reports est-vs-exact p50/p95/p99 per
+    event_type — the table you read before trusting the bucket width
+    at scale, like freq_cm_sketch for CM and
+    dedup_minhash_calibration for LSH.
+
+    Scale shape: the cell build is ONE partial-aggregated shuffle with
+    output bounded by groups x ~512 cells however large the input; the
+    estimate windows run over that bounded table only. The exact
+    percentile side (a per-group sort) rides along here as the
+    calibration reference — at 100 TB only the sketch path runs, which
+    is the point."""
+    events = load_table(spark, sf_dir, "events")
+    est = qsketch_estimate(qsketch_buckets(events))
+    exact = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95_exact"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99_exact"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n", "p50_est", "p50_exact",
+        "p95_est", "p95_exact", "p99_est", "p99_exact",
+    )
+
+
+@query(
+    "value_quantile_sharded",
+    oracle=f"""
+WITH {_QSKETCH_BUCKETS_SQL}, {_QSKETCH_EST_SQL}
+SELECT event_type, n, p50_est, p95_est, p99_est FROM est
+""",
+    tags=("business", "approx", "sketch"),
+)
+def value_quantile_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch MERGEABILITY, proven as a query (the
+    uv_kmv_sharded pattern): build the histogram TWO-STAGE — per-
+    (event_type, shard) cell counts first (shard = event_id mod 16),
+    then merge shards by plain addition per cell — and oracle it
+    against the SINGLE-stage sketch SQL. Bit-equality is structural:
+    cell counts are integer sums, and sums are associative over any
+    sharding — precisely the property t-digest/KLL lack and the reason
+    this sketch was chosen. This is the 100 TB deployment shape:
+    per-executor (or per-hour) histograms merged into the global one
+    with a ~512-row vector add, no raw-data re-shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    sharded = events.withColumn("shard", F.pmod("event_id", F.lit(16)))
+    # Stage 1: per-shard sketches (the per-executor/per-hour state).
+    per_shard = qsketch_buckets(sharded, "event_type", "shard")
+    # Stage 2: merge = vector add of shard cell counts.
+    merged = per_shard.groupBy("event_type", "e", "m").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    return qsketch_estimate(merged)

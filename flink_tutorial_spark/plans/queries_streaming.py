@@ -2193,3 +2193,42 @@ def streaming_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
     )
+
+
+from flink_tutorial_spark.plans.queries_patterns import (  # noqa: E402
+    _QSKETCH_BUCKETS_SQL,
+    _QSKETCH_EST_SQL,
+    qsketch_buckets,
+    qsketch_estimate,
+)
+
+
+@query(
+    "streaming_quantile_sketch",
+    # identical sketch rule as the batch twin -> identical oracle
+    oracle=(
+        f"WITH {_QSKETCH_BUCKETS_SQL}, {_QSKETCH_EST_SQL} "
+        "SELECT event_type, n, p50_est, p95_est, p99_est FROM est"
+    ),
+    tags=("streaming", "approx", "sketch"),
+)
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch LIVE — the quantile sibling of streaming_uv_kmv
+    and streaming_freq_cm, completing all three mergeable-sketch live
+    twins: a continuously-updated complete-mode aggregation maintains
+    the HDR-style log2 histogram cells (integer counts are exactly
+    what streaming aggregation state holds natively — order-
+    independence is what makes the sketch streamable at all, where
+    t-digest/KLL compactions would be arrival-order-dependent), and
+    the converged cell table feeds the same batch-side estimate as the
+    batch twin, stated by the identical oracle.
+
+    Scale shape: state is the FIXED <= groups x ~512 cell table
+    however long the stream runs — the 100 TB deployment keeps only
+    this table hot and answers any p50/p95/p99 ask from it; merging
+    parallel streams is the vector add value_quantile_sharded
+    proves."""
+    events = stream_table(spark, sf_dir, "events")
+    cells_stream = qsketch_buckets(events)
+    cells = run_to_memory(cells_stream, "complete")
+    return qsketch_estimate(cells)

@@ -311,3 +311,68 @@ def test_cm_sketch_invariants(spark, sf_dir):
     assert all(r.est_cnt >= r.exact_cnt for r in rows)
     exact_frac = sum(1 for r in rows if r.overestimate == 0) / len(rows)
     assert exact_frac >= 0.5, exact_frac
+
+
+def test_quantile_sketch_invariants(spark, sf_dir):
+    """HDR-histogram quantile sketch guarantees: every estimate lands
+    within the structural 1/64 relative-error bound of the exact
+    interpolated percentile, and the sharded two-stage build merges to
+    the bit-identical answer (count additivity)."""
+    from flink_tutorial_spark import plans
+
+    import math
+
+    rows = plans.REGISTRY["value_quantile_sketch"].fn(spark, sf_dir).collect()
+    assert rows
+    # the structural 1/64 bound is vs the DISCRETE order statistic the
+    # sketch targets (rank ceil(q*n)) — the interpolated p*_exact
+    # columns additionally carry a sampling gap at small n
+    vals = {}
+    for v in (
+        plans.REGISTRY["value_quantile_sketch"]
+        .fn.__globals__["load_table"](spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(v.event_type, []).append(v.value)
+    for r in rows:
+        sv = sorted(vals[r.event_type])
+        assert r.n == len(sv)
+        for q, qv in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            est = getattr(r, f"{q}_est")
+            true = sv[math.ceil(qv * r.n) - 1]
+            # bucket midpoint: |est - true| <= bucket_width/2 <= true/32
+            assert abs(est - true) <= true / 32 + 0.02, (r.event_type, q, est, true)
+    single = {
+        (r.event_type): (r.n, r.p50_est, r.p95_est, r.p99_est) for r in rows
+    }
+    sharded = {
+        r.event_type: (r.n, r.p50_est, r.p95_est, r.p99_est)
+        for r in plans.REGISTRY["value_quantile_sharded"].fn(spark, sf_dir).collect()
+    }
+    assert single == sharded
+
+
+def test_quantile_sketch_bucket_rule_edges(spark):
+    """Bucket index must be exact on power-of-two boundaries and tiny
+    values (where a 1-ulp log2 wobble would misplace a bucket without
+    the integer correction)."""
+    from flink_tutorial_spark.plans.queries_patterns import qsketch_buckets
+
+    vals = [0.01, 0.02, 0.31, 0.32, 0.33, 1.27, 1.28, 10.23, 10.24, 163.84]
+    df = spark.createDataFrame(
+        [("t", v) for v in vals], ["event_type", "value"]
+    )
+    got = {
+        (r.e, r.m): r.c for r in qsketch_buckets(df).collect()
+    }
+    import math
+
+    expect = {}
+    for v in vals:
+        vc = round(v * 100)
+        e = vc.bit_length() - 1
+        m = (vc * 32) // (1 << e) - 32
+        assert 0 <= m < 32 and (1 << e) <= vc < (1 << (e + 1))
+        expect[(e, m)] = expect.get((e, m), 0) + 1
+    assert got == expect
