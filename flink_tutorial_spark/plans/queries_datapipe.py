@@ -2768,3 +2768,213 @@ def datapipe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain governance (C4/RefinedWeb-style web-corpus curation)
+# ---------------------------------------------------------------------------
+# Derived URL fixture (the r9 marker-planted precedent: the driver
+# reads fixed tables, so governance columns are derived
+# DETERMINISTICALLY from doc_id inside the query, identically in Spark
+# and the oracle): a Zipf-ish domain assignment — 30% of docs on one
+# hub domain, 20% on a mirror, the rest spread over 17 small sites —
+# plus planted exact-dup boilerplate clusters (doc_id % 9 == 5 docs
+# collapse to one of 3 canonical texts) so dedup-rate and cross-domain
+# dup columns exercise real mass.
+
+_URLGOV_DOM_SQL = """
+dom AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN doc_id % 9 = 5
+              THEN 'boilerplate variant ' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE text END AS text,
+         CASE WHEN doc_id % 10 < 3 THEN 'hub.example.com'
+              WHEN doc_id % 10 < 5 THEN 'mirror.example.net'
+              ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.example.org'
+         END AS domain
+  FROM documents
+)"""
+
+
+def _urlgov_docs(docs: DataFrame) -> DataFrame:
+    """Spark twin of _URLGOV_DOM_SQL: attach the deterministic domain
+    and the planted boilerplate clusters."""
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(
+            F.col("doc_id") % 9 == 5,
+            F.concat(
+                F.lit("boilerplate variant "),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 10 < 3, F.lit("hub.example.com"))
+        .when(F.col("doc_id") % 10 < 5, F.lit("mirror.example.net"))
+        .otherwise(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 17).cast("string"),
+                F.lit(".example.org"),
+            )
+        )
+        .alias("domain"),
+    )
+
+
+@query(
+    "urlgov_domain_dedup_rate",
+    oracle=f"""
+WITH {_URLGOV_DOM_SQL},
+fp AS (SELECT doc_id, domain, md5(text) AS fp FROM dom),
+xd AS (
+  SELECT fp, CAST(count(DISTINCT domain) AS BIGINT) AS nd
+  FROM fp GROUP BY fp
+),
+agg AS (
+  SELECT f.domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT f.fp) AS BIGINT) AS n_unique,
+         CAST(sum(CASE WHEN x.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_dup
+  FROM fp f JOIN xd x USING (fp) GROUP BY f.domain
+)
+SELECT domain, n_docs, n_unique,
+       CAST(n_docs - n_unique AS BIGINT) AS n_dup,
+       round(1 - n_unique::DOUBLE / n_docs, 4) AS dup_rate,
+       n_cross_dup
+FROM agg
+""",
+    tags=("datapipe", "governance", "dedup"),
+)
+def urlgov_domain_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain dedup-rate report — the crawl-governance table that
+    decides which domains get recrawled vs demoted (C4/RefinedWeb run
+    this before mixing): per domain, doc count, distinct-content
+    count, within-corpus dup count, dup rate, and how many of its docs
+    share content with ANOTHER domain (mirror detection).
+
+    Scale shape: one md5-fingerprint shuffle (shared with dedup_exact's
+    plan), one fp-level partial agg for the cross-domain counts, one
+    domain-level partial agg for the report — domains is a small
+    output. No text comparison, no pairs."""
+    docs = _urlgov_docs(load_table(spark, sf_dir, "documents"))
+    fp = docs.select("doc_id", "domain", F.md5("text").alias("fp"))
+    xd = fp.groupBy("fp").agg(
+        F.countDistinct("domain").cast("long").alias("nd")
+    )
+    return (
+        fp.join(xd, "fp")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_unique"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_dup"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_dup"),
+            F.round(1 - F.col("n_unique") / F.col("n_docs"), 4).alias("dup_rate"),
+            "n_cross_dup",
+        )
+    )
+
+
+@query(
+    "urlgov_domain_quota",
+    oracle=f"""
+WITH {_URLGOV_DOM_SQL}
+SELECT domain, doc_id,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS uniq_ratio,
+       CAST(row_number() OVER (
+           PARTITION BY domain
+           ORDER BY round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')), 4) DESC, doc_id ASC
+       ) AS INT) AS rank
+FROM dom
+QUALIFY rank <= 20
+""",
+    tags=("datapipe", "governance", "sampling"),
+)
+def urlgov_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN quality quota — datapipe_source_quota at the
+    granularity production web pipelines actually cap (a single hub
+    domain must not dominate the mix however big its crawl): top 20
+    docs per domain by unique-word ratio, ties broken by doc_id so
+    both engines rank identically.
+
+    Scale shape: one window over the domain partition; the planted hub
+    domain (30% of the corpus) is exactly the skewed-partition case —
+    at 100 TB this window becomes the two-stage per-shard top-K +
+    merge that uv_kmv_sharded demonstrates; here the single window is
+    measured fine through sf10 for the source variant."""
+    from pyspark.sql import Window
+
+    docs = _urlgov_docs(load_table(spark, sf_dir, "documents"))
+    scored = T.quality_score(docs)
+    w = Window.partitionBy("domain").orderBy(F.desc("uniq_ratio"), F.asc("doc_id"))
+    return (
+        scored.select("domain", "doc_id", "uniq_ratio")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+    )
+
+
+#: static governance blocklist: one domain present in the derived
+#: fixture (the mirror) and one absent — the anti-join must drop
+#: exactly the former and ignore the latter.
+_URLGOV_BLOCKLIST = ["mirror.example.net", "spam.example.com"]
+
+
+@query(
+    "urlgov_blocklist",
+    oracle=f"""
+WITH {_URLGOV_DOM_SQL}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN domain IN ('mirror.example.net', 'spam.example.com')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(sum(CASE WHEN domain IN ('mirror.example.net', 'spam.example.com')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM dom GROUP BY source
+""",
+    tags=("datapipe", "governance", "join", "anti"),
+)
+def urlgov_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist anti-join + survival report per source — the
+    C4-style URL filter step. The kept side is a REAL broadcast
+    left-anti join against the blocklist table (the plan a 100 TB run
+    wants: the blocklist — thousands of rows in production — ships to
+    every executor, the corpus never shuffles); the per-source report
+    then rides partial-aggregated counts."""
+    docs = _urlgov_docs(load_table(spark, sf_dir, "documents"))
+    bl = spark.createDataFrame(
+        [(d,) for d in _URLGOV_BLOCKLIST], ["domain"]
+    )
+    total = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    kept = (
+        docs.join(F.broadcast(bl), "domain", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        total.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_blocked"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

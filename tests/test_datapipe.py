@@ -832,3 +832,37 @@ def test_bpe_fold_matches_reference_greedy(spark):
         expr = _bpe_merge_expr(expr, x, y)
     got = {r.word: r.t for r in df.select("word", expr.alias("t")).collect()}
     assert got == expect
+
+
+def test_urlgov_family_planted_semantics(spark, sf_dir):
+    """Domain-governance fixture invariants: the blocklist drops exactly
+    the mirror domain's docs (one blocklisted domain absent from the
+    fixture must drop nothing), dedup-rate columns reconcile, and the
+    quota never exceeds 20 per domain with correctly dense ranks."""
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_mirror = docs.where((F.col("doc_id") % 10 >= 3) & (F.col("doc_id") % 10 < 5)).count()
+
+    bl = plans.REGISTRY["urlgov_blocklist"].fn(spark, sf_dir).collect()
+    assert sum(r.n_total for r in bl) == n_docs
+    assert sum(r.n_blocked for r in bl) == n_mirror
+    assert all(r.n_total == r.n_blocked + r.n_kept for r in bl)
+
+    dd = plans.REGISTRY["urlgov_domain_dedup_rate"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in dd) == n_docs
+    # planted boilerplate (doc_id % 9 == 5 -> 3 canonical texts) must
+    # produce real dup mass and cross-domain sharing
+    assert sum(r.n_dup for r in dd) > 0
+    assert sum(r.n_cross_dup for r in dd) > 0
+    assert all(0 <= r.dup_rate < 1 and r.n_unique <= r.n_docs for r in dd)
+
+    q = plans.REGISTRY["urlgov_domain_quota"].fn(spark, sf_dir).collect()
+    per_dom = {}
+    for r in q:
+        per_dom.setdefault(r.domain, []).append(r.rank)
+    for dom, ranks in per_dom.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), dom
+        assert len(ranks) <= 20
