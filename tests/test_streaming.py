@@ -1483,3 +1483,90 @@ def test_null_semantics_randomized_vs_sql_oracle(spark, tmp_path):
         gd, gb = got[(int(u), ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts)]
         assert nn(gd) == (None if d is None else float(d)), (u, ts, d, gd)
         assert nn(gb) == (None if b is None else float(b)), (u, ts, b, gb)
+
+
+def test_crash_recovery_chained_blacklist_topology(spark, tmp_path):
+    """Crash-recovery for the CHAINED multi-stateful topology (VERDICT
+    r9 #4): the streaming_adclick_blacklist shape —
+    applyInPandasWithState (blacklist counters) -> re-watermark ->
+    tumbling window agg — stopped after batch 1 and restarted on the
+    same checkpoint must equal an uninterrupted run for BOTH channels.
+    The cross-restart crux: u1's (ad 10, day) count of 1 from batch 1
+    must survive TWO state stores deep — the crossing click in batch 2
+    emits a warning only if the fmgws counter state reloaded, and the
+    hour-0 window emits merged counts only if the window-agg state
+    reloaded."""
+    from flink_tutorial_spark.streaming.stateful import blacklist_filter
+
+    def clicks(s):
+        return (
+            s.selectExpr(
+                "user AS user_id",
+                "ts",
+                "CAST(value AS LONG) AS item_id",
+                "CAST(0 AS LONG) AS event_id",
+            )
+            .withColumn("day", F.date_trunc("day", F.col("ts")))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    def build_main(s):
+        f = blacklist_filter(clicks(s), "user_id", "item_id", "ts", "day", 1)
+        return (
+            f.where(F.col("channel") == "main")
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "item_id")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.end").alias("w_end"), "item_id", "cnt")
+        )
+
+    def build_warn(s):
+        f = blacklist_filter(clicks(s), "user_id", "item_id", "ts", "day", 1)
+        return f.where(F.col("channel") == "warning").select(
+            "ts", "user_id", "item_id"
+        )
+
+    batch1 = [
+        _row(100, user=1, value=10),
+        _row(200, user=2, value=10),
+        _row(300, user=1, value=20),
+    ]
+    batch2 = [
+        _row(3700, user=1, value=10),  # crossing click: needs carried count
+        _row(3800, user=2, value=20),
+        _row(3900, user=1, value=10),  # suppressed
+        _row(7300, user=3, value=30),  # pushes watermark past hour-1 window
+    ]
+
+    chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prev = spark.conf.get(chk)
+    spark.conf.set(chk, "false")
+    try:
+        main = _restart_equals_single(
+            spark,
+            tmp_path / "main",
+            batch1,
+            batch2,
+            build_main,
+            sort_key=lambda t: (t[0], t[1]),
+        )
+        # hour-0 window: ad10 x2 (u1+u2), ad20 x1; hour-1: ad20 x1
+        # (u1's hour-1 ad10 clicks: one warning, one suppressed);
+        # hour-2 window still open in both runs -> absent
+        assert [(t[0].hour, t[1], t[2]) for t in main] == [
+            (1, 10, 2),
+            (1, 20, 1),
+            (2, 20, 1),
+        ]
+    finally:
+        spark.conf.set(chk, prev)
+
+    warn = _restart_equals_single(
+        spark,
+        tmp_path / "warn",
+        batch1,
+        batch2,
+        build_warn,
+        sort_key=lambda t: (t[0], t[1]),
+    )
+    assert [(t[1], t[2], t[0].second) for t in warn] == [(1, 10, 40)]
