@@ -34,6 +34,54 @@ SEQ_OUT = StructType(
 _SEQ_STATE = StructType([StructField("recent", ArrayType(LongType()))])
 
 
+def _consecutive_advance_batch(
+    key0, pdf, carry, n, hi, ts_col, flag_col, within_seconds
+):
+    """One micro-batch advance of the strict-contiguity streak machine —
+    module-level (like _sequence_advance_batch) so the differential
+    fuzz harness can drive it directly on pandas frames. Returns
+    (rows, carry): rows are (key, first_us, last_us, n_matched);
+    carry is the trailing <= hi-1 flagged timestamps of an unbroken
+    run ending the batch."""
+    import numpy as np
+
+    out = []
+    pdf = pdf.sort_values(ts_col, kind="stable")
+    # micros end-to-end: second-truncated bounds would disagree
+    # with the relational oracle on sub-second margins
+    ts = ts_us(pdf[ts_col]).to_numpy()
+    flags = pdf[flag_col].to_numpy(dtype=bool)
+    run_id = np.cumsum(~flags)
+    flagged = np.flatnonzero(flags)
+    if len(flagged) == 0:
+        return out, []
+    rids = run_id[flagged]
+    splits = np.flatnonzero(np.diff(rids)) + 1
+    runs = np.split(ts[flagged], splits)
+    T = runs[-1]
+    for gi, run_ts in enumerate(runs):
+        carried = 0
+        if gi == 0 and flags[0] and carry:
+            carried = len(carry)
+            run_ts = np.concatenate([np.asarray(carry, dtype="int64"), run_ts])
+        for m in range(n, hi + 1):
+            if len(run_ts) >= m:
+                # skip windows ending inside the carry: those
+                # match positions already emitted last batch
+                j0 = max(0, carried - m + 1)
+                last = run_ts[m - 1 + j0 :]
+                first = run_ts[j0 : len(run_ts) - m + 1]
+                ok = (last - first) <= within_seconds * 1_000_000
+                out.extend(
+                    (key0, int(fb), int(lb), m)
+                    for fb, lb in zip(first[ok], last[ok])
+                )
+        if gi == len(runs) - 1:
+            T = run_ts
+    carry = [int(x) for x in T[-(hi - 1) :]] if (flags[-1] and hi > 1) else []
+    return out, carry
+
+
 def detect_consecutive(
     df: DataFrame,
     key_col: str,
@@ -71,52 +119,13 @@ def detect_consecutive(
         raise ValueError("n_max must be >= n")
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         carry = list(state.get[0]) if state.exists else []
         out = []
         pdf = one_frame(pdfs)
         if pdf is not None:
-            pdf = pdf.sort_values(ts_col)
-            # micros end-to-end: second-truncated bounds would disagree
-            # with the relational oracle on sub-second margins
-            ts = ts_us(pdf[ts_col]).to_numpy()
-            flags = pdf[flag_col].to_numpy(dtype=bool)
-            run_id = np.cumsum(~flags)
-            flagged = np.flatnonzero(flags)
-            if len(flagged) == 0:
-                carry = []
-            else:
-                rids = run_id[flagged]
-                splits = np.flatnonzero(np.diff(rids)) + 1
-                runs = np.split(ts[flagged], splits)
-                T = runs[-1]
-                for gi, run_ts in enumerate(runs):
-                    carried = 0
-                    if gi == 0 and flags[0] and carry:
-                        carried = len(carry)
-                        run_ts = np.concatenate(
-                            [np.asarray(carry, dtype="int64"), run_ts]
-                        )
-                    for m in range(n, hi + 1):
-                        if len(run_ts) >= m:
-                            # skip windows ending inside the carry: those
-                            # match positions already emitted last batch
-                            j0 = max(0, carried - m + 1)
-                            last = run_ts[m - 1 + j0 :]
-                            first = run_ts[j0 : len(run_ts) - m + 1]
-                            ok = (last - first) <= within_seconds * 1_000_000
-                            out.extend(
-                                (key[0], int(fb), int(lb), m)
-                                for fb, lb in zip(first[ok], last[ok])
-                            )
-                    if gi == len(runs) - 1:
-                        T = run_ts
-                carry = (
-                    [int(x) for x in T[-(hi - 1) :]]
-                    if (flags[-1] and hi > 1)
-                    else []
-                )
+            out, carry = _consecutive_advance_batch(
+                key[0], pdf, carry, n, hi, ts_col, flag_col, within_seconds
+            )
         state.update((carry,))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQ_OUT.fields])
@@ -178,7 +187,7 @@ def _sequence_advance_batch(
         vetoes = np.empty(0, dtype=np.int64)
     out: list[tuple] = []
     if len(pdf):
-        pdf = pdf.sort_values(ts_col)
+        pdf = pdf.sort_values(ts_col, kind="stable")
         # micros end-to-end (sub-second margins must agree with the
         # relational oracle)
         tsu = ts_us(pdf[ts_col]).to_numpy()
@@ -383,7 +392,7 @@ def timer_gated_forward(
         out = []
         pdf = one_frame(pdfs)
         if pdf is not None:
-            pdf = pdf.sort_values(ts_col)
+            pdf = pdf.sort_values(ts_col, kind="stable")
             ts = (ts_us(pdf[ts_col]) // 1_000_000).to_numpy()
             kinds = pdf[kind_col].to_numpy()
             # gate deadline in effect at each row = running max of every

@@ -139,7 +139,9 @@ def count_window_sum(
         out = []
         pdf = one_frame(pdfs)
         if pdf is not None:
-            vals = pdf.sort_values(order)[value_col].to_numpy(dtype="float64")
+            vals = pdf.sort_values(order, kind="stable")[value_col].to_numpy(
+                dtype="float64"
+            )
             cs = np.cumsum(vals)
             total = buf_cnt + len(vals)
             complete = total // n
@@ -201,7 +203,7 @@ def sliding_count_window_sum(
         out = []
         pdf = one_frame(pdfs)
         if pdf is not None:
-            vals = pdf.sort_values([ts_col, value_col])[value_col].to_numpy(
+            vals = pdf.sort_values([ts_col, value_col], kind="stable")[value_col].to_numpy(
                 dtype="float64"
             )
             # prefix the ring buffer, then every emit is one prefix-sum
@@ -566,7 +568,7 @@ def rolling_zscore(
         out = []
         pdf = one_frame(pdfs)
         if pdf is not None:
-            pdf = pdf.sort_values(ts_col)
+            pdf = pdf.sort_values(ts_col, kind="stable")
             for ts, v in zip(pdf[ts_col], pdf[val_col]):
                 v = int(v)
                 n = len(ring)
@@ -836,7 +838,7 @@ def gap_fill_stream(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
         out = []
         pdf = one_frame(pdfs)
         if pdf is not None:
-            pdf = pdf.sort_values(ts_col)
+            pdf = pdf.sort_values(ts_col, kind="stable")
             hs = ts_us(pdf[ts_col]).to_numpy()
             ns = pdf["n"].to_numpy(dtype="int64")
             vs = pdf["v_fp"].to_numpy(dtype="int64")

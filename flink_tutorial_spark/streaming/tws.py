@@ -110,7 +110,7 @@ class _CountWindowProcessor(StatefulProcessor):
         )
         out = []
         for pdf in rows:
-            vals = pdf.sort_values(self.sort_cols)[self.value_col].to_numpy(
+            vals = pdf.sort_values(self.sort_cols, kind="stable")[self.value_col].to_numpy(
                 dtype="float64"
             )
             if len(vals) == 0:

@@ -289,3 +289,169 @@ def test_match_advance_matches_reference():
             out_r.extend(rows_r)
         assert out_v == out_r, (trial, out_v, out_r)
         assert st_v == st_r, (trial, st_v, st_r)
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzzing vs BRUTE-FORCE oracles (VERDICT r9 #7): unlike
+# _reference_nfa (the old implementation kept as a twin), these oracles
+# restate the SEMANTICS from scratch — per-start first-occurrence walks
+# and all-window streak scans over the raw event soup — so a bug shared
+# by both NFA implementations cannot hide.
+# ---------------------------------------------------------------------------
+
+
+def _brute_sequence(ts_us_arr, flags, chains, veto_flags, within_us):
+    """Brute-force followedBy/optional/notFollowedBy/within oracle: for
+    every step-0 EVENT and every concrete chain, walk the soup taking
+    the first step-s time strictly after the previous advance time;
+    the match stands iff it completes within the horizon and no veto
+    falls strictly inside (start, end)."""
+    veto_times = (
+        [int(t) for t, v in zip(ts_us_arr, veto_flags) if v]
+        if veto_flags is not None
+        else []
+    )
+    out = []
+    for i, t0 in enumerate(ts_us_arr):
+        if not flags[0][i]:
+            continue
+        t0 = int(t0)
+        for chain in chains:
+            if len(chain) == 1:
+                out.append((t0, t0))
+                continue
+            last, ok = t0, True
+            for s in chain[1:]:
+                nxt = min(
+                    (int(t) for t, f in zip(ts_us_arr, flags[s]) if f and int(t) > last),
+                    default=None,
+                )
+                if nxt is None or nxt - t0 > within_us:
+                    ok = False
+                    break
+                last = nxt
+            if ok and not any(t0 < v < last for v in veto_times):
+                out.append((t0, last))
+    return sorted(out)
+
+
+def _brute_consecutive(ts_us_arr, flags, n, hi, within_us):
+    """Brute-force times(n, n_max).consecutive().within() oracle: every
+    window of m consecutive events (m in [n, hi]) that are ALL flagged
+    and span <= within emits (first, last, m)."""
+    out = []
+    N = len(ts_us_arr)
+    for m in range(n, hi + 1):
+        for i in range(N - m + 1):
+            if all(flags[i + j] for j in range(m)) and (
+                ts_us_arr[i + m - 1] - ts_us_arr[i] <= within_us
+            ):
+                out.append((int(ts_us_arr[i]), int(ts_us_arr[i + m - 1]), m))
+    return sorted(out)
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=hs.integers(0, 2**31 - 1),
+        n=hs.integers(5, 300),
+        n_steps=hs.integers(1, 4),
+        opt_mask=hs.integers(0, 7),
+        within=hs.integers(1, 60),
+        veto=hs.booleans(),
+        tie_every=hs.sampled_from([0, 2, 5]),
+        n_cuts=hs.integers(1, 3),
+    )
+    def test_sequence_fuzz_vs_brute_force(
+        seed, n, n_steps, opt_mask, within, veto, tie_every, n_cuts
+    ):
+        """Randomized grid over the full followedBy quantifier surface
+        — chain length x optional subsets x notFollowedBy x within x
+        ties x batch splits — against the from-scratch brute-force
+        oracle."""
+        import itertools
+
+        rng = np.random.default_rng(seed)
+        p_steps = tuple(rng.uniform(0.05, 0.4) for _ in range(n_steps))
+        pdf = _random_frame(
+            n, seed, p_steps=p_steps, p_veto=0.1 if veto else 0.0,
+            tie_every=tie_every,
+        )
+        # optional subset from the mask (step 0 mandatory)
+        opt_idx = [
+            i for i in range(1, n_steps) if (opt_mask >> (i - 1)) & 1
+        ]
+        chains = [
+            tuple(i for i in range(n_steps) if i not in set(skip))
+            for r in range(len(opt_idx) + 1)
+            for skip in itertools.combinations(opt_idx, r)
+        ]
+        step_cols = [f"s{i}" for i in range(n_steps)]
+        veto_col = "veto" if veto else None
+        within_us = within * 1_000_000
+
+        cuts = sorted({0, n, *rng.integers(1, max(2, n), size=n_cuts).tolist()})
+        st = None
+        got = []
+        for a, b in zip(cuts, cuts[1:]):
+            batch = pdf.iloc[a:b].reset_index(drop=True)
+            rows, st = _sequence_advance_batch(
+                1, batch, st, chains, step_cols, "ts", veto_col, within_us
+            )
+            got.extend((f, l) for _, f, l in rows)
+
+        ts_arr = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        flags = [pdf[c].to_numpy() for c in step_cols]
+        veto_flags = pdf["veto"].to_numpy() if veto else None
+        want = _brute_sequence(ts_arr, flags, chains, veto_flags, within_us)
+        # in-flight sequences not yet expired/completed at soup end are
+        # the brute matches whose completion the stream hasn't seen:
+        # drop brute matches still completable... they complete within
+        # the soup by construction, so the outputs must match exactly
+        # EXCEPT matches whose completion events lie beyond the last
+        # batch — impossible here (all events fed). Exact equality.
+        assert sorted(got) == want
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=hs.integers(0, 2**31 - 1),
+        n=hs.integers(5, 300),
+        nq=hs.integers(1, 4),
+        extra=hs.integers(0, 3),
+        within=hs.integers(1, 60),
+        p_flag=hs.floats(0.2, 0.9),
+        tie_every=hs.sampled_from([0, 3]),
+        n_cuts=hs.integers(1, 3),
+    )
+    def test_consecutive_fuzz_vs_brute_force(
+        seed, n, nq, extra, within, p_flag, tie_every, n_cuts
+    ):
+        """Randomized grid over times(a, b).consecutive().within() —
+        streak thresholds x range quantifiers x dense/sparse flags x
+        ties x batch splits (cross-batch carry) — against the
+        all-windows brute-force oracle."""
+        rng = np.random.default_rng(seed)
+        pdf = _random_frame(n, seed, p_steps=(p_flag,), tie_every=tie_every)
+        hi = nq + extra
+        within_us = within * 1_000_000
+
+        cuts = sorted({0, n, *rng.integers(1, max(2, n), size=n_cuts).tolist()})
+        from flink_tutorial_spark.streaming.cep import _consecutive_advance_batch
+
+        carry = []
+        got = []
+        for a, b in zip(cuts, cuts[1:]):
+            batch = pdf.iloc[a:b].reset_index(drop=True).rename(
+                columns={"ts": "ts_col"}
+            )
+            batch["ts_col"] = pd.to_datetime(batch["ts_col"])
+            rows, carry = _consecutive_advance_batch(
+                1, batch, carry, nq, hi, "ts_col", "s0", within
+            )
+            got.extend((f, l, m) for _, f, l, m in rows)
+
+        ts_arr = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        flags = pdf["s0"].to_numpy(dtype=bool)
+        want = _brute_consecutive(ts_arr, flags, nq, hi, within_us)
+        assert sorted(got) == want
