@@ -1176,17 +1176,19 @@ def qsketch_buckets(events: DataFrame, *group_cols: str) -> DataFrame:
     ).agg(F.count("*").cast("long").alias("c"))
 
 
-def qsketch_estimate(buckets: DataFrame) -> DataFrame:
-    """(event_type, n, p50_est, p95_est, p99_est) from histogram cells —
-    the Spark twin of _QSKETCH_EST_SQL. Windows run over the bounded
-    cell table (<= ~512 rows per group), never the raw data; the
-    3-quantile expansion is a broadcast crossJoin."""
+def qsketch_estimate(buckets: DataFrame, *group_cols: str) -> DataFrame:
+    """(*group_cols, n, p50_est, p95_est, p99_est) from histogram cells
+    — the Spark twin of _QSKETCH_EST_SQL (group_cols defaults to
+    event_type). Windows run over the bounded cell table (<= ~512 rows
+    per group), never the raw data; the 3-quantile expansion is a
+    broadcast crossJoin."""
+    keys = list(group_cols) or ["event_type"]
     spark = buckets.sparkSession
     idx = (F.col("e") * 32 + F.col("m")).alias("idx")
-    wcum = Window.partitionBy("event_type").orderBy(F.col("e") * 32 + F.col("m"))
-    wall = Window.partitionBy("event_type")
+    wcum = Window.partitionBy(*keys).orderBy(F.col("e") * 32 + F.col("m"))
+    wall = Window.partitionBy(*keys)
     cum = buckets.select(
-        "event_type",
+        *keys,
         idx,
         F.sum("c").over(wcum).alias("cum"),
         F.sum("c").over(wall).alias("n"),
@@ -1195,7 +1197,7 @@ def qsketch_estimate(buckets: DataFrame) -> DataFrame:
     picks = (
         cum.crossJoin(F.broadcast(qs))
         .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("event_type", "q", "n")
+        .groupBy(*keys, "q", "n")
         .agg(F.min("idx").alias("idx"))
     )
     rep = F.round(
@@ -1206,7 +1208,7 @@ def qsketch_estimate(buckets: DataFrame) -> DataFrame:
     )
     return (
         picks.withColumn("rep", rep)
-        .groupBy("event_type", F.col("n").cast("long").alias("n"))
+        .groupBy(*keys, F.col("n").cast("long").alias("n"))
         .agg(
             F.max(F.when(F.col("q") == 0.5, F.col("rep"))).alias("p50_est"),
             F.max(F.when(F.col("q") == 0.95, F.col("rep"))).alias("p95_est"),
@@ -1291,3 +1293,89 @@ def value_quantile_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("c")
     )
     return qsketch_estimate(merged)
+
+
+@query(
+    "value_quantile_rolling",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS vc FROM events
+), e0t AS (
+  SELECT event_type, day, vc, CAST(floor(log2(vc)) AS INT) AS e0 FROM ev
+), et AS (
+  SELECT event_type, day, vc,
+         CASE WHEN vc >= (CAST(1 AS BIGINT) << (e0 + 1)) THEN e0 + 1
+              WHEN vc < (CAST(1 AS BIGINT) << e0) THEN e0 - 1
+              ELSE e0 END AS e
+  FROM e0t
+), b0 AS (
+  SELECT event_type, day, e,
+         ((vc * 32) // (CAST(1 AS BIGINT) << e)) - 32 AS m,
+         CAST(count(*) AS BIGINT) AS c
+  FROM et GROUP BY 1, 2, 3, 4
+), days AS (SELECT DISTINCT day FROM ev
+), b AS (
+  SELECT b0.event_type, d.day, b0.e, b0.m, CAST(sum(b0.c) AS BIGINT) AS c
+  FROM b0 JOIN days d
+    ON b0.day <= d.day AND b0.day > d.day - INTERVAL 7 DAY
+  GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT event_type, day, e, m, c,
+         sum(c) OVER (PARTITION BY event_type, day ORDER BY e * 32 + m) AS cum,
+         sum(c) OVER (PARTITION BY event_type, day) AS n
+  FROM b
+), picks AS (
+  SELECT c.event_type, c.day, q.q, c.n, min(c.e * 32 + c.m) AS idx
+  FROM cum c CROSS JOIN (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q) q
+  WHERE c.cum >= ceil(q.q * c.n)
+  GROUP BY 1, 2, 3, 4
+), reps AS (
+  SELECT event_type, day, q, n,
+         round((32 + (idx % 32) + 0.5)
+               * CAST(CAST(1 AS BIGINT) << (idx // 32) AS DOUBLE) / 3200.0, 6)
+             AS rep
+  FROM picks
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       max(CASE WHEN q = 0.5 THEN rep END) AS p50_est,
+       max(CASE WHEN q = 0.95 THEN rep END) AS p95_est,
+       max(CASE WHEN q = 0.99 THEN rep END) AS p99_est
+FROM reps GROUP BY 1, 2, 3
+""",
+    tags=("business", "approx", "sketch", "window"),
+)
+def value_quantile_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p50/p95/p99 per (event_type, day) computed by
+    MERGING DAILY SKETCH CELLS — the query that shows why a mergeable
+    quantile sketch earns its place in a 100 TB deployment: the raw
+    data is touched ONCE (one partial-aggregated pass building per-day
+    histogram cells, the state a daily batch job would persist); every
+    trailing-7-day window is then answered by a vector add over
+    <= 7 x ~512 cells per group — where the exact approach re-sorts
+    7 days of raw values per report day (7x re-scan), and
+    t-digest/KLL merges would be order-dependent and unauditable.
+
+    The 7x cell expansion is an explode over a literal 0..6 offset
+    sequence on the CELL table (types x days x cells rows — thousands),
+    never the raw data; the semi-join against observed days drops
+    past-horizon targets. Windows at the series head are partial
+    (trailing semantics), matching the SQL range join."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    b0 = qsketch_buckets(ev, "event_type", "day")
+    days = ev.select("day").distinct()
+    merged = (
+        b0.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn(
+            "day", F.col("day") + F.expr("make_interval(0, 0, 0, off, 0, 0, 0)")
+        )
+        .join(days.hint("broadcast"), "day")
+        .groupBy("event_type", "day", "e", "m")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return qsketch_estimate(merged, "event_type", "day").select(
+        "event_type", "day", "n", "p50_est", "p95_est", "p99_est"
+    )

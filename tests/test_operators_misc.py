@@ -376,3 +376,39 @@ def test_quantile_sketch_bucket_rule_edges(spark):
         assert 0 <= m < 32 and (1 << e) <= vc < (1 << (e + 1))
         expect[(e, m)] = expect.get((e, m), 0) + 1
     assert got == expect
+
+
+def test_quantile_rolling_merge_equals_direct(spark, sf_dir):
+    """Time-dimension mergeability: the rolling query's answer for a day
+    must bit-equal the single-stage sketch built directly over that
+    day's trailing-7-day raw events — daily-cell vector adds lose
+    nothing (the associativity the sketch was chosen for)."""
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.plans.queries_patterns import (
+        qsketch_buckets,
+        qsketch_estimate,
+    )
+    from flink_tutorial_spark.session import load_table
+
+    rolled = plans.REGISTRY["value_quantile_rolling"].fn(spark, sf_dir).collect()
+    assert rolled
+    # pick the latest day (full window) and one head day (partial window)
+    days = sorted({r.day for r in rolled})
+    for target in (days[-1], days[0]):
+        ev = load_table(spark, sf_dir, "events").where(
+            (F.date_trunc("day", F.col("ts")) <= target)
+            & (
+                F.date_trunc("day", F.col("ts"))
+                > F.lit(target) - F.expr("INTERVAL 7 DAYS")
+            )
+        )
+        direct = {
+            r.event_type: (r.n, r.p50_est, r.p95_est, r.p99_est)
+            for r in qsketch_estimate(qsketch_buckets(ev)).collect()
+        }
+        got = {
+            r.event_type: (r.n, r.p50_est, r.p95_est, r.p99_est)
+            for r in rolled
+            if r.day == target
+        }
+        assert got == direct, target
