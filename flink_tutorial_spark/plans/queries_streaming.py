@@ -2232,3 +2232,52 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells_stream = qsketch_buckets(events)
     cells = run_to_memory(cells_stream, "complete")
     return qsketch_estimate(cells)
+
+
+@query(
+    "streaming_blocklist_filter",
+    oracle="""
+WITH dom AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 < 3 THEN 'hub.example.com'
+              WHEN doc_id % 10 < 5 THEN 'mirror.example.net'
+              ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.example.org'
+         END AS domain
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM dom
+WHERE domain NOT IN ('mirror.example.net', 'spam.example.com')
+GROUP BY source
+""",
+    tags=("streaming", "datapipe", "governance", "join", "anti"),
+)
+def streaming_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering ON INGEST — urlgov_blocklist's live
+    twin and the catalog's stream-STATIC anti-join shape (the others
+    are stream-stream): documents arrive as a stream, the blocklist is
+    a static broadcast table, and the left-anti join drops blocked
+    domains before the per-source survival counts aggregate in
+    complete mode. This is the C4/RefinedWeb ingest topology: the
+    filter runs IN the ingest pipeline (no quarantine-then-batch-clean
+    pass), and the blocklist refreshes per micro-batch exactly like
+    the broadcast-dim enrichment pattern (stream-static joins re-plan
+    the static side each batch).
+
+    Scale shape: the blocklist (thousands of rows in production) ships
+    broadcast — the document stream never shuffles for the join; state
+    is only the per-source count cells."""
+    from flink_tutorial_spark.plans.queries_datapipe import (
+        _URLGOV_BLOCKLIST,
+        _urlgov_docs,
+    )
+
+    docs = _urlgov_docs(stream_table(spark, sf_dir, "documents"))
+    bl = spark.createDataFrame([(d,) for d in _URLGOV_BLOCKLIST], ["domain"])
+    kept = (
+        docs.join(F.broadcast(bl), "domain", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return run_to_memory(kept, "complete")
