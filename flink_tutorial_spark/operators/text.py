@@ -1110,3 +1110,187 @@ def bpe_encoded_vocab(
         )
     finally:
         vocab.unpersist()
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple = ("window", "join", "hash"),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring: rank documents against a fixed
+    term query (Robertson et al.; the Lucene-default relevance
+    function) — the retrieval primitive data pipelines use for
+    quality-by-retrieval selection (score docs against a trusted
+    query/seed set) and for corpus search tooling.
+
+    score(d) = sum over matched terms t of
+        ln(1 + (N - df + 0.5) / (df + 0.5))            [Lucene idf]
+        * tf * (k1 + 1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with dl = non-empty word count of d and avgdl its corpus mean.
+    Scores round to 6 places BEFORE ranking (ties then break doc_id
+    asc) so the cut is engine-stable.
+
+    Scale shape: docs without any query term are dropped BEFORE the
+    explode via arrays_overlap on the staged word array (the big win:
+    for selective queries the shuffle carries only matching docs);
+    dl is computed once per doc in a staged projection (never inside
+    the generator row — the HOF-vs-CSE re-evaluation trap). tf is a
+    partial-aggregable groupBy bounded by |matched docs| x |query|;
+    the df table is |query| rows and broadcast; N and avgdl ride in as
+    a 1-row broadcast crossJoin. The final top-k is orderBy + limit —
+    Spark's TakeOrdered (per-partition heap + driver merge of k rows),
+    never a global sort shuffle; the rank window runs on the k-row
+    result only."""
+    from pyspark.sql import Window
+
+    arr = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("ws")
+    )
+    staged = arr.select(
+        F.col(id_col),
+        F.size(F.filter(F.col("ws"), lambda w: w != "")).alias("dl"),
+        F.col("ws"),
+    )
+    stats = staged.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        staged.where(F.arrays_overlap("ws", qlit))
+        .select(F.col(id_col), "dl", F.explode("ws").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(
+                F.sum(
+                    F.log(
+                        1
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * (k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def dsir_importance_topk(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 256,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance ranking (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed n-gram features are
+    under a TARGET distribution than under the raw corpus, then keep
+    the top-k — the standard cheap data-selection step for steering a
+    pretraining mix toward a trusted domain without a learned
+    classifier.
+
+    Features: unigrams + space-joined bigrams, hashed to ``n_buckets``
+    via the shared md5-60bit hash. Both models are add-1-smoothed
+    multinomials over buckets: target counts from docs whose
+    ``source_col`` equals ``target_source``; raw counts from the whole
+    corpus. Per doc: avg log-likelihood ratio over its gram
+    occurrences, sum(c_b * (ln p_t(b) - ln p_r(b))) / sum(c_b),
+    rounded to 6 BEFORE ranking (ties doc_id asc).
+
+    Scale shape: one explode -> ONE partial-aggregable groupBy(bucket)
+    builds BOTH models (raw count + conditional target count per
+    bucket — n_buckets rows total, broadcast back); per-doc bucket
+    counts are a second partial-aggregable groupBy bounded by
+    |docs| x n_buckets; gram totals ride in as a 1-row broadcast
+    crossJoin. The hashed-feature trick is exactly what makes DSIR
+    100 TB-shaped: model size is FIXED at n_buckets regardless of
+    vocabulary, so the model join is always broadcast. Top-k is
+    orderBy + limit (TakeOrdered), never a global sort shuffle."""
+    from pyspark.sql import Window
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    ws = F.split(F.col(text_col), " ")
+    arr = docs.select(F.col(id_col), F.col(source_col), ws.alias("ws"))
+    grams = arr.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.concat(
+            F.col("ws"),
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                lambda a, bb: F.concat_ws(" ", a, bb),
+            ),
+        ).alias("grams"),
+    )
+    g = (
+        grams.select(
+            F.col(id_col), F.col(source_col), F.explode("grams").alias("gram")
+        )
+        .where(F.col("gram") != "")
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            (md5_long(F.col("gram")) % n_buckets).alias("bucket"),
+        )
+    )
+    is_target = F.col(source_col) == target_source
+    model = g.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(is_target, 1)).alias("ct"),
+    )
+    totals = g.agg(
+        F.count("*").alias("tr"),
+        F.count(F.when(is_target, 1)).alias("tt"),
+    )
+    doc_bucket = g.groupBy(id_col, source_col, "bucket").agg(
+        F.count("*").alias("c")
+    )
+    bb = float(n_buckets)
+    scored = (
+        doc_bucket.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, source_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * (
+                        F.log((F.col("ct") + 1.0) / (F.col("tt") + bb))
+                        - F.log((F.col("cr") + 1.0) / (F.col("tr") + bb))
+                    )
+                )
+                / F.sum("c"),
+                6,
+            ).alias("avg_llr"),
+        )
+    )
+    top = scored.orderBy(F.desc("avg_llr"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("avg_llr"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -2978,3 +2978,114 @@ def urlgov_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS dl,
+           string_split(text, ' ') AS ws
+    FROM documents
+), stats AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d
+), w AS (
+    SELECT doc_id, dl, unnest(ws) AS term FROM d
+), tf AS (
+    SELECT doc_id, dl, term, count(*) AS tf
+    FROM w WHERE term IN ('window', 'join', 'hash')
+    GROUP BY 1, 2, 3
+), dft AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), sc AS (
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(
+               ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dft USING (term), stats s
+    GROUP BY tf.doc_id
+), r AS (
+    SELECT doc_id, n_terms, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+    FROM sc
+)
+SELECT doc_id, n_terms, bm25, rank FROM r WHERE rank <= 10
+""",
+    tags=("datapipe", "text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 against a fixed 3-term query — the retrieval
+    primitive behind quality-by-retrieval data selection and corpus
+    search tooling (Lucene-default idf, k1=1.2, b=0.75). Scores round
+    to 6 before ranking; ties break doc_id asc.
+
+    Scale shape: non-matching docs are dropped pre-explode via
+    arrays_overlap; the df table (|query| rows) broadcasts; N/avgdl
+    ride a 1-row broadcast crossJoin; the top-k is TakeOrdered (no
+    global sort shuffle). See operators/text.bm25_topk."""
+    return T.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "datapipe_dsir_select",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), g0 AS (
+    SELECT doc_id, source, unnest(ws) AS gram FROM d
+    UNION ALL
+    SELECT doc_id, source, bg[1] || ' ' || bg[2] AS gram
+    FROM (
+        SELECT doc_id, source,
+               unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+        FROM d
+    )
+), gb AS (
+    SELECT doc_id, source, {_MD5_LONG.format(x="gram")} % 256 AS bucket
+    FROM g0 WHERE gram <> ''
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS tr,
+           CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT) AS tt
+    FROM gb
+), model AS (
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS cr,
+           CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT) AS ct
+    FROM gb GROUP BY bucket
+), db AS (
+    SELECT doc_id, source, bucket, count(*) AS c FROM gb GROUP BY 1, 2, 3
+), sc AS (
+    SELECT db.doc_id, any_value(db.source) AS source,
+           CAST(sum(db.c) AS BIGINT) AS n_grams,
+           round(sum(db.c * (ln((m.ct + 1.0) / (t.tt + 256.0))
+                             - ln((m.cr + 1.0) / (t.tr + 256.0))))
+                 / sum(db.c), 6) AS avg_llr
+    FROM db JOIN model m USING (bucket), tot t
+    GROUP BY db.doc_id
+), r AS (
+    SELECT doc_id, source, n_grams, avg_llr,
+           CAST(row_number() OVER (ORDER BY avg_llr DESC, doc_id) AS INT)
+               AS rank
+    FROM sc
+)
+SELECT doc_id, source, n_grams, avg_llr, rank FROM r WHERE rank <= 50
+""",
+    tags=("datapipe", "sampling", "quality"),
+)
+def datapipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): rank raw documents
+    by hashed-n-gram importance weight toward a target domain (docs
+    from src0 as the trusted seed) and keep the top 50 — the standard
+    classifier-free mix-steering step before a pretraining run.
+
+    Scale shape: the hashed feature space fixes BOTH models at 256
+    rows regardless of vocabulary, so the model join is always
+    broadcast; one explode feeds one partial-aggregable groupBy for
+    the models and one for per-doc bucket counts; totals are a 1-row
+    broadcast; top-k is TakeOrdered. See
+    operators/text.dsir_importance_topk."""
+    return T.dsir_importance_topk(load_table(spark, sf_dir, "documents"))
