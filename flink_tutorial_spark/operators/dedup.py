@@ -426,6 +426,10 @@ def ngram_jaccard_pairs(
     pipeline. The oracle hashes with the identical md5 prefix, so even
     a (≈2^-61) hash collision yields the same answer in both engines.
     The oracle is strategy-independent."""
+    if on_exceed not in ("raise", "lsh-verify"):
+        raise ValueError(
+            f"on_exceed={on_exceed!r}: expected 'raise' or 'lsh-verify'"
+        )
     sh_raw = shingle_table(docs, id_col, text_col).select(
         F.col(id_col), md5_long(F.col("shingle")).alias("sh")
     )
@@ -450,12 +454,6 @@ def ngram_jaccard_pairs(
         avg_df = sum_df2 / float(stats["sum_df"] or 1)
         if candidate_budget is not None and sum_df2 > candidate_budget:
             if on_exceed == "lsh-verify":
-                sizes_a = sizes.select(
-                    F.col(id_col).alias("doc_a"), F.col("n").alias("na")
-                )
-                sizes_b = sizes.select(
-                    F.col(id_col).alias("doc_b"), F.col("n").alias("nb")
-                )
                 cand = (
                     lsh_candidate_pairs(
                         minhash_signatures(
@@ -468,9 +466,14 @@ def ngram_jaccard_pairs(
                             id_col,
                         ),
                         id_col,
+                        # this branch runs ONLY on saturated corpora, so
+                        # the hot-band guard must be armed — unguarded,
+                        # a degenerate band bucket re-creates the exact
+                        # quadratic blowup the breaker exists to stop
+                        max_band_freq=1000,
                     )
-                    .join(sizes_a, "doc_a")
-                    .join(sizes_b, "doc_b")
+                    .join(sa, "doc_a")
+                    .join(sb, "doc_b")
                     # pigeonhole size cut: J <= min(|A|,|B|) / max(|A|,|B|)
                     .where(
                         F.least("na", "nb")

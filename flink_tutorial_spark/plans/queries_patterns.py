@@ -1088,7 +1088,12 @@ def freq_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mergeable quantile sketch (HDR-style fixed-boundary log2 histogram)
 # ---------------------------------------------------------------------------
 # Bucket rule shared by the three quantile-sketch queries and their
-# oracles: value -> integer cents vc -> octave e = floor(log2(vc))
+# oracles: value -> integer cents vc = greatest(round(value*100), 1)
+# (the clamp routes zero/sub-cent values into the first cell — log2(0)
+# is an ERROR in DuckDB and a silent NULL cell in Spark, and sf0.1's
+# exponential value column does produce exact 0.00 rows; at vc=1 the
+# estimate error is absolute <= ~1 cent instead of relative)
+# -> octave e = floor(log2(vc))
 # (double log2 then INTEGER-corrected with shifts, so a 1-ulp libm
 # difference between engines can never move a bucket) -> 32 linear
 # sub-buckets per octave m = (vc*32) div 2^e - 32. Counts per (e, m)
@@ -1104,7 +1109,8 @@ def freq_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QSKETCH_BUCKETS_SQL = """
 ev AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+  SELECT event_type, greatest(CAST(round(value * 100) AS BIGINT), 1) AS vc
+  FROM events
 ), e0t AS (
   SELECT event_type, vc, CAST(floor(log2(vc)) AS INT) AS e0 FROM ev
 ), et AS (
@@ -1153,7 +1159,10 @@ def qsketch_buckets(events: DataFrame, *group_cols: str) -> DataFrame:
     by 32 * octaves (~512) per group regardless of input size."""
     keys = list(group_cols) or ["event_type"]
     ev = events.select(
-        *keys, F.round(F.col("value") * 100).cast("long").alias("vc")
+        *keys,
+        F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(1)).alias(
+            "vc"
+        ),
     )
     e0t = ev.select(*keys, "vc", F.floor(F.log2("vc")).cast("int").alias("e0"))
     et = e0t.select(
@@ -1300,7 +1309,7 @@ def value_quantile_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ev AS (
   SELECT event_type, date_trunc('day', ts) AS day,
-         CAST(round(value * 100) AS BIGINT) AS vc FROM events
+         greatest(CAST(round(value * 100) AS BIGINT), 1) AS vc FROM events
 ), e0t AS (
   SELECT event_type, day, vc, CAST(floor(log2(vc)) AS INT) AS e0 FROM ev
 ), et AS (

@@ -62,7 +62,12 @@ class StateProbe(StreamingQueryListener):
                 }
             )
         self.events.append(
-            {"batchId": p.batchId, "rows_in": p.numInputRows, "ops": ops}
+            {
+                "runId": str(p.runId),
+                "batchId": p.batchId,
+                "rows_in": p.numInputRows,
+                "ops": ops,
+            }
         )
 
     def onQueryIdle(self, event):
@@ -80,14 +85,18 @@ def main() -> None:
     probe = StateProbe()
     spark.streams.addListener(probe)
     for name in names:
-        probe.events.clear()
+        # attribution is by runId, not list position: the listener thread
+        # appends asynchronously, so a late-draining progress event from
+        # the PREVIOUS query must not be counted against this one
+        prior_runs = {e["runId"] for e in probe.events}
         t0 = time.perf_counter()
         n_rows = plans.REGISTRY[name].fn(spark, sf_dir).count()
         wall = time.perf_counter() - t0
         time.sleep(2)  # listener events are async; let the tail drain
-        n_batches = len(probe.events)
+        events = [e for e in probe.events if e["runId"] not in prior_runs]
+        n_batches = len(events)
         max_state = {}
-        for ev in probe.events:
+        for ev in events:
             for op in ev["ops"]:
                 cur = max_state.get(op["op"], {"rows": 0, "bytes": 0})
                 max_state[op["op"]] = {
