@@ -378,6 +378,28 @@ def test_quantile_sketch_bucket_rule_edges(spark):
     assert got == expect
 
 
+def test_quantile_sketch_zero_value_clamp(spark):
+    """Zero / sub-cent values must land in the first cell (vc clamped to
+    1), never a NULL octave: log2(0) is an error in DuckDB and a silent
+    NULL in Spark, and the sf0.1 fixture's exponential value column DOES
+    contain exact 0.00 rows (6 of them) — found by review in r10."""
+    from flink_tutorial_spark.plans.queries_patterns import (
+        qsketch_buckets,
+        qsketch_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("t", 0.0), ("t", 0.002), ("t", 0.01)], ["event_type", "value"]
+    )
+    cells = qsketch_buckets(df).collect()
+    assert all(c.e is not None and c.m is not None for c in cells)
+    assert {(c.e, c.m): c.c for c in cells} == {(0, 0): 3}
+    est = qsketch_estimate(qsketch_buckets(df)).collect()[0]
+    assert est.n == 3
+    # first-cell midpoint: (32 + 0 + 0.5) * 1 / 3200
+    assert est.p50_est == round(32.5 / 3200.0, 6)
+
+
 def test_quantile_rolling_merge_equals_direct(spark, sf_dir):
     """Time-dimension mergeability: the rolling query's answer for a day
     must bit-equal the single-stage sketch built directly over that
