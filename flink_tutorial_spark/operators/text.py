@@ -1294,3 +1294,69 @@ def dsir_importance_topk(
     top = scored.orderBy(F.desc("avg_llr"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("avg_llr"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+#: query-string parameters that carry tracking state, not content
+#: identity — the standard strip set for crawl canonicalization.
+TRACKING_PARAM_RE = "^(utm_[a-z]+|ref|fbclid|gclid)="
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """Canonicalize a URL column the way web-corpus pipelines
+    (C4/RefinedWeb-style crawl curation) do before URL-level dedup:
+    lowercase, drop the fragment, strip a leading ``www.``, drop a
+    trailing slash, and remove tracking query parameters
+    (``utm_*``/``ref``/``fbclid``/``gclid``) while PRESERVING real
+    parameters — two raw URLs that differ only in tracking noise
+    collapse to one canonical form, URLs that differ in a real
+    parameter stay distinct.
+
+    Each step is a plain column expression (regexp_replace / filter +
+    array_join), so the whole op is whole-stage-codegen'd and
+    shuffle-free — at 100 TB this runs inside the scan stage. The
+    query string is materialized through staged selects before the
+    lambda consumes it (HOF lambdas defeat Catalyst CSE; re-deriving
+    it inside ``filter`` would re-run the regex per element)."""
+    u2, base0, qs, kept = "_uc_u2", "_uc_base0", "_uc_qs", "_uc_kept"
+    out = (
+        df.withColumn(
+            u2, F.lower(F.regexp_replace(F.col(url_col), "#.*$", ""))
+        )
+        .withColumn(
+            base0,
+            F.regexp_replace(
+                F.regexp_replace(F.col(u2), "\\?.*$", ""),
+                "^https://www\\.",
+                "https://",
+            ),
+        )
+        .withColumn(
+            qs,
+            F.when(
+                F.instr(F.col(u2), "?") > 0,
+                F.expr(f"substring({u2}, instr({u2}, '?') + 1)"),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            kept,
+            F.array_join(
+                F.filter(
+                    F.split(F.col(qs), "&"),
+                    lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+                ),
+                "&",
+            ),
+        )
+        .withColumn(
+            out_col,
+            F.concat(
+                F.regexp_replace(F.col(base0), "/$", ""),
+                F.when(
+                    F.col(kept) != "", F.concat(F.lit("?"), F.col(kept))
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+    return out.drop(u2, base0, qs, kept)

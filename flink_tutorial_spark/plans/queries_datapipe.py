@@ -3089,3 +3089,300 @@ def datapipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; top-k is TakeOrdered. See
     operators/text.dsir_importance_topk."""
     return T.dsir_importance_topk(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (round 10): the derived-URL fixture plants the
+# variant classes a real crawl produces — trailing slash, case noise,
+# a www. prefix + tracking params, and a REAL query param mixed with a
+# tracking param and a fragment — on a deterministic host/path grid so
+# both engines derive byte-identical raw URLs. doc_id // 7 gives ~7
+# docs per path; doc_id % 10 spreads them over the urlgov domains, so
+# same-host+path groups exist and collapse is real mass, not an edge.
+
+_URLGOV_URL_SQL = """
+u0 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 < 3 THEN 'hub.example.com'
+              WHEN doc_id % 10 < 5 THEN 'mirror.example.net'
+              ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.example.org'
+         END AS domain,
+         CAST(doc_id // 7 AS VARCHAR) AS pid,
+         doc_id % 5 AS v
+  FROM documents
+),
+raw AS (
+  SELECT doc_id, source, domain,
+         CASE v
+           WHEN 0 THEN 'https://' || domain || '/a/' || pid
+           WHEN 1 THEN 'https://' || domain || '/a/' || pid || '/'
+           WHEN 2 THEN 'HTTPS://' || upper(domain) || '/a/' || pid
+           WHEN 3 THEN 'https://www.' || domain || '/a/' || pid
+                    || '?utm_source=feed&utm_campaign=x'
+           ELSE 'https://' || domain || '/a/' || pid || '?id=7&ref=rss#frag'
+         END AS url
+  FROM u0
+)"""
+
+
+def _urlgov_urls(docs: DataFrame) -> DataFrame:
+    """Spark twin of _URLGOV_URL_SQL: doc_id-derived raw URLs with the
+    planted canonicalization variants."""
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 10 < 3, F.lit("hub.example.com"))
+        .when(F.col("doc_id") % 10 < 5, F.lit("mirror.example.net"))
+        .otherwise(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 17).cast("string"),
+                F.lit(".example.org"),
+            )
+        )
+        .alias("domain"),
+        F.expr("doc_id div 7").cast("string").alias("pid"),
+        (F.col("doc_id") % 5).alias("v"),
+    )
+    stem = F.concat(F.col("domain"), F.lit("/a/"), F.col("pid"))
+    return base.select(
+        "doc_id",
+        "source",
+        "domain",
+        F.when(F.col("v") == 0, F.concat(F.lit("https://"), stem))
+        .when(F.col("v") == 1, F.concat(F.lit("https://"), stem, F.lit("/")))
+        .when(
+            F.col("v") == 2,
+            F.concat(F.lit("HTTPS://"), F.upper(stem)),
+        )
+        .when(
+            F.col("v") == 3,
+            F.concat(
+                F.lit("https://www."),
+                stem,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), stem, F.lit("?id=7&ref=rss#frag"))
+        )
+        .alias("url"),
+    )
+
+
+@query(
+    "urlgov_canonicalize",
+    oracle=f"""
+WITH {_URLGOV_URL_SQL},
+c1 AS (
+  SELECT doc_id, domain, url,
+         lower(regexp_replace(url, '#.*$', '')) AS u2
+  FROM raw
+), c2 AS (
+  SELECT doc_id, domain, url, u2,
+         regexp_replace(regexp_replace(u2, '\\?.*$', ''),
+                        '^https://www\\.', 'https://') AS base0,
+         CASE WHEN position('?' IN u2) > 0
+              THEN substr(u2, position('?' IN u2) + 1) ELSE '' END AS qs
+  FROM c1
+), c3 AS (
+  SELECT doc_id, domain, url,
+         regexp_replace(base0, '/$', '') AS base,
+         array_to_string(list_filter(string_split(qs, '&'),
+             p -> p <> ''
+                  AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')),
+             '&') AS kept
+  FROM c2
+), canon AS (
+  SELECT doc_id, domain, url,
+         base || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS curl
+  FROM c3
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+       CAST(count(DISTINCT curl) AS BIGINT) AS n_canon_distinct,
+       CAST(count(DISTINCT url) - count(DISTINCT curl) AS BIGINT)
+           AS n_collapsed,
+       round(1 - count(DISTINCT curl)::DOUBLE / count(DISTINCT url), 4)
+           AS collapse_rate
+FROM canon GROUP BY domain
+""",
+    tags=("datapipe", "governance", "dedup"),
+)
+def urlgov_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + re-dedup gain per domain — the crawl-
+    curation step that runs BEFORE URL-level dedup in C4/RefinedWeb-
+    style pipelines: lowercase, fragment strip, www strip, trailing-
+    slash strip, tracking-param removal (utm_*/ref/fbclid/gclid) with
+    real params preserved. The report shows, per domain, how many
+    raw-distinct URLs collapse once tracking noise is removed — the
+    dedup mass a pipeline would otherwise re-crawl and re-process.
+
+    Scale shape: canonicalization is pure column expressions inside
+    the scan stage (operators/text.url_canonicalize — zero shuffle);
+    the report is one partial-aggregable groupBy(domain) with distinct
+    counts. No joins, no pairs."""
+    urls = _urlgov_urls(load_table(spark, sf_dir, "documents"))
+    canon = T.url_canonicalize(urls)
+    return canon.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("url").cast("long").alias("n_raw_distinct"),
+        F.countDistinct("canon_url").cast("long").alias("n_canon_distinct"),
+        (F.countDistinct("url") - F.countDistinct("canon_url"))
+        .cast("long")
+        .alias("n_collapsed"),
+        F.round(
+            1 - F.countDistinct("canon_url") / F.countDistinct("url"), 4
+        ).alias("collapse_rate"),
+    )
+
+
+@query(
+    "datapipe_temperature_mix",
+    oracle="""
+WITH sm AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 20 < 10 THEN 'web'
+              WHEN doc_id % 20 < 16 THEN 'books'
+              WHEN doc_id % 20 < 19 THEN 'code'
+              ELSE 'wiki' END AS mix_source
+  FROM documents
+), cnt AS (
+  SELECT mix_source, CAST(count(*) AS BIGINT) AS n_docs FROM sm GROUP BY 1
+), wt AS (
+  SELECT mix_source, n_docs, sqrt(n_docs) AS wraw,
+         sum(sqrt(n_docs)) OVER () AS wsum
+  FROM cnt
+), tgt AS (
+  SELECT mix_source, n_docs,
+         round(wraw / wsum, 6) AS weight,
+         CAST(floor(200.0 * wraw / wsum) AS BIGINT) AS base_n,
+         200.0 * wraw / wsum - floor(200.0 * wraw / wsum) AS rem
+  FROM wt
+), fin AS (
+  SELECT mix_source, n_docs, weight,
+         least(n_docs,
+               base_n + CASE WHEN CAST(row_number() OVER
+                                  (ORDER BY rem DESC, mix_source) AS BIGINT)
+                             <= 200 - (SELECT CAST(sum(base_n) AS BIGINT)
+                                       FROM tgt)
+                        THEN 1 ELSE 0 END) AS target_n
+  FROM tgt
+), sel AS (
+  SELECT doc_id, mix_source, text,
+         CAST(row_number() OVER (PARTITION BY mix_source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                          doc_id) AS BIGINT) AS rn
+  FROM sm
+)
+SELECT f.mix_source, f.n_docs, f.weight,
+       CAST(f.target_n AS BIGINT) AS target_n,
+       CAST(count(s.doc_id) AS BIGINT) AS sel_docs,
+       CAST(coalesce(sum(len(list_filter(string_split(s.text, ' '),
+                                         w -> w <> ''))), 0) AS BIGINT)
+           AS sel_tokens
+FROM fin f LEFT JOIN sel s
+  ON s.mix_source = f.mix_source AND s.rn <= f.target_n
+GROUP BY 1, 2, 3, 4
+""",
+    tags=("datapipe", "sampling", "mixing"),
+)
+def datapipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multinomial source-
+    weighting step (weights proportional to n^alpha) every multi-source
+    pretraining run uses to keep the biggest source from drowning the
+    mix while still over-sampling it. alpha = 0.5 on a planted skewed
+    split (web 50% / books 30% / code 15% / wiki 5% via doc_id % 20);
+    sqrt is used rather than pow(x, alpha) because IEEE-754 sqrt is
+    correctly rounded and therefore bit-identical across engines,
+    where general pow is libm-dependent. A 200-doc budget is allotted
+    by floor + largest-remainder (exact integer redistribution, ties
+    by source name), capped per source by availability; selection
+    within a source is deterministic md5(doc_id) hash order. The
+    report carries the selected doc count and token volume per source.
+
+    Scale shape: the mix table is |sources| rows — every window/scalar
+    here runs over 4 rows; the corpus-side work is one partial-
+    aggregable count, one hash-ranked window per source partition
+    (two-stage per-shard top-K at extreme scale, as urlgov_domain_quota
+    documents), and one broadcast join of the 4-row target table with
+    a residual rn <= target_n predicate. Token sums ride the partial
+    agg. Nothing all-pairs, nothing collected."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sm = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 20 < 10, F.lit("web"))
+        .when(F.col("doc_id") % 20 < 16, F.lit("books"))
+        .when(F.col("doc_id") % 20 < 19, F.lit("code"))
+        .otherwise(F.lit("wiki"))
+        .alias("mix_source"),
+    )
+    cnt = sm.groupBy("mix_source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # the mix table is |sources| rows, so every scalar here is a window
+    # over that TINY table — one lineage, ONE corpus scan for the counts
+    # (crossJoin-broadcast scalars would re-derive cnt per branch and
+    # re-scan the corpus 3 extra times)
+    w_all = Window.partitionBy()
+    share = F.lit(200.0) * F.col("wraw") / F.col("wsum")
+    tgt = (
+        cnt.withColumn("wraw", F.sqrt("n_docs"))
+        .withColumn("wsum", F.sum("wraw").over(w_all))
+        .select(
+            "mix_source",
+            "n_docs",
+            F.round(F.col("wraw") / F.col("wsum"), 6).alias("weight"),
+            F.floor(share).cast("long").alias("base_n"),
+            (share - F.floor(share)).alias("rem"),
+        )
+    )
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("mix_source"))
+    fin = (
+        tgt.withColumn("rn", F.row_number().over(w_rem).cast("long"))
+        .withColumn("extra", F.lit(200) - F.sum("base_n").over(w_all))
+        .select(
+            "mix_source",
+            "n_docs",
+            "weight",
+            F.least(
+                F.col("n_docs"),
+                F.col("base_n")
+                + F.when(F.col("rn") <= F.col("extra"), 1).otherwise(0),
+            )
+            .cast("long")
+            .alias("target_n"),
+        )
+    )
+    w_sel = Window.partitionBy("mix_source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
+        "long"
+    )
+    sel = (
+        sm.withColumn("rn", F.row_number().over(w_sel).cast("long"))
+        .select(
+            F.col("mix_source").alias("s_src"),
+            F.col("doc_id").alias("s_doc"),
+            "rn",
+            toks.alias("toks"),
+        )
+    )
+    return (
+        sel.join(
+            F.broadcast(fin),
+            (F.col("s_src") == F.col("mix_source"))
+            & (F.col("rn") <= F.col("target_n")),
+            "right",
+        )
+        .groupBy("mix_source", "n_docs", "weight", "target_n")
+        .agg(
+            F.count("s_doc").cast("long").alias("sel_docs"),
+            F.coalesce(F.sum("toks"), F.lit(0)).cast("long").alias("sel_tokens"),
+        )
+    )

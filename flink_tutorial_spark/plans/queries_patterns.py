@@ -1388,3 +1388,131 @@ def value_quantile_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_estimate(merged, "event_type", "day").select(
         "event_type", "day", "n", "p50_est", "p95_est", "p99_est"
     )
+
+
+@query(
+    "value_drift_psi",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, ts,
+         CASE WHEN event_type = 'click' AND ts >= TIMESTAMP '2024-01-16'
+              THEN value * 1.6 + 40.0 ELSE value END AS value
+  FROM events
+), binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END
+             AS win,
+         least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bin
+  FROM ev
+), grid AS (
+  SELECT event_type, unnest(range(0, 10)) AS bin
+  FROM (SELECT DISTINCT event_type FROM events)
+), counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_ref,
+         CAST(sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_cur
+  FROM binned GROUP BY 1, 2
+), filled AS (
+  SELECT g.event_type, g.bin,
+         coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur
+  FROM grid g LEFT JOIN counts c USING (event_type, bin)
+), tot AS (
+  SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS nr,
+         CAST(sum(c_cur) AS BIGINT) AS nc
+  FROM filled GROUP BY 1
+)
+SELECT f.event_type, t.nr AS n_ref, t.nc AS n_cur,
+       round(sum( ((f.c_ref + 1.0) / (t.nr + 10.0)
+                   - (f.c_cur + 1.0) / (t.nc + 10.0))
+                  * ln( ((f.c_ref + 1.0) / (t.nr + 10.0))
+                        / ((f.c_cur + 1.0) / (t.nc + 10.0)) ) ), 4) AS psi,
+       CAST(round(sum( ((f.c_ref + 1.0) / (t.nr + 10.0)
+                   - (f.c_cur + 1.0) / (t.nc + 10.0))
+                  * ln( ((f.c_ref + 1.0) / (t.nr + 10.0))
+                        / ((f.c_cur + 1.0) / (t.nc + 10.0)) ) ), 4) > 0.2
+            AS BIGINT) AS drifted
+FROM filled f JOIN tot t USING (event_type)
+GROUP BY 1, 2, 3
+""",
+    tags=("business", "quality", "monitoring"),
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report per event_type — the
+    data-quality monitor every production feature/ingest pipeline runs
+    between a reference window and the current window (here the two
+    halves of the month, split at Jan 16). Values are histogrammed
+    into 10 fixed-width bins (width 50, top bin open — constant
+    boundaries, so the binning is engine-exact and shard-mergeable);
+    PSI = sum over bins of (p_ref - p_cur) * ln(p_ref / p_cur) with
+    add-1/add-10 Laplace smoothing so empty bins never hit ln(0);
+    drifted flags PSI > 0.2 (the conventional action threshold). The
+    fixture plants real drift: click values in the current window are
+    shifted x1.6 + 40, so exactly one type must flag.
+
+    Scale shape: one partial-aggregable groupBy(event_type, bin) over
+    the raw data — the histogram cells are the ONLY state (types x 10
+    rows), the same mergeable-cells algebra as the quantile sketch; the
+    bin grid is a types x 10 literal explode; totals and the PSI sum
+    run over cells only. At 100 TB each window's cells come from its
+    own partial agg — no raw-data join ever happens."""
+    events = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    ev = events.select(
+        "event_type",
+        "ts",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= split),
+            F.col("value") * 1.6 + 40.0,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < split, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("win"),
+        F.least(F.lit(9).cast("long"), F.floor(F.col("value") / 50.0)).alias(
+            "bin"
+        ),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("win") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("win") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("c_cur"),
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+        .select("event_type", F.col("bin").cast("long").alias("bin"))
+    )
+    full = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10.0)
+    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + 10.0)
+    psi = F.round(F.sum((p - q) * F.log(p / q)), 4)
+    return (
+        full.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            psi.alias("psi"),
+            (psi > 0.2).cast("long").alias("drifted"),
+        )
+    )

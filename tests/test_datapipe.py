@@ -866,3 +866,92 @@ def test_urlgov_family_planted_semantics(spark, sf_dir):
     for dom, ranks in per_dom.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), dom
         assert len(ranks) <= 20
+
+
+def test_url_canonicalize_unit(spark):
+    """Operator-level contract for url_canonicalize: each planted noise
+    class collapses, real params survive, and an already-canonical URL
+    is a fixed point."""
+    from flink_tutorial_spark.operators.text import url_canonicalize
+
+    rows = [
+        ("a", "https://x.com/p"),
+        ("b", "https://x.com/p/"),
+        ("c", "HTTPS://X.COM/p"),
+        ("d", "https://www.x.com/p?utm_source=a&utm_campaign=b"),
+        ("e", "https://x.com/p?id=7&ref=rss#frag"),
+        ("f", "https://x.com/p?id=7&fbclid=zz"),
+        ("g", "https://x.com/p?gclid=1"),
+    ]
+    # note ("c"): the fixture path is lowercase-stable; the op documents
+    # whole-URL lowercasing
+    df = spark.createDataFrame(rows, ["k", "url"])
+    got = {r.k: r.canon_url for r in url_canonicalize(df).collect()}
+    assert got["a"] == "https://x.com/p"
+    assert got["b"] == "https://x.com/p"
+    assert got["c"] == "https://x.com/p"
+    assert got["d"] == "https://x.com/p"
+    assert got["e"] == "https://x.com/p?id=7"
+    assert got["f"] == "https://x.com/p?id=7"
+    assert got["g"] == "https://x.com/p"
+
+
+def test_urlgov_canonicalize_planted(spark, sf_dir):
+    """The hub domain (3 same-host residues per 7-doc path block) must
+    show real collapse mass; the mirror (its two variant classes have
+    distinct canonical forms) and the 17 small sites (one doc per
+    host+path) must show zero — the negative control that proves the
+    op never over-merges."""
+    from flink_tutorial_spark import plans
+
+    rows = plans.REGISTRY["urlgov_canonicalize"].fn(spark, sf_dir).collect()
+    by_dom = {r.domain: r for r in rows}
+    hub = by_dom["hub.example.com"]
+    assert hub.n_collapsed > 0 and hub.collapse_rate > 0
+    for dom, r in by_dom.items():
+        assert r.n_canon_distinct <= r.n_raw_distinct <= r.n_urls, dom
+        assert r.n_collapsed == r.n_raw_distinct - r.n_canon_distinct, dom
+        if dom != "hub.example.com":
+            assert r.n_collapsed == 0, dom
+
+
+def test_temperature_mix_planted(spark, sf_dir):
+    """Temperature mixing invariants on the planted 50/30/15/5 skew:
+    weights sum to 1 and order by size, the sqrt temperature compresses
+    the web:wiki ratio below the raw count ratio, targets never exceed
+    availability, and the selection delivers exactly target_n docs."""
+    from flink_tutorial_spark import plans
+
+    rows = plans.REGISTRY["datapipe_temperature_mix"].fn(spark, sf_dir).collect()
+    by_src = {r.mix_source: r for r in rows}
+    assert set(by_src) == {"web", "books", "code", "wiki"}
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert by_src["web"].n_docs > by_src["wiki"].n_docs
+    assert by_src["web"].weight > by_src["wiki"].weight
+    # temperature flattening: weight ratio strictly inside count ratio
+    assert (
+        by_src["web"].weight / by_src["wiki"].weight
+        < by_src["web"].n_docs / by_src["wiki"].n_docs
+    )
+    for r in rows:
+        assert r.target_n <= r.n_docs, r
+        assert r.sel_docs == r.target_n, r
+        assert (r.sel_tokens > 0) == (r.sel_docs > 0), r
+    assert sum(r.target_n for r in rows) <= 200
+
+
+def test_value_drift_psi_planted(spark, sf_dir):
+    """Exactly the planted type drifts: click (values shifted x1.6+40
+    in the current window) must flag with PSI > 0.2; every undrifted
+    type stays well under; window totals reconcile to the corpus."""
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    rows = plans.REGISTRY["value_drift_psi"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_ref + r.n_cur for r in rows) == n_events
+    by_type = {r.event_type: r for r in rows}
+    assert by_type["click"].drifted == 1 and by_type["click"].psi > 0.2
+    for t, r in by_type.items():
+        if t != "click":
+            assert r.drifted == 0 and r.psi < 0.1, t
