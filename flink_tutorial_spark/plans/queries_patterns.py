@@ -1390,9 +1390,13 @@ def value_quantile_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "value_drift_psi",
-    oracle="""
+# PSI drift rule shared by the batch query, its live twin
+# (streaming_drift_psi), and both oracles: fixed split timestamp,
+# 10 constant-width bins (width 50, top bin open), add-1/add-10
+# Laplace smoothing, flag at the conventional 0.2 threshold. The
+# planted shift (click x1.6+40 in the current window) lives in the
+# fixture derivation so exactly one type must flag.
+_DRIFT_PSI_SQL = """
 WITH ev AS (
   SELECT event_type, ts,
          CASE WHEN event_type = 'click' AND ts >= TIMESTAMP '2024-01-16'
@@ -1435,7 +1439,97 @@ SELECT f.event_type, t.nr AS n_ref, t.nc AS n_cur,
             AS BIGINT) AS drifted
 FROM filled f JOIN tot t USING (event_type)
 GROUP BY 1, 2, 3
-""",
+"""
+
+
+def drift_binned(events: DataFrame) -> DataFrame:
+    """(event_type, win, bin) rows — the narrow, streaming-safe
+    transform of _DRIFT_PSI_SQL's ev+binned CTEs: apply the planted
+    current-window shift, assign the ref/cur window, bin into 10
+    fixed-width cells."""
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    ev = events.select(
+        "event_type",
+        "ts",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= split),
+            F.col("value") * 1.6 + 40.0,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return ev.select(
+        "event_type",
+        F.when(F.col("ts") < split, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("win"),
+        F.least(F.lit(9).cast("long"), F.floor(F.col("value") / 50.0)).alias(
+            "bin"
+        ),
+    )
+
+
+def drift_cells(binned: DataFrame) -> DataFrame:
+    """(event_type, win, bin, c) histogram cells — ONE partial-
+    aggregable groupBy; in the live twin this agg runs in complete
+    mode and the cell table (types x 2 x 10 rows) IS the entire
+    streaming state."""
+    return binned.groupBy("event_type", "win", "bin").agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+
+def drift_psi_report(cells: DataFrame) -> DataFrame:
+    """PSI per event_type from converged cells — every step runs over
+    the tiny cell table only, so batch and live twins share it
+    verbatim. Deliberately JOIN-FREE: window totals + a closed-form
+    term for the (10 - observed) empty bins replace the usual
+    zero-filled grid join, both because two branches of one plan add
+    needless stages and because memory-sink tables (the live twin's
+    converged state) cannot self-join at all (Spark fails to
+    de-conflict attribute references across the two branches)."""
+    counts = cells.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("win") == "ref", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("win") == "cur", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c_cur"),
+    )
+    w = Window.partitionBy("event_type")
+    totaled = counts.select(
+        "event_type",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(w).cast("long").alias("n_ref"),
+        F.sum("c_cur").over(w).cast("long").alias("n_cur"),
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10.0)
+    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + 10.0)
+    # an empty bin's smoothed term depends only on the window totals
+    p0 = 1.0 / (F.col("n_ref") + 10.0)
+    q0 = 1.0 / (F.col("n_cur") + 10.0)
+    agg = totaled.groupBy("event_type", "n_ref", "n_cur").agg(
+        F.sum((p - q) * F.log(p / q)).alias("s_obs"),
+        F.count("*").alias("n_bins"),
+    )
+    psi = F.round(
+        F.col("s_obs")
+        + (F.lit(10) - F.col("n_bins")) * ((p0 - q0) * F.log(p0 / q0)),
+        4,
+    )
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        psi.alias("psi"),
+        (psi > 0.2).cast("long").alias("drifted"),
+    )
+
+
+@query(
+    "value_drift_psi",
+    oracle=_DRIFT_PSI_SQL,
     tags=("business", "quality", "monitoring"),
 )
 def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,61 +1552,4 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     run over cells only. At 100 TB each window's cells come from its
     own partial agg — no raw-data join ever happens."""
     events = load_table(spark, sf_dir, "events")
-    split = F.to_timestamp(F.lit("2024-01-16"))
-    ev = events.select(
-        "event_type",
-        "ts",
-        F.when(
-            (F.col("event_type") == "click") & (F.col("ts") >= split),
-            F.col("value") * 1.6 + 40.0,
-        )
-        .otherwise(F.col("value"))
-        .alias("value"),
-    )
-    binned = ev.select(
-        "event_type",
-        F.when(F.col("ts") < split, F.lit("ref"))
-        .otherwise(F.lit("cur"))
-        .alias("win"),
-        F.least(F.lit(9).cast("long"), F.floor(F.col("value") / 50.0)).alias(
-            "bin"
-        ),
-    )
-    counts = binned.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("win") == "ref", 1).otherwise(0))
-        .cast("long")
-        .alias("c_ref"),
-        F.sum(F.when(F.col("win") == "cur", 1).otherwise(0))
-        .cast("long")
-        .alias("c_cur"),
-    )
-    grid = (
-        events.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
-        )
-        .select("event_type", F.col("bin").cast("long").alias("bin"))
-    )
-    full = grid.join(counts, ["event_type", "bin"], "left").select(
-        "event_type",
-        "bin",
-        F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
-        F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
-    )
-    tot = full.groupBy("event_type").agg(
-        F.sum("c_ref").cast("long").alias("n_ref"),
-        F.sum("c_cur").cast("long").alias("n_cur"),
-    )
-    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10.0)
-    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + 10.0)
-    psi = F.round(F.sum((p - q) * F.log(p / q)), 4)
-    return (
-        full.join(F.broadcast(tot), "event_type")
-        .groupBy("event_type", "n_ref", "n_cur")
-        .agg(
-            psi.alias("psi"),
-            (psi > 0.2).cast("long").alias("drifted"),
-        )
-    )
+    return drift_psi_report(drift_cells(drift_binned(events)))

@@ -2281,3 +2281,38 @@ def streaming_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_kept"))
     )
     return run_to_memory(kept, "complete")
+
+
+from flink_tutorial_spark.plans.queries_patterns import (  # noqa: E402
+    _DRIFT_PSI_SQL,
+    drift_binned,
+    drift_cells,
+    drift_psi_report,
+)
+
+
+@query(
+    "streaming_drift_psi",
+    # identical drift rule as the batch twin -> identical oracle
+    oracle=_DRIFT_PSI_SQL,
+    tags=("streaming", "quality", "monitoring"),
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitoring LIVE — value_drift_psi's twin and the
+    fourth member of the live mergeable-summary family (KMV distinct,
+    CM frequency, quantile cells, now drift cells): a complete-mode
+    aggregation maintains the (event_type, window, bin) histogram
+    cells as events arrive — integer cell counts are exactly what
+    streaming aggregation state holds natively, and the fixed binning
+    makes cells from any shard or any micro-batch additive — then the
+    converged cell table feeds the same batch-side smoothed-PSI report
+    as the batch twin, stated by the identical oracle.
+
+    Scale shape: state is FIXED at types x 2 windows x 10 bins however
+    long the stream runs; the production deployment alerts off this
+    table continuously instead of re-scanning either window's raw
+    data. The grid fill, totals, and PSI sum all run over cells
+    only."""
+    events = stream_table(spark, sf_dir, "events")
+    cells = run_to_memory(drift_cells(drift_binned(events)), "complete")
+    return drift_psi_report(cells)

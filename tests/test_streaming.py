@@ -1570,3 +1570,19 @@ def test_crash_recovery_chained_blacklist_topology(spark, tmp_path):
         sort_key=lambda t: (t[0], t[1]),
     )
     assert [(t[1], t[2], t[0].second) for t in warn] == [(1, 10, 40)]
+
+
+def test_streaming_drift_psi_matches_batch(spark, sf_dir):
+    """The live drift monitor must converge to exactly the batch
+    report: the cell table is order-independent integer state, so the
+    stream's complete-mode aggregation and the batch groupBy reach the
+    same cells, and the shared join-free PSI report does the rest."""
+    from flink_tutorial_spark import plans
+
+    live = sorted(
+        map(tuple, plans.REGISTRY["streaming_drift_psi"].fn(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(tuple, plans.REGISTRY["value_drift_psi"].fn(spark, sf_dir).collect())
+    )
+    assert live == batch and len(live) > 0
