@@ -955,3 +955,54 @@ def test_value_drift_psi_planted(spark, sf_dir):
     for t, r in by_type.items():
         if t != "click":
             assert r.drifted == 0 and r.psi < 0.1, t
+
+
+def test_url_canonicalize_differential_random(spark):
+    """Differential test: the Spark column pipeline must agree with an
+    independent pure-Python canonicalizer on a seeded random grid of
+    URLs composed from hosts x paths x query-param soups x fragments x
+    case/www/slash noise (the r9/r10 lesson: randomized equivalence
+    catches what hand-picked goldens miss)."""
+    import random
+    import re as _re
+
+    from flink_tutorial_spark.operators.text import url_canonicalize
+
+    def py_canon(url: str) -> str:
+        u = url.lower().split("#", 1)[0]
+        if "?" in u:
+            base, qs = u.split("?", 1)
+        else:
+            base, qs = u, ""
+        base = _re.sub(r"^https://www\.", "https://", base)
+        base = _re.sub(r"/$", "", base)
+        kept = [
+            p
+            for p in qs.split("&")
+            if p != ""
+            and not _re.match(r"^(utm_[a-z]+|ref|fbclid|gclid)=", p)
+        ]
+        return base + ("?" + "&".join(kept) if kept else "")
+
+    rng = random.Random(20260814)
+    hosts = ["x.com", "a.example.org", "Sub.Domain.net"]
+    paths = ["/p", "/a/b/c", "/idx.html", "/"]
+    params = [
+        "id=7", "utm_source=f", "utm_campaign=C", "ref=rss", "q=Spark",
+        "fbclid=zz", "gclid=1", "page=2", "utm_medium=email", "",
+    ]
+    urls = []
+    for _ in range(300):
+        scheme = rng.choice(["https://", "HTTPS://", "https://www."])
+        host = rng.choice(hosts)
+        if rng.random() < 0.3:
+            host = host.upper()
+        path = rng.choice(paths) + ("/" if rng.random() < 0.3 else "")
+        qs = "&".join(rng.sample(params, rng.randint(0, 4)))
+        frag = rng.choice(["", "#frag", "#a?b=c"])
+        urls.append(scheme + host + path + ("?" + qs if qs else "") + frag)
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "url"])
+    got = {r.i: r.canon_url for r in url_canonicalize(df).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == py_canon(u), (u, got[i], py_canon(u))
