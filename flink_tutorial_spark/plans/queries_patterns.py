@@ -1553,3 +1553,119 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     own partial agg — no raw-data join ever happens."""
     events = load_table(spark, sf_dir, "events")
     return drift_psi_report(drift_cells(drift_binned(events)))
+
+
+@query(
+    "freq_cm_heavy_hitters",
+    oracle=f"""
+WITH ev0 AS (
+  SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS item0
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+), ev AS (
+  SELECT CASE WHEN event_id % 4 < 2 THEN item0 % 3 ELSE item0 END AS item
+  FROM ev0
+), exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt FROM ev GROUP BY item
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ev
+), cells AS (
+  SELECT r.i AS row_i, {{cm_i}} AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ev, (SELECT unnest(range(4)) AS i) r
+  GROUP BY 1, 2
+), est AS (
+  SELECT e.item, min(c.c) AS est_cnt
+  FROM exact e
+  JOIN cells c
+    ON c.cell = ({{cm_row}})
+  GROUP BY e.item
+)
+SELECT CAST(e.item AS BIGINT) AS item_id,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       x.exact_cnt,
+       CAST(CASE WHEN x.exact_cnt * 64 >= t.n THEN 1 ELSE 0 END AS BIGINT)
+           AS is_true_hh
+FROM est e JOIN exact x USING (item), tot t
+WHERE e.est_cnt * 64 >= t.n
+""".format(cm_i=_CM_HASH.format(i="r.i"), cm_row=_CM_HASH.format(i="c.row_i")),
+    tags=("business", "approx", "sketch", "measurement"),
+)
+def freq_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter DECISION layer over the count-min sketch: report
+    every item whose CM estimate clears the phi = 1/64 frequency
+    threshold (est * 64 >= n — integer math, no float boundary), with
+    exact counts and the true-HH flag as calibration. CM estimates
+    never undercount, so the candidate set provably contains EVERY
+    true heavy hitter (no false negatives — the guarantee the test
+    pins); false positives are bounded by the cell-collision mass and
+    read straight off the est-vs-exact columns. The fixture plants
+    skew (half of all occurrences collapse onto item0 % 3), since the
+    raw synthetic items are uniform and a threshold rule needs real
+    hitters to find.
+
+    Scale shape: the screen needs only the FIXED 2048-cell table
+    (broadcast) against the item dictionary — at 100 TB the sketch
+    cells merge up from shards/streams (streaming_freq_cm maintains
+    the same cells live) and heavy-hitter screening never shuffles
+    exact per-key counts; the exact side here is the calibration
+    reference, bounded by |items|."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    events = load_table(spark, sf_dir, "events")
+    ev = (
+        events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item0"),
+        )
+        .where(F.col("item0").isNotNull())
+        .select(
+            F.when(F.col("event_id") % 4 < 2, F.col("item0") % 3)
+            .otherwise(F.col("item0"))
+            .alias("item")
+        )
+    )
+
+    def cm_cell(item_col, i_col):
+        return (
+            md5_long(
+                F.concat(
+                    item_col.cast("string"), F.lit(":cm:"), i_col.cast("string")
+                )
+            )
+            % 512
+        )
+
+    rows_df = ev.sparkSession.range(4).select(
+        F.col("id").cast("int").alias("row_i")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(rows_df))
+        .groupBy("row_i", cm_cell(F.col("item"), F.col("row_i")).alias("cell"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = ev.groupBy("item").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    tot = ev.agg(F.count("*").cast("long").alias("n"))
+    est = (
+        exact.crossJoin(F.broadcast(rows_df))
+        .withColumn("cell", cm_cell(F.col("item"), F.col("row_i")))
+        .join(F.broadcast(cells), ["row_i", "cell"])
+        .groupBy("item", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .where(F.col("est_cnt") * 64 >= F.col("n"))
+        .select(
+            F.col("item").cast("long").alias("item_id"),
+            "est_cnt",
+            "exact_cnt",
+            F.when(F.col("exact_cnt") * 64 >= F.col("n"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_true_hh"),
+        )
+    )

@@ -434,3 +434,40 @@ def test_quantile_rolling_merge_equals_direct(spark, sf_dir):
             if r.day == target
         }
         assert got == direct, target
+
+
+def test_cm_heavy_hitters_guarantee(spark, sf_dir):
+    """CM never undercounts, so the candidate set must contain EVERY
+    true heavy hitter (no false negatives) with est >= exact on every
+    row; the planted skew (item0 % 3 absorbs half the occurrences)
+    must surface exactly the three hot items as true HHs."""
+    from pyspark.sql import functions as F
+
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    rows = plans.REGISTRY["freq_cm_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert all(r.est_cnt >= r.exact_cnt for r in rows)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item0"),
+        )
+        .where(F.col("item0").isNotNull())
+        .select(
+            F.when(F.col("event_id") % 4 < 2, F.col("item0") % 3)
+            .otherwise(F.col("item0"))
+            .alias("item")
+        )
+    )
+    n = ev.count()
+    exact_hh = {
+        r.item
+        for r in ev.groupBy("item").count().where(F.col("count") * 64 >= n).collect()
+    }
+    got_true = {r.item_id for r in rows if r.is_true_hh == 1}
+    got_all = {r.item_id for r in rows}
+    assert exact_hh == got_true == {0, 1, 2}
+    assert exact_hh <= got_all
