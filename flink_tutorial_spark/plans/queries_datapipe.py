@@ -3153,7 +3153,12 @@ def _urlgov_urls(docs: DataFrame) -> DataFrame:
         .when(F.col("v") == 1, F.concat(F.lit("https://"), stem, F.lit("/")))
         .when(
             F.col("v") == 2,
-            F.concat(F.lit("HTTPS://"), F.upper(stem)),
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper(F.col("domain")),
+                F.lit("/a/"),
+                F.col("pid"),
+            ),
         )
         .when(
             F.col("v") == 3,
