@@ -3391,3 +3391,87 @@ def datapipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("toks"), F.lit(0)).cast("long").alias("sel_tokens"),
         )
     )
+
+
+#: robots-style URL pattern rules: (domain, path_prefix). One rule
+#: blocks a path SUBTREE of the hub (pids starting with '1'), one
+#: blocks an entire small site via its root prefix, one names a domain
+#: absent from the fixture (must drop nothing — the negative control).
+_URLGOV_PATH_RULES = [
+    ("hub.example.com", "/a/1"),
+    ("site3.example.org", "/a/"),
+    ("spam.example.com", "/"),
+]
+
+
+@query(
+    "urlgov_path_rules",
+    oracle=f"""
+WITH {_URLGOV_URL_SQL},
+p AS (
+  SELECT doc_id, source, domain, '/a/' || pid AS path FROM u0
+), flagged AS (
+  SELECT source,
+         CASE WHEN (domain = 'hub.example.com' AND path LIKE '/a/1%')
+                OR (domain = 'site3.example.org' AND path LIKE '/a/%')
+                OR (domain = 'spam.example.com' AND path LIKE '/%')
+              THEN 1 ELSE 0 END AS b
+  FROM p
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(b) AS BIGINT) AS n_blocked,
+       CAST(count(*) - sum(b) AS BIGINT) AS n_kept
+FROM flagged GROUP BY source
+""",
+    tags=("datapipe", "governance", "join", "anti"),
+)
+def urlgov_path_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style PATH-prefix rule filtering — the governance layer
+    below the domain blocklist (urlgov_blocklist drops whole domains;
+    real crawl policies block path subtrees: /search, /tag, /login,
+    per-robots.txt disallow lines). Rules are (domain, path_prefix)
+    pairs; a doc is dropped when any rule's domain matches exactly and
+    its path starts with the rule's prefix. The fixture exercises a
+    partial subtree (hub pids starting '1'), a whole-site root prefix,
+    and an absent domain as the negative control.
+
+    Scale shape: the rules table (thousands of disallow lines in
+    production) broadcasts; the join is equi on domain with the
+    startswith residual evaluated inside the broadcast hash join — the
+    corpus never shuffles. The survival report rides partial-agg
+    counts, same as urlgov_blocklist."""
+    docs = _urlgov_urls(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "domain",
+        # _urlgov_urls folds pid into the url; re-derive the path from
+        # the same doc_id rule (u0's '/a/' || pid)
+        F.concat(
+            F.lit("/a/"), F.expr("doc_id div 7").cast("string")
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _URLGOV_PATH_RULES, ["r_domain", "r_prefix"]
+    )
+    blocked = (
+        docs.join(
+            F.broadcast(rules),
+            (F.col("domain") == F.col("r_domain"))
+            & F.col("path").startswith(F.col("r_prefix")),
+            "left_semi",
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_blocked"))
+    )
+    total = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    return total.join(blocked, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_blocked", F.lit(0)).cast("long").alias("n_blocked"),
+        (F.col("n_total") - F.coalesce("n_blocked", F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+    )

@@ -1006,3 +1006,28 @@ def test_url_canonicalize_differential_random(spark):
     got = {r.i: r.canon_url for r in url_canonicalize(df).collect()}
     for i, u in enumerate(urls):
         assert got[i] == py_canon(u), (u, got[i], py_canon(u))
+
+
+def test_urlgov_path_rules_planted(spark, sf_dir):
+    """Path-prefix rule semantics: the hub loses exactly its pid-
+    starts-with-'1' subtree, site3 loses everything, the absent spam
+    domain drops nothing (negative control), and the per-source
+    report reconciles."""
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    rows = plans.REGISTRY["urlgov_path_rules"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r.n_total for r in rows) == n_docs
+    assert all(r.n_total == r.n_blocked + r.n_kept for r in rows)
+
+    expected_blocked = docs.where(
+        (
+            (F.col("doc_id") % 10 < 3)
+            & F.expr("CAST(doc_id div 7 AS STRING)").startswith("1")
+        )
+        | ((F.col("doc_id") % 10 >= 5) & (F.col("doc_id") % 17 == 3))
+    ).count()
+    assert sum(r.n_blocked for r in rows) == expected_blocked
+    assert expected_blocked > 0
