@@ -1669,3 +1669,67 @@ def freq_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_true_hh"),
         )
     )
+
+
+@query(
+    "uv_stickiness",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+  FROM events WHERE event_type = 'view'
+), days AS (SELECT DISTINCT day FROM act),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day
+), tw AS (
+  SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau7
+  FROM act a JOIN days d
+    ON a.day <= d.day AND a.day > d.day - INTERVAL 7 DAY
+  GROUP BY d.day
+)
+SELECT d.day, d.dau, t.wau7,
+       round(d.dau::DOUBLE / t.wau7, 4) AS stickiness
+FROM dau d JOIN tw t USING (day)
+""",
+    tags=("business", "agg", "window"),
+)
+def uv_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-UV stickiness per day — the engagement
+    ratio dashboards pair with pv_uv_daily (UniqueVisitor.scala:43-48
+    is the daily half; this adds the trailing-window denominator).
+    Windows at the series head are partial (trailing semantics),
+    matching the SQL range join.
+
+    Scale shape — and the reason the KMV family exists: DISTINCT
+    counts do NOT merge across days (yesterday's UV + today's UV
+    double-counts returners), so the exact trailing denominator must
+    re-expand the deduped (day, user) pairs into each of the <= 7
+    target days they serve — a bounded 7x explode of the PAIR table
+    (never raw events), then one distinct-agg per target day, the
+    same cell-expansion shape as value_quantile_rolling. At 100 TB
+    the pair table itself is the cost, and the deployment switches
+    the denominator to the KMV sketch (uv_kmv_sharded proves the
+    bit-exact shard merge; cells ARE day-mergeable where distincts
+    are not), keeping this exact query as the per-day calibration."""
+    events = load_table(spark, sf_dir, "events")
+    act = (
+        events.where(F.col("event_type") == "view")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = act.select("day").distinct()
+    dau = act.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    tw = (
+        act.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn(
+            "day", F.col("day") + F.expr("make_interval(0, 0, 0, off, 0, 0, 0)")
+        )
+        .join(days.hint("broadcast"), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau7"))
+    )
+    return dau.join(tw, "day").select(
+        "day",
+        "dau",
+        "wau7",
+        F.round(F.col("dau") / F.col("wau7"), 4).alias("stickiness"),
+    )

@@ -471,3 +471,20 @@ def test_cm_heavy_hitters_guarantee(spark, sf_dir):
     got_all = {r.item_id for r in rows}
     assert exact_hh == got_true == {0, 1, 2}
     assert exact_hh <= got_all
+
+
+def test_uv_stickiness_invariants(spark, sf_dir):
+    """Stickiness is DAU over trailing-7-day UV: bounded (0, 1], equal
+    to 1 on the first observed day (the window holds only that day),
+    and the denominator is always >= the max single-day DAU inside
+    its window."""
+    from flink_tutorial_spark import plans
+
+    rows = sorted(
+        plans.REGISTRY["uv_stickiness"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows, "no days"
+    assert all(0 < r.stickiness <= 1 for r in rows)
+    assert all(r.wau7 >= r.dau for r in rows)
+    assert rows[0].wau7 == rows[0].dau and rows[0].stickiness == 1.0
