@@ -262,3 +262,67 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
         ((sd > 0) & (F.abs(F.col("v") - mean) >= 3 * sd)).alias("is_anomaly"),
     )
+
+
+@query(
+    "timeseries_ema",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), w AS (
+  SELECT event_type, n, value,
+         CASE WHEN rn = 1 THEN n - 1 ELSE n - rn + 1 END AS k
+  FROM seq
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(sum(CASE WHEN k <= 62
+                      THEN value / CAST(CAST(1 AS BIGINT) << k AS DOUBLE)
+                      ELSE 0.0 END), 4) AS ema
+FROM w GROUP BY event_type
+""",
+    tags=("timeseries", "agg", "window"),
+)
+def timeseries_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per event_type (alpha = 0.5) — the
+    time-decayed aggregate that smooths sensor/metric streams
+    (TempRiseAlert.scala's lag-compare is the 1-step special case;
+    EMA is its infinite-memory generalization). The recursion
+    ema_i = a*v_i + (1-a)*ema_(i-1) unrolls to a weighted sum whose
+    weights at a = 1/2 are POWERS OF TWO — computed via integer bit
+    shift, never pow(), so scaling each value is an EXACT float op in
+    both engines and the only cross-engine slack is summation order
+    (absorbed by round 4). Weights below 2^-62 are truncated to zero
+    identically in both engines (the shift would overflow; the
+    dropped mass is < 2e-17 of the total). Sequence order is pinned
+    by (ts, event_id) so both engines fold the same sequence.
+
+    Scale shape: one window rank over the key partition + one
+    partial-aggregable weighted sum — the same single-shuffle shape
+    as keyed_sum; nothing iterative, the unrolled form IS the plan.
+    The streaming dual is a per-key fold (the stateful.py bucketed
+    kernels); batch needs no state at all."""
+    events = load_table(spark, sf_dir, "events")
+    wkey = Window.partitionBy("event_type")
+    seq = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(wkey.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(wkey).alias("n"),
+    )
+    k = F.when(F.col("rn") == 1, F.col("n") - 1).otherwise(
+        F.col("n") - F.col("rn") + 1
+    )
+    w = seq.select("event_type", "n", "value", k.alias("k"))
+    term = F.when(
+        F.col("k") <= 62,
+        F.col("value")
+        / F.expr("CAST(shiftleft(1L, CAST(k AS INT)) AS DOUBLE)"),
+    ).otherwise(F.lit(0.0))
+    return w.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.sum(term), 4).alias("ema"),
+    )

@@ -488,3 +488,31 @@ def test_uv_stickiness_invariants(spark, sf_dir):
     assert all(0 < r.stickiness <= 1 for r in rows)
     assert all(r.wau7 >= r.dau for r in rows)
     assert rows[0].wau7 == rows[0].dau and rows[0].stickiness == 1.0
+
+
+def test_timeseries_ema_matches_recursive_fold(spark, sf_dir):
+    """The unrolled power-of-two weighted sum must equal the literal
+    recursion ema_i = 0.5*v_i + 0.5*ema_(i-1) folded in Python over
+    the same (ts, event_id)-ordered sequence, for every key."""
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    got = {
+        r.event_type: (r.n, r.ema)
+        for r in plans.REGISTRY["timeseries_ema"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vs in by_type.items():
+        ema = vs[0]
+        for v in vs[1:]:
+            ema = 0.5 * v + 0.5 * ema
+        n, got_ema = got[t]
+        assert n == len(vs), t
+        assert abs(got_ema - round(ema, 4)) < 1e-9, (t, got_ema, ema)
