@@ -2316,3 +2316,56 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_table(spark, sf_dir, "events")
     cells = run_to_memory(drift_cells(drift_binned(events)), "complete")
     return drift_psi_report(cells)
+
+
+@query(
+    "streaming_ema",
+    # identical fold rule as the batch twin -> identical oracle
+    oracle="""
+WITH seq AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), w AS (
+  SELECT event_type, n, value,
+         CASE WHEN rn = 1 THEN n - 1 ELSE n - rn + 1 END AS k
+  FROM seq
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(sum(CASE WHEN k <= 62
+                      THEN value / CAST(CAST(1 AS BIGINT) << k AS DOUBLE)
+                      ELSE 0.0 END), 4) AS ema
+FROM w GROUP BY event_type
+""",
+    tags=("streaming", "timeseries", "state"),
+)
+def streaming_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average LIVE — timeseries_ema's stateful
+    twin and the float-state member of the fold family (ledger carries
+    integer (S, M); this carries a single (ema, n) pair per key): each
+    micro-batch unrolls its chunk of the recursion with exact
+    power-of-two scalings (np.ldexp) and chains through the carried
+    ema, so the converged value equals the batch unrolled sum to well
+    inside the rounded 4 decimals. Emits the running summary per
+    batch; the converged answer is the max-n row per key.
+
+    Scale shape: TWO scalars of state per key however long the stream
+    runs — the fixed-state property that makes EMA the canonical
+    streaming smoother; the batch twin needs the whole history in one
+    window sort."""
+    from flink_tutorial_spark.streaming.stateful import ema_fold
+
+    events = stream_table(spark, sf_dir, "events")
+    out = ema_fold(
+        events.select("event_type", "ts", "event_id", "value"),
+        "event_type",
+        ["ts", "event_id"],
+        "value",
+    )
+    runs = run_to_memory(out, "append")
+    return runs.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.max_by("ema", "n"), 4).alias("ema"),
+    )

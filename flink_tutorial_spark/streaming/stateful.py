@@ -1018,3 +1018,70 @@ def clamped_ledger(
     return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, LEDGER_OUT, _LEDGER_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+EMA_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+_EMA_STATE = StructType(
+    [
+        StructField("ema", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def ema_fold(
+    df: DataFrame,
+    key_col: str,
+    ts_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Live exponential moving average (alpha = 1/2) per key: the
+    recursion ema_i = v_i/2 + ema_(i-1)/2 carries across micro-batches
+    with a SINGLE (ema, n) pair of state per key — the streaming twin
+    of timeseries_ema. Within each batch the chunk's recursion is
+    unrolled and applied VECTORIZED via np.ldexp (exact power-of-two
+    scaling, the same engine-exactness argument as the batch twin);
+    chunk results chain through the carried ema exactly as the
+    recursion would. Emits the running (key, n, ema) each batch — the
+    converged answer is the max-n row per key.
+
+    State is two scalars per key however long the stream runs — the
+    same fixed-state class as the sketch cells, which is what makes
+    EMA the classic streaming smoother."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ema, n = state.get if state.exists else (0.0, 0)
+        pdf = one_frame(pdfs)
+        if pdf is not None and len(pdf):
+            pdf = pdf.sort_values(ts_cols, kind="mergesort")
+            v = pdf[value_col].to_numpy(dtype="float64")
+            m = len(v)
+            if n == 0:
+                # seed: ema_1 = v_1, then fold the remaining m-1 values
+                head, rest = v[0], v[1:]
+                mm = len(rest)
+                # weights: rest_j gets 2^-(mm-j) for j = 1..mm (1-based)
+                contrib = np.ldexp(rest, -(mm - np.arange(mm)))
+                ema = float(np.ldexp(head, -mm) + contrib.sum())
+            else:
+                # E_m = 2^-m * E_0 + sum_j 2^-(m-j+1) * v_j
+                contrib = np.ldexp(v, -(m - np.arange(m)))
+                ema = float(np.ldexp(ema, -m) + contrib.sum())
+            n += m
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n": [n], "ema": [ema]}
+            )
+        state.update((float(ema), int(n)))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, EMA_OUT, _EMA_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1586,3 +1586,22 @@ def test_streaming_drift_psi_matches_batch(spark, sf_dir):
         map(tuple, plans.REGISTRY["value_drift_psi"].fn(spark, sf_dir).collect())
     )
     assert live == batch and len(live) > 0
+
+
+def test_streaming_ema_matches_batch(spark, sf_dir):
+    """The carried-chunk fold must converge to the batch twin's
+    unrolled sum for every key: chunk recursion chained through the
+    carried ema == global unrolled recursion, to well inside the
+    rounded 4 decimals."""
+    from flink_tutorial_spark import plans
+
+    live = sorted(
+        map(tuple, plans.REGISTRY["streaming_ema"].fn(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(tuple, plans.REGISTRY["timeseries_ema"].fn(spark, sf_dir).collect())
+    )
+    assert len(live) == len(batch) > 0
+    for (lt, ln, le), (bt, bn, be) in zip(live, batch):
+        assert (lt, ln) == (bt, bn)
+        assert abs(le - be) < 1e-3, (lt, le, be)
