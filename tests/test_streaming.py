@@ -1605,3 +1605,34 @@ def test_streaming_ema_matches_batch(spark, sf_dir):
     for (lt, ln, le), (bt, bn, be) in zip(live, batch):
         assert (lt, ln) == (bt, bn)
         assert abs(le - be) < 1e-3, (lt, le, be)
+
+
+def test_crash_recovery_ema_state(spark, tmp_path):
+    """ema_fold's (ema, n) float state survives a restart from its
+    checkpoint: the post-restart chunk folds onto the carried value
+    exactly as an uninterrupted run would. Dyadic inputs make every
+    intermediate exactly representable, so equality is bitwise."""
+    from flink_tutorial_spark.streaming.stateful import ema_fold
+
+    build = lambda s: ema_fold(
+        s.selectExpr(
+            "key AS event_type", "ts", "CAST(user AS LONG) AS event_id",
+            "value",
+        ),
+        "event_type",
+        ["ts", "event_id"],
+        "value",
+    )
+    want = _restart_equals_single(
+        spark,
+        tmp_path,
+        [_row(1, key="a", value=10.0), _row(2, key="a", value=20.0),
+         _row(3, key="b", value=8.0)],
+        [_row(4, key="a", value=30.0), _row(5, key="b", value=4.0)],
+        build,
+        sort_key=lambda t: (t[0], t[1]),
+    )
+    # per-batch running summaries: a folds 10,20 -> 15 then 30 -> 22.5;
+    # b folds 8 then 4 -> 6
+    assert want == [("a", 2, 15.0), ("a", 3, 22.5),
+                    ("b", 1, 8.0), ("b", 2, 6.0)]
