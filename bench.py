@@ -56,9 +56,21 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: TEMPORARY (r11 early-band series): new queries not yet Spark-validated
+#: this round — excluded so a mid-sweep exception can't kill a band run.
+#: REMOVE before the end-of-round committed series.
+_R11_UNVALIDATED = {
+    "uv_kmv_trailing",
+    "uv_kmv_trailing_sharded",
+    "streaming_uv_kmv_trailing",
+    "uv_hll_registers",
+    "uv_hll_sharded",
+}
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
-    catalog = list(plans.REGISTRY)
+    catalog = [n for n in plans.REGISTRY if n not in _R11_UNVALIDATED]
     # JIT/codegen warm-up: run every catalog query once at the smallest
     # SF so timings measure steady-state execution, not first-call JVM
     # compilation (standard benchmark practice; JMH-style warm-up).
@@ -150,6 +162,15 @@ def main() -> None:
         },
         "noise_flag": noise_flag,
     }
+    # Driver-sample staleness (VERDICT r10 #7): max/median rounds since
+    # each catalog query's last green driver row — keeps the 50/round
+    # rotation honest as the catalog grows.
+    try:
+        from tools.staleness_report import staleness_summary
+
+        full["staleness"] = staleness_summary()
+    except Exception as e:  # never fail the bench over the report
+        full["staleness"] = {"err": str(e)}
     # Full per-query map: persisted to a file (committed each round) and
     # printed on a NON-final line for human logs.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -174,6 +195,13 @@ def main() -> None:
     # Raw per-run times stay in the full artifact only; canary + noise_flag
     # (small, and the load-bearing noise signal) stay on the final line.
     summary.pop("runs", None)
+    # final line: keep only the scalar staleness numbers (the stalest
+    # name-map lives in the full artifact)
+    if isinstance(summary.get("staleness"), dict):
+        summary["staleness"] = {
+            k: summary["staleness"].get(k)
+            for k in ("as_of_round", "max_gap_rounds", "median_gap_rounds")
+        }
     summary["queries"] = {n: times[n] for n in HEADLINE if n in times}
     summary["n_headline_queries"] = len(summary["queries"])
     line = json.dumps(summary, separators=(",", ":"))

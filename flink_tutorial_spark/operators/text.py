@@ -1298,7 +1298,14 @@ def dsir_importance_topk(
 
 #: query-string parameters that carry tracking state, not content
 #: identity — the standard strip set for crawl canonicalization.
-TRACKING_PARAM_RE = "^(utm_[a-z]+|ref|fbclid|gclid)="
+#: Matched case-insensitively: tracking keys are conventionally
+#: lowercase, but real crawls carry ``UTM_SOURCE=`` twins too.
+TRACKING_PARAM_RE = "(?i)^(utm_[a-z]+|ref|fbclid|gclid)="
+
+#: scheme + authority prefix of a URL (everything before the first
+#: '/' or '?' after the scheme) — the only case-insensitive part of
+#: a URL per RFC 3986 §6.2.2.1.
+_URL_HEAD_RE = "^([^/?]*://[^/?]*)"
 
 
 def url_canonicalize(
@@ -1306,12 +1313,16 @@ def url_canonicalize(
 ) -> DataFrame:
     """Canonicalize a URL column the way web-corpus pipelines
     (C4/RefinedWeb-style crawl curation) do before URL-level dedup:
-    lowercase, drop the fragment, strip a leading ``www.``, drop a
+    drop the fragment, lowercase ONLY the scheme+host (RFC 3986: the
+    authority is case-insensitive, the path and query are NOT — a
+    whole-URL lowercase over-merges case-distinct paths on real
+    crawls), strip a leading ``www.`` for both http and https, drop a
     trailing slash, and remove tracking query parameters
-    (``utm_*``/``ref``/``fbclid``/``gclid``) while PRESERVING real
-    parameters — two raw URLs that differ only in tracking noise
-    collapse to one canonical form, URLs that differ in a real
-    parameter stay distinct.
+    (``utm_*``/``ref``/``fbclid``/``gclid``, key matched
+    case-insensitively) while PRESERVING real parameters — two raw
+    URLs that differ only in tracking noise collapse to one canonical
+    form, URLs that differ in a real parameter (including by case)
+    stay distinct.
 
     Each step is a plain column expression (regexp_replace / filter +
     array_join), so the whole op is whole-stage-codegen'd and
@@ -1319,24 +1330,27 @@ def url_canonicalize(
     query string is materialized through staged selects before the
     lambda consumes it (HOF lambdas defeat Catalyst CSE; re-deriving
     it inside ``filter`` would re-run the regex per element)."""
-    u2, base0, qs, kept = "_uc_u2", "_uc_base0", "_uc_qs", "_uc_kept"
+    u2, head, rest = "_uc_u2", "_uc_head", "_uc_rest"
+    path, qs, kept = "_uc_path", "_uc_qs", "_uc_kept"
     out = (
-        df.withColumn(
-            u2, F.lower(F.regexp_replace(F.col(url_col), "#.*$", ""))
+        df.withColumn(u2, F.regexp_replace(F.col(url_col), "#.*$", ""))
+        .withColumn(head, F.regexp_extract(F.col(u2), _URL_HEAD_RE, 1))
+        .withColumn(
+            rest,
+            F.expr(f"substring({u2}, length({head}) + 1)"),
         )
         .withColumn(
-            base0,
+            head,
             F.regexp_replace(
-                F.regexp_replace(F.col(u2), "\\?.*$", ""),
-                "^https://www\\.",
-                "https://",
+                F.lower(F.col(head)), "^(https?://)www\\.", "$1"
             ),
         )
+        .withColumn(path, F.regexp_replace(F.col(rest), "\\?.*$", ""))
         .withColumn(
             qs,
             F.when(
-                F.instr(F.col(u2), "?") > 0,
-                F.expr(f"substring({u2}, instr({u2}, '?') + 1)"),
+                F.instr(F.col(rest), "?") > 0,
+                F.expr(f"substring({rest}, instr({rest}, '?') + 1)"),
             ).otherwise(F.lit("")),
         )
         .withColumn(
@@ -1352,11 +1366,12 @@ def url_canonicalize(
         .withColumn(
             out_col,
             F.concat(
-                F.regexp_replace(F.col(base0), "/$", ""),
+                F.col(head),
+                F.regexp_replace(F.col(path), "/$", ""),
                 F.when(
                     F.col(kept) != "", F.concat(F.lit("?"), F.col(kept))
                 ).otherwise(F.lit("")),
             ),
         )
     )
-    return out.drop(u2, base0, qs, kept)
+    return out.drop(u2, head, rest, path, qs, kept)

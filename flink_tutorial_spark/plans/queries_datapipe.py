@@ -3181,27 +3181,38 @@ def _urlgov_urls(docs: DataFrame) -> DataFrame:
 WITH {_URLGOV_URL_SQL},
 c1 AS (
   SELECT doc_id, domain, url,
-         lower(regexp_replace(url, '#.*$', '')) AS u2
+         regexp_replace(url, '#.*$', '') AS u2
   FROM raw
 ), c2 AS (
   SELECT doc_id, domain, url, u2,
-         regexp_replace(regexp_replace(u2, '\\?.*$', ''),
-                        '^https://www\\.', 'https://') AS base0,
-         CASE WHEN position('?' IN u2) > 0
-              THEN substr(u2, position('?' IN u2) + 1) ELSE '' END AS qs
+         regexp_extract(u2, '^([^/?]*://[^/?]*)', 1) AS head0
   FROM c1
 ), c3 AS (
   SELECT doc_id, domain, url,
-         regexp_replace(base0, '/$', '') AS base,
+         regexp_replace(lower(head0),
+                        '^(https?://)www\\.', '\\1') AS head,
+         substr(u2, length(head0) + 1) AS rest
+  FROM c2
+), c4 AS (
+  SELECT doc_id, domain, url, head,
+         regexp_replace(regexp_replace(rest, '\\?.*$', ''),
+                        '/$', '') AS path,
+         CASE WHEN position('?' IN rest) > 0
+              THEN substr(rest, position('?' IN rest) + 1) ELSE '' END AS qs
+  FROM c3
+), c5 AS (
+  SELECT doc_id, domain, url, head, path,
          array_to_string(list_filter(string_split(qs, '&'),
              p -> p <> ''
-                  AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')),
+                  AND NOT regexp_matches(p,
+                      '^(utm_[a-z]+|ref|fbclid|gclid)=', 'i')),
              '&') AS kept
-  FROM c2
+  FROM c4
 ), canon AS (
   SELECT doc_id, domain, url,
-         base || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS curl
-  FROM c3
+         head || path ||
+         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS curl
+  FROM c5
 )
 SELECT domain,
        CAST(count(*) AS BIGINT) AS n_urls,
@@ -3218,9 +3229,10 @@ FROM canon GROUP BY domain
 def urlgov_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + re-dedup gain per domain — the crawl-
     curation step that runs BEFORE URL-level dedup in C4/RefinedWeb-
-    style pipelines: lowercase, fragment strip, www strip, trailing-
-    slash strip, tracking-param removal (utm_*/ref/fbclid/gclid) with
-    real params preserved. The report shows, per domain, how many
+    style pipelines: fragment strip, scheme+host lowercase (RFC 3986 —
+    path/query case is preserved), scheme-agnostic www strip, trailing-
+    slash strip, tracking-param removal (utm_*/ref/fbclid/gclid, key
+    case-insensitive) with real params preserved. The report shows, per domain, how many
     raw-distinct URLs collapse once tracking noise is removed — the
     dedup mass a pipeline would otherwise re-crawl and re-process.
 

@@ -164,16 +164,21 @@ def pv_uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=(
         "business",
         "approx",
-        "rows_only:HLL approximate distinct — value intentionally inexact; "
-        "exact twin pv_uv_daily is the bit-exact check",
+        "rows_only:HLL approximate distinct — Spark-internal estimator, "
+        "value intentionally inexact; exact twin pv_uv_daily is the "
+        "bit-exact check, and the hand-rolled register-level sibling "
+        "uv_hll_registers carries the oracle-checked HLL state (r11)",
     ),
 )
 def uv_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate UV — UniqueVisitorWithBloom.scala:50-120: the reference
     hand-rolls a 2^19-bit bloom filter in Redis to bound memory; the
     Spark-native replacement is HyperLogLog (approx_count_distinct, rsd
-    1%). No oracle: HLL estimates differ across engines by design (the
-    exact twin is pv_uv_daily)."""
+    1%). No oracle: Spark's internal HLL estimator is engine-private
+    (the exact twin is pv_uv_daily). The ORACLE-CHECKED HLL lives in
+    uv_hll_registers/uv_hll_sharded (r11): hand-rolled registers whose
+    state is bit-exact cross-engine; this query stays as the
+    Spark-internal cross-check sibling."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.where(F.col("event_type") == "view")
@@ -1406,7 +1411,7 @@ WITH ev AS (
   SELECT event_type,
          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END
              AS win,
-         least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bin
+         greatest(0, least(9, CAST(floor(value / 50.0) AS BIGINT))) AS bin
   FROM ev
 ), grid AS (
   SELECT event_type, unnest(range(0, 10)) AS bin
@@ -1463,9 +1468,13 @@ def drift_binned(events: DataFrame) -> DataFrame:
         F.when(F.col("ts") < split, F.lit("ref"))
         .otherwise(F.lit("cur"))
         .alias("win"),
-        F.least(F.lit(9).cast("long"), F.floor(F.col("value") / 50.0)).alias(
-            "bin"
-        ),
+        # clamp BOTH ends: without the greatest(), a negative value
+        # would mint bin < 0 outside the fixed 0..9 grid that the
+        # join-free report and the streaming twin's state assume
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(9).cast("long"), F.floor(F.col("value") / 50.0)),
+        ).alias("bin"),
     )
 
 
@@ -1733,3 +1742,384 @@ def uv_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau7",
         F.round(F.col("dau") / F.col("wau7"), 4).alias("stickiness"),
     )
+
+
+#: Shared trailing-7-day KMV oracle — single-stage (k-th smallest hash
+#: of the WINDOW UNION of distinct user hashes) — used verbatim by
+#: uv_kmv_trailing AND uv_kmv_trailing_sharded: merging per-day (and
+#: per-shard) k-min cells is bit-equal to sketching the union directly
+#: (the KMV merge algebra: each of the union's k smallest hashes is
+#: within its own day's/shard's k smallest), so one SQL text oracles
+#: both plans.
+_KMV_TRAILING_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day,
+         CAST(concat('0x', substr(md5(concat(user_id, ':kmv')), 1, 15))
+             AS BIGINT) AS hv
+  FROM events WHERE event_type = 'view'
+), days AS (SELECT DISTINCT day FROM act),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day
+), win AS (
+  SELECT d.day AS day, a.hv
+  FROM act a JOIN days d
+    ON a.day <= d.day AND a.day > d.day - INTERVAL 7 DAY
+  GROUP BY 1, 2
+), r AS (
+  SELECT day, hv,
+         row_number() OVER (PARTITION BY day ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY day) AS n_exact
+  FROM win
+)
+SELECT r.day, u.dau,
+       CAST(r.n_exact AS BIGINT) AS wau7_exact,
+       CAST(CASE WHEN r.n_exact < 64 THEN r.n_exact
+            ELSE floor(63.0 * 1152921504606846976 / r.hv) END AS BIGINT)
+           AS wau7_kmv,
+       round(u.dau::DOUBLE /
+             (CASE WHEN r.n_exact < 64 THEN r.n_exact
+              ELSE floor(63.0 * 1152921504606846976 / r.hv) END), 4)
+           AS stickiness_kmv
+FROM r JOIN dau u USING (day)
+WHERE r.rk = 64 OR (r.rk = r.n_exact AND r.n_exact < 64)
+"""
+
+_KMV_K = 64
+
+
+def _kmv_day_hashes(events: DataFrame) -> DataFrame:
+    """Distinct (day, hv) user-hash pairs — the shared stage-1 of the
+    trailing-KMV family (same 60-bit md5 hash space as uv_kmv_*)."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
+    return (
+        events.where(F.col("event_type") == "view")
+        .select(F.date_trunc("day", "ts").alias("day"), hv.alias("hv"))
+        .distinct()
+    )
+
+
+def kmv_trailing_report(act: DataFrame, daily_cells: DataFrame) -> DataFrame:
+    """Trailing-7-day UV report from MERGED DAILY KMV CELLS — the
+    production denominator uv_stickiness's docstring routes to at
+    100 TB (queries_patterns.py uv_stickiness: exact trailing distinct
+    costs a 7x pair expansion; day-mergeable cells cost a 7x expansion
+    of <= 64 rows/day).
+
+    `act` is the distinct (day, hv) pair table (calibration reference
+    only), `daily_cells` the per-day k-min cells (<= 64 rows/day, any
+    provenance — single-stage rank, shard-merged, or a live stream's
+    converged state). The trailing merge is distinct-union of the <= 7
+    contributing days' cells, re-rank, k-th min: bit-equal to
+    sketching the window union directly because every one of the
+    union's k smallest hashes is within its own day's k smallest.
+    When the merged set is smaller than k the sketch IS the exact set
+    (below-k exactness), so the estimate falls back to the exact
+    count.
+
+    Scale shape: the cell expansion touches <= 7 * 64 rows per day —
+    constant per day regardless of |users| — vs the exact path's 7x
+    PAIR expansion; at deployment the exact branch (wau7_exact) is
+    dropped and this report costs only cells. Both branches are one
+    shuffle each; the days table is broadcast."""
+    K = _KMV_K
+    days = act.select("day").distinct()
+    dau = act.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    off_days = F.expr("make_interval(0, 0, 0, off, 0, 0, 0)")
+    # exact trailing denominator — the calibration twin (uv_stickiness
+    # shape on the hash space)
+    tw = (
+        act.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("day", F.col("day") + off_days)
+        .join(days.hint("broadcast"), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("hv").cast("long").alias("wau7_exact"))
+    )
+    # merged daily cells -> k-th smallest of the trailing union
+    merged = (
+        daily_cells.withColumn(
+            "off", F.explode(F.sequence(F.lit(0), F.lit(6)))
+        )
+        .withColumn("day", F.col("day") + off_days)
+        .join(days.hint("broadcast"), "day")
+        .select("day", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("day")
+    r = merged.select(
+        "day",
+        "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rk"),
+        F.count("*").over(w).alias("merged_n"),
+    )
+    kth = (F.col("rk") == K) | (
+        (F.col("rk") == F.col("merged_n")) & (F.col("merged_n") < K)
+    )
+    est = F.when(F.col("merged_n") < K, F.col("wau7_exact")).otherwise(
+        F.floor(F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.col("hv"))
+    )
+    return (
+        r.where(kth)
+        .join(tw, "day")
+        .join(dau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau7_exact",
+            est.cast("long").alias("wau7_kmv"),
+            F.round(F.col("dau") / est.cast("long"), 4).alias(
+                "stickiness_kmv"
+            ),
+        )
+    )
+
+
+@query(
+    "uv_kmv_trailing",
+    oracle=_KMV_TRAILING_ORACLE,
+    tags=("business", "approx", "sketch", "window"),
+)
+def uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day UV denominator from MERGED DAILY KMV CELLS +
+    exact calibration (VERDICT r10 #4) — the production story
+    uv_stickiness names: distinct counts do not merge across days, but
+    KMV cells DO, so the deployment keeps 64 longs per day and states
+    any trailing window by merging cells — no raw rescan, no pair
+    expansion. The oracle is the SINGLE-stage sketch of the window
+    union: passing hash-exact proves the day-merge algebra as a query.
+
+    Scale shape: daily cells are one rank per day partition over the
+    deduped pair table; the trailing merge touches <= 7 * 64 rows/day.
+    wau7_exact rides along as the error reference (dropped at
+    deployment)."""
+    act = _kmv_day_hashes(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("day")
+    cells = (
+        act.withColumn("rk", F.row_number().over(w.orderBy("hv")))
+        .where(F.col("rk") <= _KMV_K)
+        .select("day", "hv")
+    )
+    return kmv_trailing_report(act, cells)
+
+
+@query(
+    "uv_kmv_trailing_sharded",
+    oracle=_KMV_TRAILING_ORACLE,
+    tags=("business", "approx", "sketch", "window"),
+)
+def uv_kmv_trailing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded-merge proof for the trailing-KMV family: daily
+    cells built TWO-STAGE — per-(day, shard) k-min lists (shard = hv
+    mod 16 partitions the hash space), then merge-and-re-truncate to
+    <= 64 per day — then the same trailing day-merge as
+    uv_kmv_trailing. TWO merges deep (shard-merge inside a day, then
+    day-merge across the window) against the single-stage oracle:
+    bit-equality at both levels is the algebra that lets a 1000-
+    executor deployment sketch per-partition, merge per-day, and
+    state any window from cells.
+
+    Scale shape: stage-1 ranks within (day, shard) — 16-fold smaller
+    sorts than the single-stage plan; stage 2 touches <= 16 * 64 rows
+    per day; the trailing merge <= 7 * 64."""
+    K, S = _KMV_K, 16
+    act = _kmv_day_hashes(load_table(spark, sf_dir, "events"))
+    h = act.withColumn("shard", F.pmod("hv", F.lit(S)))
+    w1 = Window.partitionBy("day", "shard")
+    shard_cells = (
+        h.withColumn("rk1", F.row_number().over(w1.orderBy("hv")))
+        .where(F.col("rk1") <= K)
+        .select("day", "hv")
+    )
+    w2 = Window.partitionBy("day")
+    cells = (
+        shard_cells.withColumn("rk", F.row_number().over(w2.orderBy("hv")))
+        .where(F.col("rk") <= K)
+        .select("day", "hv")
+    )
+    return kmv_trailing_report(act, cells)
+
+
+@query(
+    "uv_hll_registers",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day,
+         CAST(concat('0x', substr(md5(concat(user_id, ':hll')), 1, 15))
+             AS BIGINT) AS hv
+  FROM events WHERE event_type = 'view'
+), days AS (SELECT DISTINCT day FROM act),
+exact AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS uv_exact FROM act GROUP BY day
+), ranked AS (
+  SELECT day, hv % 64 AS reg,
+         CASE WHEN hv // 64 = 0 THEN 55
+              ELSE 55 - length(bin(hv // 64)) END AS rank
+  FROM act
+), regs AS (
+  SELECT day, reg, max(rank) AS m_j FROM ranked GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, g.reg
+  FROM days d, (SELECT unnest(range(0, 64)) AS reg) g
+), filled AS (
+  SELECT g.day, g.reg, coalesce(r.m_j, 0) AS m_j
+  FROM grid g LEFT JOIN regs r USING (day, reg)
+), agg AS (
+  SELECT day,
+         CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+         CAST(sum((reg + 1) * m_j) AS BIGINT) AS reg_checksum,
+         CAST(sum(CAST(1 AS BIGINT) << (55 - m_j)) AS BIGINT) AS sum_scaled
+  FROM filled GROUP BY day
+)
+SELECT a.day, e.uv_exact, a.v_zero, a.reg_checksum, a.sum_scaled,
+       round(CASE WHEN a.v_zero > 0
+                   AND (0.709 * 64 * 64 * 36028797018963968 / a.sum_scaled)
+                       <= 160.0
+             THEN 64.0 * ln(64.0 / a.v_zero)
+             ELSE 0.709 * 64 * 64 * 36028797018963968 / a.sum_scaled
+             END, 4) AS hll_est
+FROM agg a JOIN exact e USING (day)
+""",
+    tags=("business", "approx", "sketch"),
+)
+def uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog REGISTERS with an exact oracle (VERDICT
+    r10 #5) — retires the catalog's only retirable rows-only entry:
+    uv_approx_distinct (Spark's internal HLL) stays as the cross-check
+    sibling, but the sketch STATE here is computed from first
+    principles as columnar ops, so — like the KMV/CM/quantile
+    precedent — the cells are bit-exact cross-engine even though the
+    estimate is approximate. Per day, per register j = hv mod 64, the
+    register value M_j is the max leading-zero rank of the remaining
+    54 hash bits (rank = 55 - bitlength(hv div 64), the Flajolet rho
+    function, integer-exact via bin()-string length in BOTH engines).
+    The report carries v_zero (empty registers), an exact register
+    checksum sum((j+1) * M_j), the EXACT INTEGER register aggregate
+    sum(2^(55 - M_j)) (each term a bit shift; total < 2^61 — no float
+    summation anywhere in the state), and the closed-form estimate:
+    alpha_64 * m^2 * 2^55 / sum_scaled with the standard
+    linear-counting small-range correction m * ln(m / v_zero) when
+    v_zero > 0 and the raw estimate <= 2.5m (the only float math, in
+    the report layer — the PSI-precedent ln).
+
+    Scale shape: one distinct on (day, hash) then one partial-agg
+    max per (day, register) — 64 longs of state per day however large
+    |users| grows (the listener-verified fixed-state claim of the
+    sketch family); the day x 64 grid is a broadcast crossJoin of a
+    64-row literal range. Registers merge by element-wise max (the
+    HLL merge algebra), the same day-mergeable shape as
+    uv_kmv_trailing's cells."""
+    act, ranked = _hll_day_ranked(load_table(spark, sf_dir, "events"))
+    regs = ranked.groupBy("day", "reg").agg(F.max("rank").alias("m_j"))
+    return _hll_report(spark, act, regs)
+
+
+_HLL_M = 64
+
+
+def _hll_day_ranked(events: DataFrame):
+    """(act, ranked) for the HLL family: act = distinct (day, hv)
+    user hashes; ranked = (day, reg, rank) with reg = hv mod 64 and
+    rank = Flajolet rho of the remaining 54 bits."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":hll")))
+    act = (
+        events.where(F.col("event_type") == "view")
+        .select(F.date_trunc("day", "ts").alias("day"), hv.alias("hv"))
+        .distinct()
+    )
+    w = F.expr("hv div 64")
+    ranked = act.select(
+        "day",
+        "hv",
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.when(w == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(w)))
+        .alias("rank"),
+    )
+    return act, ranked
+
+
+def _hll_report(spark: SparkSession, act: DataFrame, regs: DataFrame) -> DataFrame:
+    """Register table (day, reg, m_j) -> the calibration report: fill
+    the day x 64 grid (absent registers are rank 0), aggregate the
+    exact integer register state (v_zero, checksum, sum(2^(55-M_j)))
+    and the closed-form estimate with linear-counting correction."""
+    M = _HLL_M
+    days = act.select("day").distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            spark.range(M).select(F.col("id").cast("long").alias("reg"))
+        )
+    )
+    filled = grid.join(regs, ["day", "reg"], "left").withColumn(
+        "m_j", F.coalesce(F.col("m_j"), F.lit(0))
+    )
+    agg = filled.groupBy("day").agg(
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_zero"),
+        F.sum((F.col("reg") + 1) * F.col("m_j"))
+        .cast("long")
+        .alias("reg_checksum"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - CAST(m_j AS INT))"))
+        .cast("long")
+        .alias("sum_scaled"),
+    )
+    exact = act.groupBy("day").agg(
+        F.count("*").cast("long").alias("uv_exact")
+    )
+    raw = (
+        F.lit(0.709) * M * M * F.lit(float(1 << 55)) / F.col("sum_scaled")
+    )
+    est = F.when(
+        (F.col("v_zero") > 0) & (raw <= 160.0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return agg.join(exact, "day").select(
+        "day",
+        "uv_exact",
+        "v_zero",
+        "reg_checksum",
+        "sum_scaled",
+        F.round(est, 4).alias("hll_est"),
+    )
+
+
+from flink_tutorial_spark.plans.catalog import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@query(
+    "uv_hll_sharded",
+    # same oracle as the single-stage registers: element-wise max merge
+    # of per-shard register vectors is bit-equal to building the
+    # registers in one pass (max is associative/commutative and shards
+    # partition the distinct hash set).
+    oracle=_REGISTRY["uv_hll_registers"].oracle,
+    tags=("business", "approx", "sketch"),
+)
+def uv_hll_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded-merge proof for the HLL register family (the
+    KMV/CM/quantile pattern): build register vectors per (day, shard)
+    — shard = middle hash bits, decorrelated from the register index
+    (low 6 bits) and the rank bits (bitlength of the high 54) — then
+    merge shards by ELEMENT-WISE MAX into the daily registers, and
+    state the identical single-stage oracle. Hash-exactness proves the
+    HLL merge algebra as a query: a 1000-executor deployment builds
+    registers per partition, merges 64-long vectors per day, and
+    unions days the same way (registers are day-mergeable, the HLL
+    advantage over exact distinct that uv_kmv_trailing shares).
+
+    Scale shape: stage 1 is a partial-agg max over (day, shard, reg)
+    — 16x more groups but 16x smaller partitions; stage 2 merges
+    16 * 64 rows per day. Both partial-aggregable; nothing global."""
+    S = 16
+    act, ranked = _hll_day_ranked(load_table(spark, sf_dir, "events"))
+    sregs = (
+        ranked.withColumn("shard", F.pmod(F.expr("hv div 4096"), F.lit(S)))
+        .groupBy("day", "shard", "reg")
+        .agg(F.max("rank").alias("m_sj"))
+    )
+    regs = sregs.groupBy("day", "reg").agg(F.max("m_sj").alias("m_j"))
+    return _hll_report(spark, act, regs)

@@ -2369,3 +2369,85 @@ def streaming_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n"),
         F.round(F.max_by("ema", "n"), 4).alias("ema"),
     )
+
+
+from flink_tutorial_spark.plans.queries_patterns import (  # noqa: E402
+    _KMV_TRAILING_ORACLE,
+    kmv_trailing_report,
+)
+
+#: closed-days restriction of the shared trailing-KMV oracle: a day's
+#: cells (and pairs) emit when the watermark passes its end, so the
+#: live report covers exactly the days whose end <= max view ts.
+_KMV_TRAILING_LIVE_ORACLE = _KMV_TRAILING_ORACLE.replace(
+    "WHERE r.rk = 64 OR (r.rk = r.n_exact AND r.n_exact < 64)",
+    """WHERE (r.rk = 64 OR (r.rk = r.n_exact AND r.n_exact < 64))
+  AND r.day + INTERVAL 1 DAY <=
+      (SELECT max(ts) FROM events WHERE event_type = 'view')""",
+)
+assert _KMV_TRAILING_LIVE_ORACLE != _KMV_TRAILING_ORACLE
+
+
+@query(
+    "streaming_uv_kmv_trailing",
+    oracle=_KMV_TRAILING_LIVE_ORACLE,
+    tags=("streaming", "approx", "sketch", "window"),
+)
+def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day UV from LIVE-maintained daily KMV cells — the
+    third proof of the grouped-KMV family (VERDICT r10 #4) and the
+    deployment shape of uv_stickiness's denominator: a stream keeps 64
+    longs per closed day (pipeline a — the streaming_uv_kmv 3-stage
+    chain: dedup, per-(day, shard) k-mins, per-day merge-truncate, a
+    day's cell array emitting when the watermark passes its end); any
+    trailing window is then stated from cells alone, no raw rescan.
+    Pipeline (b) keeps the exact distinct (day, hv) pair table — the
+    calibration reference the oracle needs (dropped at 100 TB, where
+    cells ARE the product; pair state is the same bound
+    streaming_uv_daily pays). Both converged tables feed the shared
+    kmv_trailing_report, stated by the batch family's oracle restricted
+    to closed days — hash-exactness proves live cells == batch cells ==
+    single-stage sketch.
+
+    localCheckpoint on the converged tables: the report's broadcast
+    day-joins branch each table twice, and memory-sink plans cannot
+    self-join (Spark fails to de-conflict the sink's attribute refs —
+    the r10 drift-psi lesson); checkpointing cuts lineage to a
+    LogicalRDD, which is bounded here (cells: 64/day; pairs:
+    calibration-only)."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    K, S = 64, 16
+    events = stream_table(spark, sf_dir, "events")
+    hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
+    stream = (
+        events.where(F.col("event_type") == "view")
+        .select("ts", hv.alias("hv"))
+        .withColumn("shard", F.pmod("hv", F.lit(S)))
+        .withWatermark("ts", "0 seconds")
+    )
+    # pipeline (a): per-day k-min cell arrays, live
+    dedup = stream.groupBy(
+        F.window("ts", "1 day").alias("w"), "shard", "hv"
+    ).agg(F.count("*").alias("n"))
+    shard_sketch = dedup.groupBy("w", "shard").agg(
+        F.slice(F.array_sort(F.collect_list("hv")), 1, K).alias("kmins")
+    )
+    daily = shard_sketch.groupBy("w").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("kmins"))), 1, K).alias(
+            "cells"
+        )
+    )
+    cells_tbl = run_to_memory(
+        daily.select(F.col("w.start").alias("day"), "cells"), "append"
+    ).localCheckpoint()
+    # pipeline (b): exact distinct (day, hv) pairs — calibration only
+    pairs = stream.groupBy(F.window("ts", "1 day").alias("w"), "hv").agg(
+        F.count("*").alias("n")
+    )
+    act = (
+        run_to_memory(pairs.select(F.col("w.start").alias("day"), "hv"), "append")
+        .localCheckpoint()
+    )
+    cells = cells_tbl.select("day", F.explode("cells").alias("hv"))
+    return kmv_trailing_report(act, cells)

@@ -303,8 +303,14 @@ def timeseries_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one window rank over the key partition + one
     partial-aggregable weighted sum — the same single-shuffle shape
     as keyed_sum; nothing iterative, the unrolled form IS the plan.
-    The streaming dual is a per-key fold (the stateful.py bucketed
-    kernels); batch needs no state at all."""
+    CAVEAT (100 TB): the row_number window partitions by event_type —
+    low cardinality — so each key's FULL history sorts inside one
+    task (a spillable external sort, but single-task-per-key wall
+    time). This batch twin is the CALIBRATION oracle; the deployment
+    path at scale is the streaming fold `streaming_ema`
+    (stateful.py ema_fold: two scalars of state per key, no history
+    materialized). See SCALING.md "Batch EMA single-task-per-key
+    bound"."""
     events = load_table(spark, sf_dir, "events")
     wkey = Window.partitionBy("event_type")
     seq = events.select(

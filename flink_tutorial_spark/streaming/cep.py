@@ -46,6 +46,11 @@ def _consecutive_advance_batch(
     import numpy as np
 
     out = []
+    # an empty batch carries no evidence either way: preserve the
+    # streak state (returning [] here would wrongly reset an unbroken
+    # run when the helper is driven directly with a zero-row frame)
+    if len(pdf) == 0:
+        return out, carry
     pdf = pdf.sort_values(ts_col, kind="stable")
     # micros end-to-end: second-truncated bounds would disagree
     # with the relational oracle on sub-second margins

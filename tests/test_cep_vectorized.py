@@ -455,3 +455,28 @@ if HAVE_HYP:
         flags = pdf["s0"].to_numpy(dtype=bool)
         want = _brute_consecutive(ts_arr, flags, nq, hi, within_us)
         assert sorted(got) == want
+
+
+def test_consecutive_empty_batch_preserves_carry():
+    """A zero-row micro-batch carries no evidence: the streak carry
+    must pass through untouched, not reset (the helper is public and
+    can be driven with an empty frame directly)."""
+    from flink_tutorial_spark.streaming.cep import _consecutive_advance_batch
+
+    empty = pd.DataFrame({"ts_col": pd.to_datetime([]), "s0": []})
+    carry_in = [1_000_000, 2_000_000]
+    rows, carry = _consecutive_advance_batch(
+        1, empty, carry_in, 3, 3, "ts_col", "s0", 60
+    )
+    assert rows == [] and carry == carry_in
+
+    # and the carried run still completes in the next non-empty batch
+    batch = pd.DataFrame(
+        {"ts_col": pd.to_datetime([3_000], unit="ms"), "s0": [True]}
+    )
+    rows, _ = _consecutive_advance_batch(
+        1, batch, carry, 3, 3, "ts_col", "s0", 60
+    )
+    assert [(f, l, m) for _, f, l, m in rows] == [
+        (1_000_000, 3_000_000, 3)
+    ]

@@ -882,9 +882,11 @@ def test_url_canonicalize_unit(spark):
         ("e", "https://x.com/p?id=7&ref=rss#frag"),
         ("f", "https://x.com/p?id=7&fbclid=zz"),
         ("g", "https://x.com/p?gclid=1"),
+        ("h", "http://www.x.com/p"),
+        ("i", "HTTP://X.COM/p?UTM_SOURCE=a"),
+        ("j", "https://x.com/P"),
+        ("k2", "https://x.com/p?q=Spark"),
     ]
-    # note ("c"): the fixture path is lowercase-stable; the op documents
-    # whole-URL lowercasing
     df = spark.createDataFrame(rows, ["k", "url"])
     got = {r.k: r.canon_url for r in url_canonicalize(df).collect()}
     assert got["a"] == "https://x.com/p"
@@ -894,6 +896,14 @@ def test_url_canonicalize_unit(spark):
     assert got["e"] == "https://x.com/p?id=7"
     assert got["f"] == "https://x.com/p?id=7"
     assert got["g"] == "https://x.com/p"
+    # scheme-agnostic www strip: the http twin collapses too
+    assert got["h"] == "http://x.com/p"
+    # tracking keys match case-insensitively even with case preserved
+    assert got["i"] == "http://x.com/p"
+    # RFC 3986: path case is significant — /P must NOT merge with /p
+    assert got["j"] == "https://x.com/P"
+    # real param values keep their case
+    assert got["k2"] == "https://x.com/p?q=Spark"
 
 
 def test_urlgov_canonicalize_planted(spark, sf_dir):
@@ -969,31 +979,38 @@ def test_url_canonicalize_differential_random(spark):
     from flink_tutorial_spark.operators.text import url_canonicalize
 
     def py_canon(url: str) -> str:
-        u = url.lower().split("#", 1)[0]
-        if "?" in u:
-            base, qs = u.split("?", 1)
+        u = url.split("#", 1)[0]
+        m = _re.match(r"^([^/?]*://[^/?]*)", u)
+        head = m.group(1) if m else ""
+        rest = u[len(head):]
+        head = _re.sub(r"^(https?://)www\.", r"\1", head.lower())
+        if "?" in rest:
+            path, qs = rest.split("?", 1)
         else:
-            base, qs = u, ""
-        base = _re.sub(r"^https://www\.", "https://", base)
-        base = _re.sub(r"/$", "", base)
+            path, qs = rest, ""
+        path = _re.sub(r"/$", "", path)
         kept = [
             p
             for p in qs.split("&")
             if p != ""
-            and not _re.match(r"^(utm_[a-z]+|ref|fbclid|gclid)=", p)
+            and not _re.match(r"^(utm_[a-z]+|ref|fbclid|gclid)=", p, _re.I)
         ]
-        return base + ("?" + "&".join(kept) if kept else "")
+        return head + path + ("?" + "&".join(kept) if kept else "")
 
     rng = random.Random(20260814)
     hosts = ["x.com", "a.example.org", "Sub.Domain.net"]
-    paths = ["/p", "/a/b/c", "/idx.html", "/"]
+    paths = ["/p", "/a/b/c", "/idx.html", "/", "/CamelCase/Path"]
     params = [
         "id=7", "utm_source=f", "utm_campaign=C", "ref=rss", "q=Spark",
         "fbclid=zz", "gclid=1", "page=2", "utm_medium=email", "",
+        "UTM_SOURCE=F", "Ref=rss", "ID=7",
     ]
     urls = []
     for _ in range(300):
-        scheme = rng.choice(["https://", "HTTPS://", "https://www."])
+        scheme = rng.choice(
+            ["https://", "HTTPS://", "https://www.",
+             "http://", "HTTP://", "http://www.", "Http://Www."]
+        )
         host = rng.choice(hosts)
         if rng.random() < 0.3:
             host = host.upper()

@@ -516,3 +516,90 @@ def test_timeseries_ema_matches_recursive_fold(spark, sf_dir):
         n, got_ema = got[t]
         assert n == len(vs), t
         assert abs(got_ema - round(ema, 4)) < 1e-9, (t, got_ema, ema)
+
+
+def test_uv_kmv_trailing_family(spark, sf_dir):
+    """Trailing-KMV invariants + the two bit-equality proofs the
+    oracle can't state alone: (a) the sharded two-merge plan is
+    row-identical to the single-merge plan, (b) the exact calibration
+    columns agree with uv_stickiness's exact report (same window
+    semantics on the hash space), and (c) below-k days are exact by
+    construction."""
+    from flink_tutorial_spark import plans
+
+    single = sorted(
+        map(tuple, plans.REGISTRY["uv_kmv_trailing"].fn(spark, sf_dir).collect())
+    )
+    sharded = sorted(
+        map(
+            tuple,
+            plans.REGISTRY["uv_kmv_trailing_sharded"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert single == sharded and len(single) > 0
+    stick = {
+        r.day: (r.dau, r.wau7)
+        for r in plans.REGISTRY["uv_stickiness"].fn(spark, sf_dir).collect()
+    }
+    assert len(stick) == len(single)
+    for day, dau, wexact, wkmv, s_kmv in single:
+        assert stick[day] == (dau, wexact), day
+        assert wexact >= dau > 0, day
+        if wexact < 64:
+            assert wkmv == wexact, day  # below-k exactness
+        else:
+            assert abs(wkmv - wexact) / wexact < 0.5, day
+        assert 0 < s_kmv, day
+
+
+def test_uv_hll_registers_differential(spark, sf_dir):
+    """The HLL register state must agree with an independent pure-
+    Python HLL over the same md5 hash space: reg_checksum, sum_scaled,
+    v_zero, uv_exact all recomputed from raw events row-by-row. Also:
+    estimate sanity within the m=64 error band (loose bound)."""
+    import hashlib
+
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    rows = plans.REGISTRY["uv_hll_registers"].fn(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .collect()
+    )
+    days = {}
+    for r in ev:
+        days.setdefault(r.day, set()).add(r.user_id)
+    assert len(rows) == len(days)
+    for got in rows:
+        users = days[got.day]
+        regs = [0] * 64
+        for u in users:
+            hv = int(hashlib.md5(f"{u}:hll".encode()).hexdigest()[:15], 16)
+            w = hv // 64
+            rank = 55 if w == 0 else 55 - w.bit_length()
+            j = hv % 64
+            regs[j] = max(regs[j], rank)
+        assert got.uv_exact == len(users), got.day
+        assert got.v_zero == sum(1 for m in regs if m == 0), got.day
+        assert got.reg_checksum == sum(
+            (j + 1) * m for j, m in enumerate(regs)
+        ), got.day
+        assert got.sum_scaled == sum(1 << (55 - m) for m in regs), got.day
+        assert abs(got.hll_est - got.uv_exact) / got.uv_exact < 0.6, got.day
+
+
+def test_uv_hll_sharded_bit_equal(spark, sf_dir):
+    """Element-wise-max shard merge must reproduce the single-stage
+    register report bit-for-bit (the HLL merge algebra as a test)."""
+    from flink_tutorial_spark import plans
+
+    a = sorted(
+        map(tuple, plans.REGISTRY["uv_hll_registers"].fn(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, plans.REGISTRY["uv_hll_sharded"].fn(spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0

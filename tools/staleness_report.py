@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Driver-sample staleness report (VERDICT r10 #7).
+
+With a 191-query catalog and a ~50-query/round driver sample, a query's
+worst-case re-verification gap is ~4 rounds. This tool makes the
+rotation honest: for every catalog name it computes the last round a
+green driver row exists (CORRECTNESS_r*.json, hash_match or — for the
+deliberate rows-only entries — rows_match), then reports max/median
+rounds-since-last-green and the stalest names.
+
+Used two ways:
+  - CLI: `python tools/staleness_report.py` prints the one-line JSON.
+  - bench.py imports `staleness_summary()` and embeds the result in
+    the bench artifact so BENCH_r{N}.json carries the number.
+
+The catalog is read from flink_tutorial_spark/plans/driver_checked.json
+(the committed r1-rN union of driver-checked names) so the tool needs
+no Spark session; names never driver-checked at all would show as
+`never` (none today by construction).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _green(row: dict) -> bool:
+    # deliberate rows-only entries: the driver records err='no_oracle'
+    # with a spark_rows count — a successful (weaker) check, not a
+    # failure.
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None and row["spark_rows"] >= 0
+    if row.get("err"):
+        return False
+    return bool(row.get("hash_match")) or bool(row.get("rows_match"))
+
+
+def last_green_rounds(repo: str = REPO) -> tuple[dict[str, int], int]:
+    """{query_name: last round with a green driver row}, current round.
+
+    Current round = max round number among CORRECTNESS files present.
+    """
+    last: dict[str, int] = {}
+    cur = 0
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        cur = max(cur, rnd)
+        try:
+            data = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and _green(row):
+                last[name] = max(last.get(name, 0), rnd)
+    return last, cur
+
+
+def staleness_summary(repo: str = REPO, n_stalest: int = 10) -> dict:
+    last, cur = last_green_rounds(repo)
+    cat_path = os.path.join(
+        repo, "flink_tutorial_spark", "plans", "driver_checked.json"
+    )
+    try:
+        catalog = json.load(open(cat_path))
+    except (OSError, ValueError):
+        catalog = sorted(last)
+    gaps = {n: (cur - last[n]) if n in last else -1 for n in catalog}
+    never = sorted(n for n, g in gaps.items() if g < 0)
+    seen = sorted(g for g in gaps.values() if g >= 0)
+    med = seen[len(seen) // 2] if seen else 0
+    stalest = sorted(
+        (n for n in gaps if gaps[n] >= 0), key=lambda n: (-gaps[n], n)
+    )[:n_stalest]
+    return {
+        "as_of_round": cur,
+        "n_catalog": len(catalog),
+        "max_gap_rounds": max(seen) if seen else 0,
+        "median_gap_rounds": med,
+        "never_checked": never,
+        "stalest": {n: gaps[n] for n in stalest},
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(staleness_summary(), sort_keys=True))
