@@ -56,21 +56,9 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-#: TEMPORARY (r11 early-band series): new queries not yet Spark-validated
-#: this round — excluded so a mid-sweep exception can't kill a band run.
-#: REMOVE before the end-of-round committed series.
-_R11_UNVALIDATED = {
-    "uv_kmv_trailing",
-    "uv_kmv_trailing_sharded",
-    "streaming_uv_kmv_trailing",
-    "uv_hll_registers",
-    "uv_hll_sharded",
-}
-
-
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
-    catalog = [n for n in plans.REGISTRY if n not in _R11_UNVALIDATED]
+    catalog = list(plans.REGISTRY)
     # JIT/codegen warm-up: run every catalog query once at the smallest
     # SF so timings measure steady-state execution, not first-call JVM
     # compilation (standard benchmark practice; JMH-style warm-up).

@@ -1324,6 +1324,18 @@ def url_canonicalize(
     form, URLs that differ in a real parameter (including by case)
     stay distinct.
 
+    Two documented approximations of the RFC (ADVICE r11; the SQL
+    oracle and the differential test encode the same behavior, so the
+    engine/oracle pair stays internally consistent): (1) the lowercase
+    covers the whole scheme://authority head, which for a
+    credentials-bearing URL also lowercases the userinfo
+    (``user:PASS@host``) — RFC 3986 keeps userinfo case-sensitive, so
+    such URLs can over-merge; crawl-corpus URLs essentially never
+    carry credentials, and a corpus where they do should split the
+    head at the last ``@`` first. (2) A scheme-less string has no head
+    match, so its host is never lowercased — scheme-less inputs are
+    not URLs to a crawler and pass through on the path rules alone.
+
     Each step is a plain column expression (regexp_replace / filter +
     array_join), so the whole op is whole-stage-codegen'd and
     shuffle-free — at 100 TB this runs inside the scan stage. The

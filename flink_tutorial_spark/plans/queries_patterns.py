@@ -1785,6 +1785,10 @@ WHERE r.rk = 64 OR (r.rk = r.n_exact AND r.n_exact < 64)
 """
 
 _KMV_K = 64
+#: hash-space shards for the two-stage cell builders (batch sharded
+#: variant + the live fold twin) — shared so the family cannot drift
+#: from its common oracle (ADVICE r11).
+_KMV_SHARDS = 16
 
 
 def _kmv_day_hashes(events: DataFrame) -> DataFrame:
@@ -1922,7 +1926,7 @@ def uv_kmv_trailing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: stage-1 ranks within (day, shard) — 16-fold smaller
     sorts than the single-stage plan; stage 2 touches <= 16 * 64 rows
     per day; the trailing merge <= 7 * 64."""
-    K, S = _KMV_K, 16
+    K, S = _KMV_K, _KMV_SHARDS
     act = _kmv_day_hashes(load_table(spark, sf_dir, "events"))
     h = act.withColumn("shard", F.pmod("hv", F.lit(S)))
     w1 = Window.partitionBy("day", "shard")

@@ -2372,6 +2372,8 @@ def streaming_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from flink_tutorial_spark.plans.queries_patterns import (  # noqa: E402
+    _KMV_K,
+    _KMV_SHARDS,
     _KMV_TRAILING_ORACLE,
     kmv_trailing_report,
 )
@@ -2396,28 +2398,36 @@ assert _KMV_TRAILING_LIVE_ORACLE != _KMV_TRAILING_ORACLE
 def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day UV from LIVE-maintained daily KMV cells — the
     third proof of the grouped-KMV family (VERDICT r10 #4) and the
-    deployment shape of uv_stickiness's denominator: a stream keeps 64
-    longs per closed day (pipeline a — the streaming_uv_kmv 3-stage
-    chain: dedup, per-(day, shard) k-mins, per-day merge-truncate, a
-    day's cell array emitting when the watermark passes its end); any
-    trailing window is then stated from cells alone, no raw rescan.
-    Pipeline (b) keeps the exact distinct (day, hv) pair table — the
-    calibration reference the oracle needs (dropped at 100 TB, where
-    cells ARE the product; pair state is the same bound
+    deployment shape of uv_stickiness's denominator. Pipeline (a) is a
+    GENUINELY fixed-state sketch builder (VERDICT r11 #3): one
+    64-cap distinct-insert k-min fold per (day, shard) —
+    streaming/stateful.kmv_day_fold — whose state is K longs per key
+    however many distinct users a day has (a KMV insert is duplicate-
+    idempotent, so the old groupBy-dedup stage and its O(distinct/day)
+    state were unnecessary). Each (day, shard) cell emits once, when
+    the watermark passes the day end; the per-day merge-truncate to 64
+    longs happens on the CONVERGED table (<= shards x 64 rows/day) —
+    any trailing window is then stated from cells alone, no raw
+    rescan. Pipeline (b) keeps the exact distinct (day, hv) pair table
+    — the calibration reference the oracle needs (dropped at 100 TB,
+    where cells ARE the product; pair state is the same bound
     streaming_uv_daily pays). Both converged tables feed the shared
     kmv_trailing_report, stated by the batch family's oracle restricted
-    to closed days — hash-exactness proves live cells == batch cells ==
-    single-stage sketch.
+    to closed days — hash-exactness proves live fold cells == batch
+    cells == single-stage sketch.
 
     localCheckpoint on the converged tables: the report's broadcast
     day-joins branch each table twice, and memory-sink plans cannot
     self-join (Spark fails to de-conflict the sink's attribute refs —
     the r10 drift-psi lesson); checkpointing cuts lineage to a
-    LogicalRDD, which is bounded here (cells: 64/day; pairs:
-    calibration-only)."""
-    from flink_tutorial_spark.operators.dedup import md5_long
+    LogicalRDD, which is bounded here (cells: <= shards x 64/day;
+    pairs: calibration-only)."""
+    from pyspark.sql import Window
 
-    K, S = 64, 16
+    from flink_tutorial_spark.operators.dedup import md5_long
+    from flink_tutorial_spark.streaming.stateful import kmv_day_fold
+
+    K, S = _KMV_K, _KMV_SHARDS
     events = stream_table(spark, sf_dir, "events")
     hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
     stream = (
@@ -2426,21 +2436,21 @@ def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard", F.pmod("hv", F.lit(S)))
         .withWatermark("ts", "0 seconds")
     )
-    # pipeline (a): per-day k-min cell arrays, live
-    dedup = stream.groupBy(
-        F.window("ts", "1 day").alias("w"), "shard", "hv"
-    ).agg(F.count("*").alias("n"))
-    shard_sketch = dedup.groupBy("w", "shard").agg(
-        F.slice(F.array_sort(F.collect_list("hv")), 1, K).alias("kmins")
+    # pipeline (a): fixed-state per-(day, shard) k-min fold, live
+    folded = kmv_day_fold(
+        stream.withColumn("day", F.date_trunc("day", "ts")),
+        "day", "shard", "hv", K,
     )
-    daily = shard_sketch.groupBy("w").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("kmins"))), 1, K).alias(
-            "cells"
-        )
+    shard_cells = run_to_memory(folded, "append").localCheckpoint()
+    # day-level merge-truncate on the converged cells (<= S x K rows/day;
+    # shards partition the hash space, so no cross-shard duplicates)
+    wd = Window.partitionBy("day")
+    cells = (
+        shard_cells.select("day", F.explode("kmins").alias("hv"))
+        .withColumn("rk", F.row_number().over(wd.orderBy("hv")))
+        .where(F.col("rk") <= K)
+        .select("day", "hv")
     )
-    cells_tbl = run_to_memory(
-        daily.select(F.col("w.start").alias("day"), "cells"), "append"
-    ).localCheckpoint()
     # pipeline (b): exact distinct (day, hv) pairs — calibration only
     pairs = stream.groupBy(F.window("ts", "1 day").alias("w"), "hv").agg(
         F.count("*").alias("n")
@@ -2449,5 +2459,4 @@ def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory(pairs.select(F.col("w.start").alias("day"), "hv"), "append")
         .localCheckpoint()
     )
-    cells = cells_tbl.select("day", F.explode("cells").alias("hv"))
     return kmv_trailing_report(act, cells)

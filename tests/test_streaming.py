@@ -1756,3 +1756,70 @@ def test_streaming_uv_kmv_trailing_matches_batch(spark, sf_dir):
         if t[0] + pd.Timedelta(days=1) <= max_ts
     )
     assert live == batch and len(live) > 0
+
+
+def test_kmv_day_fold_state_is_bounded(spark, sf_dir):
+    """The live KMV fold's state must be KEY-bounded (days x shards
+    rows, <= k longs each), NOT O(distinct users/day) — the VERDICT
+    r11 #3 claim, asserted via the state-store metrics a
+    StreamingQueryListener reports (the same evidence channel as
+    tools/profile_streaming_sf10.py). The old dedup-based pipeline
+    kept one state row per distinct (day, shard, hv)."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    class Probe(StreamingQueryListener):
+        def __init__(self):
+            self.rows = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            for so in event.progress.stateOperators or []:
+                self.rows.append((so.operatorName, so.numRowsTotal))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    probe = Probe()
+    spark.streams.addListener(probe)
+    try:
+        result = (
+            plans.REGISTRY["streaming_uv_kmv_trailing"].fn(spark, sf_dir).count()
+        )
+        time.sleep(2)  # listener events are async
+    finally:
+        spark.streams.removeListener(probe)
+    assert result > 0
+    fold_rows = [
+        n for (op, n) in probe.rows if "applyInPandasWithState" in op
+    ]
+    assert fold_rows, f"no fold state metrics captured: {probe.rows}"
+    events = load_table(spark, sf_dir, "events")
+    n_days = (
+        events.where(F.col("event_type") == "view")
+        .select(F.date_trunc("day", "ts"))
+        .distinct()
+        .count()
+    )
+    n_distinct_pairs = (
+        events.where(F.col("event_type") == "view")
+        .select(F.date_trunc("day", "ts"), "user_id")
+        .distinct()
+        .count()
+    )
+    from flink_tutorial_spark.plans.queries_patterns import _KMV_SHARDS
+
+    bound = n_days * _KMV_SHARDS
+    assert max(fold_rows) <= bound, (max(fold_rows), bound)
+    # the bound this replaces: one row per distinct (day, user) — make
+    # sure the data is big enough that the assertion distinguishes them
+    assert n_distinct_pairs > bound or max(fold_rows) < n_distinct_pairs

@@ -13,10 +13,12 @@ Used two ways:
   - bench.py imports `staleness_summary()` and embeds the result in
     the bench artifact so BENCH_r{N}.json carries the number.
 
-The catalog is read from flink_tutorial_spark/plans/driver_checked.json
-(the committed r1-rN union of driver-checked names) so the tool needs
-no Spark session; names never driver-checked at all would show as
-`never` (none today by construction).
+The catalog is the plan REGISTRY (importing it needs no JVM — pyspark
+module imports only), so a query registered but never driver-checked
+surfaces in `never_checked` instead of silently vanishing (ADVICE r11:
+deriving the catalog from driver_checked.json could only ever report
+names that already had a green row). driver_checked.json remains the
+fallback if the package import fails (e.g. pyspark absent).
 """
 
 from __future__ import annotations
@@ -65,15 +67,30 @@ def last_green_rounds(repo: str = REPO) -> tuple[dict[str, int], int]:
     return last, cur
 
 
-def staleness_summary(repo: str = REPO, n_stalest: int = 10) -> dict:
-    last, cur = last_green_rounds(repo)
+def _catalog(repo: str) -> list[str]:
+    """All registered query names — the registry, not the checked set."""
+    try:
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from flink_tutorial_spark import plans
+
+        return sorted(plans.REGISTRY)
+    except Exception:
+        pass
     cat_path = os.path.join(
         repo, "flink_tutorial_spark", "plans", "driver_checked.json"
     )
     try:
-        catalog = json.load(open(cat_path))
+        return json.load(open(cat_path))
     except (OSError, ValueError):
-        catalog = sorted(last)
+        return []
+
+
+def staleness_summary(repo: str = REPO, n_stalest: int = 10) -> dict:
+    last, cur = last_green_rounds(repo)
+    catalog = _catalog(repo) or sorted(last)
     gaps = {n: (cur - last[n]) if n in last else -1 for n in catalog}
     never = sorted(n for n, g in gaps.items() if g < 0)
     seen = sorted(g for g in gaps.values() if g >= 0)
