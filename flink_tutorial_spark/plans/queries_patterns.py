@@ -1945,6 +1945,183 @@ def uv_kmv_trailing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "uv_kmv_retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day,
+         CAST(concat('0x', substr(md5(concat(user_id, ':kmv')), 1, 15))
+             AS BIGINT) AS hv
+  FROM events WHERE event_type = 'view'
+), days AS (SELECT DISTINCT day FROM act),
+pairs AS (
+  SELECT a.day AS day, b.day AS nday
+  FROM days a JOIN days b ON b.day = a.day + INTERVAL 1 DAY
+), r AS (
+  SELECT day, hv,
+         row_number() OVER (PARTITION BY day ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM act
+), day_est AS (
+  SELECT day, CAST(n AS BIGINT) AS n_exact,
+         CAST(CASE WHEN n < 64 THEN n
+              ELSE floor(63.0 * 1152921504606846976 / hv) END AS BIGINT)
+             AS uv_kmv
+  FROM r WHERE rk = 64 OR (rk = n AND n < 64)
+), cells AS (SELECT day, hv FROM r WHERE rk <= 64),
+uni AS (
+  SELECT p.day AS day, c.hv
+  FROM cells c JOIN pairs p ON c.day = p.day OR c.day = p.nday
+  GROUP BY 1, 2
+), ur AS (
+  SELECT day, hv,
+         row_number() OVER (PARTITION BY day ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM uni
+), u_est AS (
+  SELECT day,
+         CAST(CASE WHEN n < 64 THEN n
+              ELSE floor(63.0 * 1152921504606846976 / hv) END AS BIGINT)
+             AS union_kmv
+  FROM ur WHERE rk = 64 OR (rk = n AND n < 64)
+), ret AS (
+  SELECT a.day AS day, CAST(count(*) AS BIGINT) AS ret_exact
+  FROM act a JOIN act b ON b.hv = a.hv AND b.day = a.day + INTERVAL 1 DAY
+  GROUP BY 1
+)
+SELECT p.day,
+       da.n_exact AS dau,
+       db.n_exact AS dau_next,
+       COALESCE(rt.ret_exact, CAST(0 AS BIGINT)) AS ret_exact,
+       ue.union_kmv,
+       GREATEST(CAST(0 AS BIGINT),
+                da.uv_kmv + db.uv_kmv - ue.union_kmv) AS ret_kmv,
+       round(GREATEST(CAST(0 AS BIGINT),
+                      da.uv_kmv + db.uv_kmv - ue.union_kmv)::DOUBLE
+             / da.uv_kmv, 4) AS ret_rate_kmv
+FROM pairs p
+JOIN day_est da ON da.day = p.day
+JOIN day_est db ON db.day = p.nday
+JOIN u_est ue ON ue.day = p.day
+LEFT JOIN ret rt ON rt.day = p.day
+""",
+    tags=("business", "approx", "sketch"),
+)
+def uv_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day RETENTION from the same daily KMV cells the
+    trailing family keeps — the SET-INTERSECTION algebra the
+    union-only proofs (uv_kmv_trailing r11) don't cover, and the next
+    question every growth dashboard asks of the UV pipeline
+    (UniqueVisitor.scala:43-48 is the daily half): of day d's users,
+    how many returned on d+1?
+
+    Distinct counts intersect no better than they merge, but KMV cells
+    give |A ∩ B| by inclusion-exclusion: Â + B̂ − Û, where Û is the
+    k-th-min estimate of the MERGED cells of the two days (the r11
+    union algebra — each union k-min is within its own day's k-mins)
+    and Â, B̂ are the per-day estimates, every term below-k-exact. So
+    a deployment that already keeps 64 longs per day states the whole
+    retention curve from cells alone — no raw rescan, no pair
+    re-expansion; the estimate is clamped at 0 (inclusion-exclusion
+    noise can go negative when the true overlap is small). ret_exact
+    rides along as the calibration reference (the exact branch is one
+    equi-join on (day, hv) of the deduped pair table — dropped at
+    deployment exactly like wau7_exact).
+
+    Scale shape: cells are one rank per day partition; the pair-union
+    expansion touches <= 2 x 64 rows per day pair; the consecutive-day
+    pair table is |days| rows, broadcast. Nothing in the sketch path
+    scales with |users|."""
+    K = _KMV_K
+    act = _kmv_day_hashes(load_table(spark, sf_dir, "events"))
+    one_day = F.expr("make_interval(0, 0, 0, 1, 0, 0, 0)")
+    w = Window.partitionBy("day")
+    r = act.select(
+        "day",
+        "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rk"),
+        F.count("*").over(w).alias("n"),
+    )
+    kth = (F.col("rk") == K) | ((F.col("rk") == F.col("n")) & (F.col("n") < K))
+    est = F.when(F.col("n") < K, F.col("n")).otherwise(
+        F.floor(F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.col("hv"))
+    )
+    day_est = r.where(kth).select(
+        "day",
+        F.col("n").cast("long").alias("n_exact"),
+        est.cast("long").alias("uv_kmv"),
+    )
+    cells = r.where(F.col("rk") <= K).select("day", "hv")
+    days = act.select("day").distinct()
+    pairs = days.join(
+        days.select((F.col("day") - one_day).alias("day")).hint("broadcast"),
+        "day",
+        "semi",
+    )  # days d where d+1 also exists; the pair is keyed by its first day
+    # union cells of (d, d+1), keyed at d: a cell of day x serves pair
+    # keys x and x-1 (bounded 2x expansion of <= 64 rows/day)
+    uni = (
+        cells.withColumn("off", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("day", F.col("day") - F.expr("make_interval(0, 0, 0, off, 0, 0, 0)"))
+        .join(pairs.hint("broadcast"), "day", "semi")
+        .select("day", "hv")
+        .distinct()
+    )
+    wu = Window.partitionBy("day")
+    ur = uni.select(
+        "day",
+        "hv",
+        F.row_number().over(wu.orderBy("hv")).alias("rk"),
+        F.count("*").over(wu).alias("n"),
+    )
+    u_est = ur.where(
+        (F.col("rk") == K) | ((F.col("rk") == F.col("n")) & (F.col("n") < K))
+    ).select(
+        "day",
+        F.when(F.col("n") < K, F.col("n"))
+        .otherwise(
+            F.floor(F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.col("hv"))
+        )
+        .cast("long")
+        .alias("union_kmv"),
+    )
+    # exact next-day overlap — calibration only (pair-table equi-join)
+    ret = (
+        act.join(
+            act.select((F.col("day") - one_day).alias("day"), "hv"),
+            ["day", "hv"],
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("ret_exact"))
+    )
+    nxt = day_est.select(
+        (F.col("day") - one_day).alias("day"),
+        F.col("n_exact").alias("dau_next"),
+        F.col("uv_kmv").alias("uv_kmv_next"),
+    )
+    ret_kmv = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("uv_kmv") + F.col("uv_kmv_next") - F.col("union_kmv"),
+    )
+    return (
+        pairs.join(day_est, "day")
+        .join(nxt, "day")
+        .join(u_est, "day")
+        .join(ret, "day", "left")
+        .select(
+            "day",
+            F.col("n_exact").alias("dau"),
+            "dau_next",
+            F.coalesce(F.col("ret_exact"), F.lit(0).cast("long")).alias(
+                "ret_exact"
+            ),
+            "union_kmv",
+            ret_kmv.alias("ret_kmv"),
+            F.round(ret_kmv / F.col("uv_kmv"), 4).alias("ret_rate_kmv"),
+        )
+    )
+
+
+@query(
     "uv_hll_registers",
     oracle="""
 WITH act AS (
@@ -2019,6 +2196,10 @@ def uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HLL_M = 64
+#: hash-space shards for the two-stage register builders (batch sharded
+#: variant + the live fold twin) — shared so the family cannot drift
+#: (the ADVICE r11 lesson from the KMV family).
+_HLL_SHARDS = 16
 
 
 def _hll_day_ranked(events: DataFrame):
@@ -2045,13 +2226,23 @@ def _hll_day_ranked(events: DataFrame):
     return act, ranked
 
 
-def _hll_report(spark: SparkSession, act: DataFrame, regs: DataFrame) -> DataFrame:
+def _hll_report(
+    spark: SparkSession,
+    act: DataFrame,
+    regs: DataFrame,
+    days: DataFrame | None = None,
+) -> DataFrame:
     """Register table (day, reg, m_j) -> the calibration report: fill
     the day x 64 grid (absent registers are rank 0), aggregate the
     exact integer register state (v_zero, checksum, sum(2^(55-M_j)))
-    and the closed-form estimate with linear-counting correction."""
+    and the closed-form estimate with linear-counting correction.
+
+    `days` defaults to act's days; the live twin passes the CLOSED
+    days its converged register table covers (the open last day must
+    not get an all-zero grid row)."""
     M = _HLL_M
-    days = act.select("day").distinct()
+    if days is None:
+        days = act.select("day").distinct()
     grid = days.crossJoin(
         F.broadcast(
             spark.range(M).select(F.col("id").cast("long").alias("reg"))
@@ -2118,7 +2309,7 @@ def uv_hll_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: stage 1 is a partial-agg max over (day, shard, reg)
     — 16x more groups but 16x smaller partitions; stage 2 merges
     16 * 64 rows per day. Both partial-aggregable; nothing global."""
-    S = 16
+    S = _HLL_SHARDS
     act, ranked = _hll_day_ranked(load_table(spark, sf_dir, "events"))
     sregs = (
         ranked.withColumn("shard", F.pmod(F.expr("hv div 4096"), F.lit(S)))

@@ -2460,3 +2460,96 @@ def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return kmv_trailing_report(act, cells)
+
+
+from flink_tutorial_spark.plans.catalog import REGISTRY as _REG  # noqa: E402
+
+#: the batch HLL oracle restricted to CLOSED days — a day's register
+#: vector emits when the watermark (max view ts, delay 0) passes its
+#: end, so the live report covers exactly the days with
+#: day + 1 day <= max ts.
+_HLL_LIVE_ORACLE = _REG["uv_hll_registers"].oracle.replace(
+    "FROM agg a JOIN exact e USING (day)",
+    """FROM agg a JOIN exact e USING (day)
+WHERE a.day + INTERVAL 1 DAY <=
+      (SELECT max(ts) FROM events WHERE event_type = 'view')""",
+)
+assert _HLL_LIVE_ORACLE != _REG["uv_hll_registers"].oracle
+
+
+@query(
+    "streaming_uv_hll_registers",
+    oracle=_HLL_LIVE_ORACLE,
+    tags=("streaming", "approx", "sketch"),
+)
+def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE HyperLogLog registers — the streaming member that completes
+    the HLL family (batch registers + sharded merge passed r11; this is
+    the deployment shape): pipeline (a) maintains ONE 64-long register
+    vector per (day, shard) via an element-wise-max fold
+    (streaming/stateful.hll_day_fold — genuinely fixed state, max needs
+    no cap and no dedup, the same class as kmv_day_fold; sharding by
+    the same middle hash bits as uv_hll_sharded keeps any one state
+    partition from seeing a whole day), each vector emitting once when
+    the watermark passes its day end. The converged shard vectors
+    max-merge into the daily registers on the batch side — bit-exactly,
+    the uv_hll_sharded algebra. Pipeline (b) keeps the exact distinct
+    (day, hv) pairs — the calibration reference the oracle's uv_exact
+    column needs (dropped at 100 TB, where the registers ARE the
+    product). The merged registers feed the shared batch report
+    (_hll_report) with the grid restricted to the CLOSED days the live
+    table covers; the oracle is the batch family's, restricted
+    identically — hash-exactness proves live fold registers == batch
+    registers, including the closed-form estimate.
+
+    localCheckpoint: memory-sink plans cannot self-join (the r10
+    drift-psi lesson) and the report branches each table (grid +
+    fill; exact + join)."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+    from flink_tutorial_spark.plans.queries_patterns import (
+        _HLL_M,
+        _HLL_SHARDS,
+        _hll_report,
+    )
+    from flink_tutorial_spark.streaming.stateful import hll_day_fold
+
+    events = stream_table(spark, sf_dir, "events")
+    hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":hll")))
+    wdiv = F.expr("hv div 64")
+    stream = (
+        events.where(F.col("event_type") == "view")
+        .select("ts", hv.alias("hv"))
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .withWatermark("ts", "0 seconds")
+    )
+    ranked = stream.select(
+        "ts",
+        "day",
+        "hv",
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.when(wdiv == F.lit(0), F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(wdiv)))
+        .alias("rank"),
+        F.pmod(F.expr("hv div 4096"), F.lit(_HLL_SHARDS)).alias("shard"),
+    )
+    # pipeline (a): fixed-state per-(day, shard) register fold, live
+    folded = hll_day_fold(ranked, "day", "shard", "reg", "rank", _HLL_M)
+    shard_regs = run_to_memory(folded, "append").localCheckpoint()
+    # shard vectors -> daily registers by element-wise max (batch side,
+    # <= shards x 64 rows/day)
+    regs = (
+        shard_regs.select("day", F.posexplode("regs").alias("reg", "m_j"))
+        .where(F.col("m_j") > 0)
+        .groupBy("day", "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    # pipeline (b): exact distinct (day, hv) pairs — calibration only
+    pairs = stream.groupBy(F.window("ts", "1 day").alias("w"), "hv").agg(
+        F.count("*").alias("n")
+    )
+    act = (
+        run_to_memory(pairs.select(F.col("w.start").alias("day"), "hv"), "append")
+        .localCheckpoint()
+    )
+    closed_days = shard_regs.select("day").distinct()
+    return _hll_report(spark, act, regs, days=closed_days)

@@ -1151,3 +1151,69 @@ def kmv_day_fold(
     return df.groupBy(day_col, shard_col).applyInPandasWithState(
         fn, KMV_FOLD_OUT, _KMV_FOLD_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+HLL_FOLD_OUT = StructType(
+    [
+        StructField("day", TimestampType()),
+        StructField("shard", LongType()),
+        StructField("regs", ArrayType(LongType())),
+    ]
+)
+_HLL_FOLD_STATE = StructType([StructField("regs", ArrayType(LongType()))])
+
+
+def hll_day_fold(
+    df: DataFrame,
+    day_col: str,
+    shard_col: str,
+    reg_col: str,
+    rank_col: str,
+    m: int,
+) -> DataFrame:
+    """Live HLL register fold per (day, shard) — the fixed-state
+    streaming twin of uv_hll_registers/uv_hll_sharded (the reference's
+    UV state pattern, UvWithBloomFliter.scala:55-94, at HLL's 64-long
+    footprint).
+
+    State per key is ONE m-long register vector; each batch folds in
+    via element-wise max (np.maximum.at on the batch's (reg, rank)
+    pairs) — max is idempotent/associative/commutative, so the
+    converged registers are batching-independent and bit-equal to the
+    batch build, and state is m longs per key however many distinct
+    users arrive (the same genuinely-fixed-state argument as
+    kmv_day_fold, without even a cap to enforce). Keying by (day,
+    shard) rather than day alone keeps any one state partition from
+    seeing a whole day's events (the uv_hll_sharded decomposition —
+    shard vectors max-merge into the day vector bit-exactly). Emits
+    once per key on the shared closed-day contract: EventTimeTimeout
+    at day_end_ms - 1 fires iff max_ts >= day_end (see kmv_day_fold
+    for the ms-floor proof); late rows of a closed day are dropped by
+    the operator's watermark filter."""
+    import numpy as np
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (regs,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"day": [key[0]], "shard": [key[1]], "regs": [list(regs)]}
+            )
+            return
+        (regs,) = state.get if state.exists else ([0] * m,)
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            arr = np.asarray(regs, dtype="int64")
+            np.maximum.at(
+                arr,
+                pdf[reg_col].to_numpy(dtype="int64"),
+                pdf[rank_col].to_numpy(dtype="int64"),
+            )
+            regs = [int(v) for v in arr]
+        state.update((regs,))
+        day_end_ms = pd.Timestamp(key[0]).value // 1_000_000 + 86_400_000
+        state.setTimeoutTimestamp(day_end_ms - 1)
+
+    return df.groupBy(day_col, shard_col).applyInPandasWithState(
+        fn, HLL_FOLD_OUT, _HLL_FOLD_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )

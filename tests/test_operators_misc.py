@@ -603,3 +603,27 @@ def test_uv_hll_sharded_bit_equal(spark, sf_dir):
         map(tuple, plans.REGISTRY["uv_hll_sharded"].fn(spark, sf_dir).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_uv_kmv_retention_inclusion_exclusion(spark, sf_dir):
+    """Retention-from-cells invariants: the exact branch is a true
+    intersection bound, and below k the inclusion-exclusion estimate
+    IS the exact overlap (all three sketches are their exact sets, so
+    Â + B̂ - Û = |A| + |B| - |A ∪ B| = |A ∩ B| identically)."""
+    from flink_tutorial_spark import plans
+
+    rows = (
+        plans.REGISTRY["uv_kmv_retention"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for day, dau, dau_next, ret_exact, union_kmv, ret_kmv, rate in map(
+        tuple, rows
+    ):
+        assert 0 <= ret_exact <= min(dau, dau_next), day
+        assert ret_kmv >= 0, day
+        if dau + dau_next < 64:
+            assert ret_kmv == ret_exact, day
+        elif ret_exact >= 8:
+            # sketch accuracy sanity on the larger pairs (same band as
+            # the trailing-family test)
+            assert abs(ret_kmv - ret_exact) <= max(8, ret_exact), day

@@ -1823,3 +1823,34 @@ def test_kmv_day_fold_state_is_bounded(spark, sf_dir):
     # the bound this replaces: one row per distinct (day, user) — make
     # sure the data is big enough that the assertion distinguishes them
     assert n_distinct_pairs > bound or max(fold_rows) < n_distinct_pairs
+
+
+def test_streaming_uv_hll_matches_batch(spark, sf_dir):
+    """The live (day, shard) register folds, max-merged, must converge
+    to the batch registers report exactly, restricted to closed days
+    (a day's vectors emit when the watermark passes its end, so the
+    open last day is absent live)."""
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    live = sorted(
+        map(
+            tuple,
+            plans.REGISTRY["streaming_uv_hll_registers"]
+            .fn(spark, sf_dir)
+            .collect(),
+        )
+    )
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.where(F.col("event_type") == "view").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    batch = sorted(
+        t
+        for t in map(
+            tuple,
+            plans.REGISTRY["uv_hll_registers"].fn(spark, sf_dir).collect(),
+        )
+        if t[0] + pd.Timedelta(days=1) <= max_ts
+    )
+    assert live == batch and len(live) > 0
