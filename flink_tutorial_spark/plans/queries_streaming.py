@@ -28,6 +28,7 @@ from flink_tutorial_spark.plans.catalog import query
 from flink_tutorial_spark.plans.parity import dec_sum
 from flink_tutorial_spark.streaming.run import (
     run_to_memory,
+    run_to_memory_many,
     run_to_parquet,
     stream_table,
 )
@@ -2175,11 +2176,14 @@ def streaming_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row_i", cm_cell(F.col("item"), F.col("row_i")).alias("cell"))
         .agg(F.count("*").cast("long").alias("c"))
     )
-    cells = run_to_memory(cells_stream, "complete")
     exact_stream = ev.groupBy("item").agg(
         F.count("*").cast("long").alias("exact_cnt")
     )
-    exact = run_to_memory(exact_stream, "complete")
+    # independent sinks of the same source: start both, drain both —
+    # wall is max(cells, exact), not the sum
+    cells, exact = run_to_memory_many(
+        [(cells_stream, "complete"), (exact_stream, "complete")]
+    )
     est = (
         exact.crossJoin(F.broadcast(rows_df))
         .withColumn("cell", cm_cell(F.col("item"), F.col("row_i")))
@@ -2441,7 +2445,19 @@ def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withColumn("day", F.date_trunc("day", "ts")),
         "day", "shard", "hv", K,
     )
-    shard_cells = run_to_memory(folded, "append").localCheckpoint()
+    # pipeline (b): exact distinct (day, hv) pairs — calibration only.
+    # The two pipelines are independent sinks of the same source, so
+    # they run CONCURRENTLY (start both, drain both): wall is
+    # max(a, b), not the sum.
+    pairs = stream.groupBy(F.window("ts", "1 day").alias("w"), "hv").agg(
+        F.count("*").alias("n")
+    )
+    folded_tbl, pairs_tbl = run_to_memory_many(
+        [(folded, "append"),
+         (pairs.select(F.col("w.start").alias("day"), "hv"), "append")]
+    )
+    shard_cells = folded_tbl.localCheckpoint()
+    act = pairs_tbl.localCheckpoint()
     # day-level merge-truncate on the converged cells (<= S x K rows/day;
     # shards partition the hash space, so no cross-shard duplicates)
     wd = Window.partitionBy("day")
@@ -2450,14 +2466,6 @@ def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wd.orderBy("hv")))
         .where(F.col("rk") <= K)
         .select("day", "hv")
-    )
-    # pipeline (b): exact distinct (day, hv) pairs — calibration only
-    pairs = stream.groupBy(F.window("ts", "1 day").alias("w"), "hv").agg(
-        F.count("*").alias("n")
-    )
-    act = (
-        run_to_memory(pairs.select(F.col("w.start").alias("day"), "hv"), "append")
-        .localCheckpoint()
     )
     return kmv_trailing_report(act, cells)
 
@@ -2532,9 +2540,20 @@ def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
         F.pmod(F.expr("hv div 4096"), F.lit(_HLL_SHARDS)).alias("shard"),
     )
-    # pipeline (a): fixed-state per-(day, shard) register fold, live
+    # pipeline (a): fixed-state per-(day, shard) register fold, live.
+    # pipeline (b): exact distinct (day, hv) pairs — calibration only.
+    # Independent sinks of the same source: run CONCURRENTLY (start
+    # both, drain both), wall is max(a, b), not the sum.
     folded = hll_day_fold(ranked, "day", "shard", "reg", "rank", _HLL_M)
-    shard_regs = run_to_memory(folded, "append").localCheckpoint()
+    pairs = stream.groupBy(F.window("ts", "1 day").alias("w"), "hv").agg(
+        F.count("*").alias("n")
+    )
+    folded_tbl, pairs_tbl = run_to_memory_many(
+        [(folded, "append"),
+         (pairs.select(F.col("w.start").alias("day"), "hv"), "append")]
+    )
+    shard_regs = folded_tbl.localCheckpoint()
+    act = pairs_tbl.localCheckpoint()
     # shard vectors -> daily registers by element-wise max (batch side,
     # <= shards x 64 rows/day)
     regs = (
@@ -2542,14 +2561,6 @@ def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("m_j") > 0)
         .groupBy("day", "reg")
         .agg(F.max("m_j").alias("m_j"))
-    )
-    # pipeline (b): exact distinct (day, hv) pairs — calibration only
-    pairs = stream.groupBy(F.window("ts", "1 day").alias("w"), "hv").agg(
-        F.count("*").alias("n")
-    )
-    act = (
-        run_to_memory(pairs.select(F.col("w.start").alias("day"), "hv"), "append")
-        .localCheckpoint()
     )
     closed_days = shard_regs.select("day").distinct()
     return _hll_report(spark, act, regs, days=closed_days)

@@ -72,6 +72,49 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_to_memory_many(
+    outs: list[tuple[DataFrame, str]], state_partitions: int | None = None
+) -> list[DataFrame]:
+    """Execute several INDEPENDENT streaming DataFrames concurrently to
+    completion via memory sinks; returns their materialized results in
+    order. Start all, then drain all: wall time is max(pipelines), not
+    the sum — the local stand-in for the production one-pass
+    foreachBatch fan-out (sinks/foreach.py), exactly the pattern
+    streaming_adclick_blacklist inlines. Sequential run_to_memory
+    calls on a bounded source pay each pipeline's full micro-batch
+    fixed cost back-to-back; measured on the two-pipeline sketch
+    twins at sf0.1: HLL 3.75 -> 2.84 s, KMV 3.69 -> 3.52 s (the
+    pipelines share the box's cores and the per-batch commit path, so
+    the overlap is far from 2x — the win is real but bounded by the
+    slower pipeline's own micro-batch sequencing).
+
+    Same state-partition pinning contract as run_to_memory; the pin
+    spans all the starts (single-threaded caller), restored after."""
+    spark = outs[0][0].sparkSession
+    n = state_partitions or int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    names = [f"mem_{uuid.uuid4().hex[:12]}" for _ in outs]
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    started = []
+    try:
+        for (out, mode), name in zip(outs, names):
+            started.append(
+                out.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        for q in started:
+            q.processAllAvailable()
+    finally:
+        for q in started:
+            q.stop()
+    return [spark.table(name) for name in names]
+
+
 def run_to_parquet(
     out: DataFrame, path: str, state_partitions: int | None = None
 ) -> None:
