@@ -1854,3 +1854,70 @@ def test_streaming_uv_hll_matches_batch(spark, sf_dir):
         if t[0] + pd.Timedelta(days=1) <= max_ts
     )
     assert live == batch and len(live) > 0
+
+
+def test_crash_recovery_kmv_fold_state(spark, tmp_path):
+    """kmv_day_fold's k-min array state AND its event-time timeout
+    survive a restart from the checkpoint (the r12 fixed-state fold is
+    the first timer-EMITTING fold in the family — earlier restart e2es
+    cover data-branch emitters and complete-mode aggs): batch 1 builds
+    day-0 state and emits NOTHING (the day is open — asserted, so the
+    test cannot pass vacuously); after the restart, batch 2 merges a
+    new day-0 minimum into the CARRIED array and a day-1 event drives
+    the watermark past day-0's end, so the timeout branch emits cells
+    that can only be correct if both the array and the timer
+    round-tripped through the state store. Final output must row-equal
+    an uninterrupted run over both batches."""
+    from flink_tutorial_spark.streaming.stateful import kmv_day_fold
+
+    def build(s):
+        st = (
+            s.selectExpr("ts", "user AS hv")
+            .withColumn("day", F.date_trunc("day", "ts"))
+            .withColumn("shard", F.pmod("hv", F.lit(2)))
+            .withWatermark("ts", "0 seconds")
+        )
+        return kmv_day_fold(st, "day", "shard", "hv", 3)
+
+    # day 0: odd-shard hashes 5,9,5(dup),7 exceed the k=3 cap once 1
+    # arrives; even shard has just 2
+    batch1 = [_row(1, user=5), _row(2, user=9), _row(3, user=5),
+              _row(4, user=7), _row(5, user=2)]
+    # post-restart: a NEW day-0 minimum (1) + a day-1 event that closes
+    # day 0
+    batch2 = [_row(6, user=1), _row(86500, user=4)]
+
+    src_a, src_b = str(tmp_path / "src_a"), str(tmp_path / "src_b")
+    out_a, ck_a = str(tmp_path / "out_a"), str(tmp_path / "ck_a")
+    _write_one_batch(src_a, batch1, 0)
+    _run_ckpt(spark, src_a, build, out_a, ck_a)
+    # mid-state: day 0 is still open — nothing may have emitted yet
+    # (the file sink commits empty part files per batch; count rows)
+    assert (
+        spark.read.parquet(out_a).count() == 0
+    ), "day-0 cells emitted before the day closed"
+    _write_one_batch(src_a, batch2, 1)
+    _run_ckpt(spark, src_a, build, out_a, ck_a)  # restart
+
+    _write_one_batch(src_b, batch1, 0)
+    _write_one_batch(src_b, batch2, 1)
+    out_b, ck_b = str(tmp_path / "out_b"), str(tmp_path / "ck_b")
+    _run_ckpt(spark, src_b, build, out_b, ck_b)
+
+    key = lambda t: (t[0], t[1])
+    got = sorted(
+        ((r.day, r.shard, list(r.kmins)) for r in spark.read.parquet(out_a).collect()),
+        key=key,
+    )
+    want = sorted(
+        ((r.day, r.shard, list(r.kmins)) for r in spark.read.parquet(out_b).collect()),
+        key=key,
+    )
+    assert got == want
+    day0 = T0.to_pydatetime()
+    assert got == [
+        (day0, 0, [2]),          # even shard: just the 2
+        (day0, 1, [1, 5, 7]),    # k=3 of {5,9,7} u {1}: the restart
+                                 # merged batch 2's new minimum into the
+                                 # carried array and evicted 9
+    ]
