@@ -97,19 +97,21 @@ def run_to_memory_many(
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     started = []
     try:
-        for (out, mode), name in zip(outs, names):
-            started.append(
-                out.writeStream.outputMode(mode)
-                .format("memory")
-                .queryName(name)
-                .start()
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try:
+        try:
+            for (out, mode), name in zip(outs, names):
+                started.append(
+                    out.writeStream.outputMode(mode)
+                    .format("memory")
+                    .queryName(name)
+                    .start()
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         for q in started:
             q.processAllAvailable()
     finally:
+        # a failed Nth start (or a drain error) must not leak the
+        # already-running queries
         for q in started:
             q.stop()
     return [spark.table(name) for name in names]
