@@ -1791,6 +1791,23 @@ _KMV_K = 64
 _KMV_SHARDS = 16
 
 
+def kmv_kth(rk, n, k: int = _KMV_K):
+    """Selector for the row carrying a set's KMV statistic: the k-th
+    smallest hash, or the largest when the set is smaller than k
+    (below-k exactness). Shared by every member of the family so the
+    selection rule cannot drift from the common oracle."""
+    return (rk == k) | ((rk == n) & (n < k))
+
+
+def kmv_estimate(hv, n, below_k, k: int = _KMV_K):
+    """The KMV cardinality estimator (k-1) * 2^60 / kth_min_hash, with
+    the exact `below_k` fallback when the set is smaller than k. One
+    definition for the whole family."""
+    return F.when(n < k, below_k).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / hv)
+    )
+
+
 def _kmv_day_hashes(events: DataFrame) -> DataFrame:
     """Distinct (day, hv) user-hash pairs — the shared stage-1 of the
     trailing-KMV family (same 60-bit md5 hash space as uv_kmv_*)."""
@@ -1857,12 +1874,8 @@ def kmv_trailing_report(act: DataFrame, daily_cells: DataFrame) -> DataFrame:
         F.row_number().over(w.orderBy("hv")).alias("rk"),
         F.count("*").over(w).alias("merged_n"),
     )
-    kth = (F.col("rk") == K) | (
-        (F.col("rk") == F.col("merged_n")) & (F.col("merged_n") < K)
-    )
-    est = F.when(F.col("merged_n") < K, F.col("wau7_exact")).otherwise(
-        F.floor(F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.col("hv"))
-    )
+    kth = kmv_kth(F.col("rk"), F.col("merged_n"), K)
+    est = kmv_estimate(F.col("hv"), F.col("merged_n"), F.col("wau7_exact"), K)
     return (
         r.where(kth)
         .join(tw, "day")
@@ -2041,14 +2054,12 @@ def uv_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w.orderBy("hv")).alias("rk"),
         F.count("*").over(w).alias("n"),
     )
-    kth = (F.col("rk") == K) | ((F.col("rk") == F.col("n")) & (F.col("n") < K))
-    est = F.when(F.col("n") < K, F.col("n")).otherwise(
-        F.floor(F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.col("hv"))
-    )
-    day_est = r.where(kth).select(
+    day_est = r.where(kmv_kth(F.col("rk"), F.col("n"), K)).select(
         "day",
         F.col("n").cast("long").alias("n_exact"),
-        est.cast("long").alias("uv_kmv"),
+        kmv_estimate(F.col("hv"), F.col("n"), F.col("n"), K)
+        .cast("long")
+        .alias("uv_kmv"),
     )
     cells = r.where(F.col("rk") <= K).select("day", "hv")
     days = act.select("day").distinct()
@@ -2073,14 +2084,9 @@ def uv_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wu.orderBy("hv")).alias("rk"),
         F.count("*").over(wu).alias("n"),
     )
-    u_est = ur.where(
-        (F.col("rk") == K) | ((F.col("rk") == F.col("n")) & (F.col("n") < K))
-    ).select(
+    u_est = ur.where(kmv_kth(F.col("rk"), F.col("n"), K)).select(
         "day",
-        F.when(F.col("n") < K, F.col("n"))
-        .otherwise(
-            F.floor(F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.col("hv"))
-        )
+        kmv_estimate(F.col("hv"), F.col("n"), F.col("n"), K)
         .cast("long")
         .alias("union_kmv"),
     )
@@ -2202,6 +2208,27 @@ _HLL_M = 64
 _HLL_SHARDS = 16
 
 
+def hll_reg(hv_name: str = "hv"):
+    """Register index: low 6 bits of the 60-bit hash. Shared by the
+    batch builders AND the live fold twin so the family's hash
+    decomposition cannot drift (the _KMV_SHARDS lesson, ADVICE r11)."""
+    return F.col(hv_name) % _HLL_M
+
+
+def hll_rank(hv_name: str = "hv"):
+    """Flajolet rho of the remaining 54 bits: 55 - bitlength(hv div 64)
+    (integer-exact via bin()-string length in BOTH engines)."""
+    w = F.expr(f"{hv_name} div 64")
+    return F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+
+
+def hll_shard(hv_name: str = "hv"):
+    """Shard key for the two-stage builders: middle hash bits,
+    decorrelated from the register index (low 6) and the rank bits
+    (bitlength of the high 54)."""
+    return F.pmod(F.expr(f"{hv_name} div 4096"), F.lit(_HLL_SHARDS))
+
+
 def _hll_day_ranked(events: DataFrame):
     """(act, ranked) for the HLL family: act = distinct (day, hv)
     user hashes; ranked = (day, reg, rank) with reg = hv mod 64 and
@@ -2214,14 +2241,8 @@ def _hll_day_ranked(events: DataFrame):
         .select(F.date_trunc("day", "ts").alias("day"), hv.alias("hv"))
         .distinct()
     )
-    w = F.expr("hv div 64")
     ranked = act.select(
-        "day",
-        "hv",
-        (F.col("hv") % _HLL_M).alias("reg"),
-        F.when(w == 0, F.lit(55))
-        .otherwise(F.lit(55) - F.length(F.bin(w)))
-        .alias("rank"),
+        "day", "hv", hll_reg().alias("reg"), hll_rank().alias("rank")
     )
     return act, ranked
 
@@ -2309,10 +2330,9 @@ def uv_hll_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: stage 1 is a partial-agg max over (day, shard, reg)
     — 16x more groups but 16x smaller partitions; stage 2 merges
     16 * 64 rows per day. Both partial-aggregable; nothing global."""
-    S = _HLL_SHARDS
     act, ranked = _hll_day_ranked(load_table(spark, sf_dir, "events"))
     sregs = (
-        ranked.withColumn("shard", F.pmod(F.expr("hv div 4096"), F.lit(S)))
+        ranked.withColumn("shard", hll_shard())
         .groupBy("day", "shard", "reg")
         .agg(F.max("rank").alias("m_sj"))
     )

@@ -2516,29 +2516,30 @@ def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_tutorial_spark.operators.dedup import md5_long
     from flink_tutorial_spark.plans.queries_patterns import (
         _HLL_M,
-        _HLL_SHARDS,
         _hll_report,
+        hll_rank,
+        hll_reg,
+        hll_shard,
     )
     from flink_tutorial_spark.streaming.stateful import hll_day_fold
 
     events = stream_table(spark, sf_dir, "events")
     hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":hll")))
-    wdiv = F.expr("hv div 64")
     stream = (
         events.where(F.col("event_type") == "view")
         .select("ts", hv.alias("hv"))
         .withColumn("day", F.date_trunc("day", "ts"))
         .withWatermark("ts", "0 seconds")
     )
+    # reg/rank/shard from the SAME column builders as the batch family
+    # (hll_reg/hll_rank/hll_shard) — the decomposition cannot drift
     ranked = stream.select(
         "ts",
         "day",
         "hv",
-        (F.col("hv") % _HLL_M).alias("reg"),
-        F.when(wdiv == F.lit(0), F.lit(55))
-        .otherwise(F.lit(55) - F.length(F.bin(wdiv)))
-        .alias("rank"),
-        F.pmod(F.expr("hv div 4096"), F.lit(_HLL_SHARDS)).alias("shard"),
+        hll_reg().alias("reg"),
+        hll_rank().alias("rank"),
+        hll_shard().alias("shard"),
     )
     # pipeline (a): fixed-state per-(day, shard) register fold, live.
     # pipeline (b): exact distinct (day, hv) pairs — calibration only.

@@ -56,20 +56,7 @@ def run_to_memory(
     same session during that window inherits the pinned value. Fine for
     the single-threaded driver/test harness this serves; concurrent
     callers should use an isolated session (spark.newSession())."""
-    spark = out.sparkSession
-    n = state_partitions or int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        q = out.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory_many([(out, mode)], state_partitions)[0]
 
 
 def run_to_memory_many(
@@ -111,9 +98,13 @@ def run_to_memory_many(
             q.processAllAvailable()
     finally:
         # a failed Nth start (or a drain error) must not leak the
-        # already-running queries
+        # already-running queries — and a stop() error on one query
+        # must not skip stopping the rest or mask the original failure
         for q in started:
-            q.stop()
+            try:
+                q.stop()
+            except Exception:
+                pass
     return [spark.table(name) for name in names]
 
 

@@ -1795,13 +1795,26 @@ def test_kmv_day_fold_state_is_bounded(spark, sf_dir):
         result = (
             plans.REGISTRY["streaming_uv_kmv_trailing"].fn(spark, sf_dir).count()
         )
-        time.sleep(2)  # listener events are async
+        # listener events are async: poll with a deadline rather than a
+        # fixed sleep (a loaded box can dispatch them late)
+        deadline = time.time() + 30
+        fold_rows: list = []
+        while time.time() < deadline:
+            fold_rows = [
+                n for (op, n) in probe.rows if "applyInPandasWithState" in op
+            ]
+            if fold_rows:
+                time.sleep(2)  # grace: let the tail of the queue drain
+                fold_rows = [
+                    n
+                    for (op, n) in probe.rows
+                    if "applyInPandasWithState" in op
+                ]
+                break
+            time.sleep(0.5)
     finally:
         spark.streams.removeListener(probe)
     assert result > 0
-    fold_rows = [
-        n for (op, n) in probe.rows if "applyInPandasWithState" in op
-    ]
     assert fold_rows, f"no fold state metrics captured: {probe.rows}"
     events = load_table(spark, sf_dir, "events")
     n_days = (

@@ -70,7 +70,16 @@ def main() -> None:
             if subs and not any(s in os.path.basename(p) for s in subs):
                 continue
             runs[n].extend(d.get("runs", {}).get(n, []))
-    times = {n: min(v) for n, v in runs.items() if v}
+    # a restriction that matches no clean run would silently DROP the
+    # query from the artifact (shrinking the catalog with no error) —
+    # that is always a typo or a flagged-run accident; fail loudly
+    empty = sorted(n for n, v in runs.items() if not v)
+    if empty:
+        sys.exit(
+            f"--restrict left {len(empty)} queries with zero samples "
+            f"(typo or all matching runs noise-flagged?): {', '.join(empty)}"
+        )
+    times = {n: min(v) for n, v in runs.items()}
     base = clean[-1][1]  # latest run: sf/staleness shape
     sys.path.insert(0, REPO)
     from bench import HEADLINE  # noqa: E402
@@ -78,7 +87,10 @@ def main() -> None:
     canary_times: list[float] = []
     for _, d in clean:
         canary_times.extend(d.get("canary", {}).get("times", []))
-    canary_med = sorted(canary_times)[len(canary_times) // 2]
+    # degrade like bench.py does when no ticks exist (older artifacts)
+    canary_med = (
+        sorted(canary_times)[len(canary_times) // 2] if canary_times else 0.0
+    )
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times[n] for n in HEADLINE), 3),
@@ -96,9 +108,11 @@ def main() -> None:
         "canary": {
             "query": "keyed_sum",
             "times": canary_times,
-            "min": min(canary_times),
+            "min": min(canary_times) if canary_times else 0.0,
             "median": canary_med,
-            "max_ratio": round(max(canary_times) / canary_med, 2),
+            "max_ratio": (
+                round(max(canary_times) / canary_med, 2) if canary_med else 1.0
+            ),
         },
         "n_headline_queries": len(HEADLINE),
     }

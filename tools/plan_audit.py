@@ -35,6 +35,7 @@ COUNTS = {
     "exchange": r"^\(\d+\) Exchange",
     "bhj": r"^\(\d+\) BroadcastHashJoin",
     "smj": r"^\(\d+\) SortMergeJoin",
+    "shj": r"^\(\d+\) ShuffledHashJoin",
     "bnlj": r"^\(\d+\) BroadcastNestedLoopJoin",
     "cartesian": r"^\(\d+\) CartesianProduct",
     "python": r"^\(\d+\) BatchEvalPython",

@@ -68,17 +68,23 @@ def last_green_rounds(repo: str = REPO) -> tuple[dict[str, int], int]:
 
 
 def _catalog(repo: str) -> list[str]:
-    """All registered query names — the registry, not the checked set."""
-    try:
-        import sys
+    """All registered query names — the registry, not the checked set.
 
-        if repo not in sys.path:
-            sys.path.insert(0, repo)
-        from flink_tutorial_spark import plans
+    The registry import only serves THIS repo: for a foreign `repo`
+    argument the already-imported flink_tutorial_spark module would win
+    (sys.modules cache) and silently report the wrong catalog, so a
+    non-default repo goes straight to its committed name list."""
+    if repo == REPO:
+        try:
+            import sys
 
-        return sorted(plans.REGISTRY)
-    except Exception:
-        pass
+            if repo not in sys.path:
+                sys.path.insert(0, repo)
+            from flink_tutorial_spark import plans
+
+            return sorted(plans.REGISTRY)
+        except Exception:
+            pass
     cat_path = os.path.join(
         repo, "flink_tutorial_spark", "plans", "driver_checked.json"
     )
