@@ -2127,6 +2127,196 @@ def uv_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_CURVE_OFFS = (1, 3, 7)
+
+_KMV_RETENTION_CURVE_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day,
+         CAST(concat('0x', substr(md5(concat(user_id, ':kmv')), 1, 15))
+             AS BIGINT) AS hv
+  FROM events WHERE event_type = 'view'
+), days AS (SELECT DISTINCT day FROM act),
+offs AS (SELECT CAST(off AS INTEGER) AS off
+         FROM (VALUES (1), (3), (7)) AS t(off)),
+pairs AS (
+  SELECT a.day AS day, o.off
+  FROM days a, offs o
+  WHERE EXISTS (SELECT 1 FROM days b
+                WHERE b.day = a.day + o.off * INTERVAL 1 DAY)
+), r AS (
+  SELECT day, hv,
+         row_number() OVER (PARTITION BY day ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM act
+), day_est AS (
+  SELECT day, CAST(n AS BIGINT) AS n_exact,
+         CAST(CASE WHEN n < 64 THEN n
+              ELSE floor(63.0 * 1152921504606846976 / hv) END AS BIGINT)
+             AS uv_kmv
+  FROM r WHERE rk = 64 OR (rk = n AND n < 64)
+), cells AS (SELECT day, hv FROM r WHERE rk <= 64),
+uni AS (
+  SELECT p.day AS day, p.off, c.hv
+  FROM cells c JOIN pairs p
+    ON c.day = p.day OR c.day = p.day + p.off * INTERVAL 1 DAY
+  GROUP BY 1, 2, 3
+), ur AS (
+  SELECT day, off, hv,
+         row_number() OVER (PARTITION BY day, off ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY day, off) AS n
+  FROM uni
+), u_est AS (
+  SELECT day, off,
+         CAST(CASE WHEN n < 64 THEN n
+              ELSE floor(63.0 * 1152921504606846976 / hv) END AS BIGINT)
+             AS union_kmv
+  FROM ur WHERE rk = 64 OR (rk = n AND n < 64)
+), ret AS (
+  SELECT a.day AS day, o.off, CAST(count(*) AS BIGINT) AS ret_exact
+  FROM act a
+  JOIN offs o ON TRUE
+  JOIN act b ON b.hv = a.hv AND b.day = a.day + o.off * INTERVAL 1 DAY
+  GROUP BY 1, 2
+)
+SELECT p.day, p.off,
+       da.n_exact AS dau,
+       db.n_exact AS dau_off,
+       COALESCE(rt.ret_exact, CAST(0 AS BIGINT)) AS ret_exact,
+       ue.union_kmv,
+       GREATEST(CAST(0 AS BIGINT),
+                da.uv_kmv + db.uv_kmv - ue.union_kmv) AS ret_kmv,
+       round(GREATEST(CAST(0 AS BIGINT),
+                      da.uv_kmv + db.uv_kmv - ue.union_kmv)::DOUBLE
+             / da.uv_kmv, 4) AS ret_rate_kmv
+FROM pairs p
+JOIN day_est da ON da.day = p.day
+JOIN day_est db ON db.day = p.day + p.off * INTERVAL 1 DAY
+JOIN u_est ue ON ue.day = p.day AND ue.off = p.off
+LEFT JOIN ret rt ON rt.day = p.day AND rt.off = p.off
+"""
+
+
+@query(
+    "uv_kmv_retention_curve",
+    oracle=_KMV_RETENTION_CURVE_ORACLE,
+    tags=("business", "approx", "sketch"),
+)
+def uv_kmv_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-day retention COHORT CURVE (offsets 1/3/7) from the same
+    daily KMV cells — the dashboard artifact uv_kmv_retention's
+    day-over-day point feeds: for each cohort day d and horizon o, how
+    many of d's users were back on d+o. The new algebra vs the o=1
+    query: the cell union now spans NON-adjacent day pairs (d, d+7) —
+    cells merge across any gap, which is exactly why the deployment
+    keeps cells rather than trailing aggregates. Every term is the
+    shared family expression (kmv_kth / kmv_estimate), below-k-exact;
+    ret_exact rides along as calibration (the 3x-exploded pair-table
+    join, dropped at deployment).
+
+    Scale shape: the union expansion touches <= |offsets| x 2 x 64
+    rows per day; pairs is |days| x |offsets| rows, broadcast. Nothing
+    in the sketch path scales with |users|."""
+    K = _KMV_K
+    act = _kmv_day_hashes(load_table(spark, sf_dir, "events"))
+    offs = F.explode(
+        F.array(*[F.lit(o).cast("int") for o in _KMV_CURVE_OFFS])
+    )
+    off_ival = F.expr("make_interval(0, 0, 0, off, 0, 0, 0)")
+    w = Window.partitionBy("day")
+    r = act.select(
+        "day",
+        "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rk"),
+        F.count("*").over(w).alias("n"),
+    )
+    day_est = r.where(kmv_kth(F.col("rk"), F.col("n"), K)).select(
+        "day",
+        F.col("n").cast("long").alias("n_exact"),
+        kmv_estimate(F.col("hv"), F.col("n"), F.col("n"), K)
+        .cast("long")
+        .alias("uv_kmv"),
+    )
+    cells = r.where(F.col("rk") <= K).select("day", "hv")
+    days = act.select("day").distinct()
+    days_o = days.select("day", offs.alias("off"))
+    # (day, off) pairs where day + off exists
+    pairs = days_o.join(
+        days_o.select((F.col("day") - off_ival).alias("day"), "off").hint(
+            "broadcast"
+        ),
+        ["day", "off"],
+        "semi",
+    )
+    # union cells of (d, d+off), keyed at (d, off): a cell of day x
+    # serves the pair as the base day (role 0) or the horizon day
+    # (role 1) — a bounded |offsets| x 2 expansion of <= 64 rows/day
+    uni = (
+        cells.withColumn("off", offs)
+        .withColumn("role", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "day",
+            F.col("day") - F.expr("make_interval(0, 0, 0, off * role, 0, 0, 0)"),
+        )
+        .join(pairs.hint("broadcast"), ["day", "off"], "semi")
+        .select("day", "off", "hv")
+        .distinct()
+    )
+    wu = Window.partitionBy("day", "off")
+    ur = uni.select(
+        "day",
+        "off",
+        "hv",
+        F.row_number().over(wu.orderBy("hv")).alias("rk"),
+        F.count("*").over(wu).alias("n"),
+    )
+    u_est = ur.where(kmv_kth(F.col("rk"), F.col("n"), K)).select(
+        "day",
+        "off",
+        kmv_estimate(F.col("hv"), F.col("n"), F.col("n"), K)
+        .cast("long")
+        .alias("union_kmv"),
+    )
+    # exact horizon overlap — calibration only
+    ret = (
+        act.join(
+            act.withColumn("off", offs).select(
+                (F.col("day") - off_ival).alias("day"), "off", "hv"
+            ),
+            ["day", "hv"],
+        )
+        .groupBy("day", "off")
+        .agg(F.count("*").cast("long").alias("ret_exact"))
+    )
+    offd = day_est.withColumn("off", offs).select(
+        (F.col("day") - off_ival).alias("day"),
+        "off",
+        F.col("n_exact").alias("dau_off"),
+        F.col("uv_kmv").alias("uv_kmv_off"),
+    )
+    ret_kmv = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("uv_kmv") + F.col("uv_kmv_off") - F.col("union_kmv"),
+    )
+    return (
+        pairs.join(day_est, "day")
+        .join(offd, ["day", "off"])
+        .join(u_est, ["day", "off"])
+        .join(ret, ["day", "off"], "left")
+        .select(
+            "day",
+            "off",
+            F.col("n_exact").alias("dau"),
+            "dau_off",
+            F.coalesce(F.col("ret_exact"), F.lit(0).cast("long")).alias(
+                "ret_exact"
+            ),
+            "union_kmv",
+            ret_kmv.alias("ret_kmv"),
+            F.round(ret_kmv / F.col("uv_kmv"), 4).alias("ret_rate_kmv"),
+        )
+    )
+
+
 @query(
     "uv_hll_registers",
     oracle="""

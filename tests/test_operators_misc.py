@@ -627,3 +627,26 @@ def test_uv_kmv_retention_inclusion_exclusion(spark, sf_dir):
             # sketch accuracy sanity on the larger pairs (same band as
             # the trailing-family test)
             assert abs(ret_kmv - ret_exact) <= max(8, ret_exact), day
+
+
+def test_uv_kmv_retention_curve_invariants(spark, sf_dir):
+    """The cohort curve obeys the same bounds at every horizon: exact
+    retention is a true intersection bound, and below k the
+    inclusion-exclusion estimate IS the exact overlap — including over
+    the NON-adjacent (d, d+7) cell union."""
+    from flink_tutorial_spark import plans
+
+    rows = list(
+        map(
+            tuple,
+            plans.REGISTRY["uv_kmv_retention_curve"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert rows
+    offs = {r[1] for r in rows}
+    assert offs == {1, 3, 7}, offs
+    for day, off, dau, dau_off, ret_exact, union_kmv, ret_kmv, rate in rows:
+        assert 0 <= ret_exact <= min(dau, dau_off), (day, off)
+        assert ret_kmv >= 0, (day, off)
+        if dau + dau_off < 64:
+            assert ret_kmv == ret_exact, (day, off)
