@@ -63,6 +63,16 @@ def main() -> None:
     # union of query names (append-only catalogs: late queries appear in
     # fewer runs and take mins over the runs they appear in)
     names = sorted({n for _, d in clean for n in d["queries"]})
+    # a typo'd --restrict key never matches any registered name, so the
+    # intended query would silently take mins over ALL runs (including
+    # pre-change ones) — the exact protocol violation this flag exists
+    # to prevent; fail loudly instead
+    unknown = sorted(set(restrict) - set(names))
+    if unknown:
+        sys.exit(
+            f"--restrict names not in any clean run's catalog "
+            f"(typo?): {', '.join(unknown)}"
+        )
     runs: dict[str, list[float]] = {n: [] for n in names}
     for p, d in clean:
         for n in names:
@@ -91,6 +101,15 @@ def main() -> None:
     canary_med = (
         sorted(canary_times)[len(canary_times) // 2] if canary_times else 0.0
     )
+    # mirror bench.py's own `if n in times` guard: merging captures that
+    # predate a headline-set change must fail with the missing names, not
+    # a bare KeyError
+    missing_headline = sorted(n for n in HEADLINE if n not in times)
+    if missing_headline:
+        sys.exit(
+            "headline queries absent from every merged run: "
+            + ", ".join(missing_headline)
+        )
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times[n] for n in HEADLINE), 3),
