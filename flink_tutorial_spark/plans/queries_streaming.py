@@ -2565,3 +2565,205 @@ def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closed_days = shard_regs.select("day").distinct()
     return _hll_report(spark, act, regs, days=closed_days)
+
+
+@query(
+    "streaming_uv_kmv_onepass",
+    oracle=_KMV_TRAILING_LIVE_ORACLE,
+    tags=("streaming", "approx", "sketch", "window"),
+)
+def streaming_uv_kmv_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day UV from live daily KMV cells — the ONE-PASS
+    foreachBatch fan-out deployment shape (VERDICT r12 #1), same oracle
+    as streaming_uv_kmv_trailing. The two-pipeline twin starts two
+    independent queries over the same source (its run_to_memory_many
+    docstring calls itself the local stand-in); at 100 TB the per-
+    pipeline source rescans dominate, so the production topology is ONE
+    streaming query whose foreachBatch persists each micro-batch once
+    and fans it to every sink — the reference's side-output fan-out
+    (SideOutputDemo.java:22-50) on Spark's micro-batch geometry.
+
+    Three sinks per batch, all replay-idempotent (the fan-out contract):
+    (a) the KMV cell MERGE — batch rows combine per (day, shard) into
+        <= 64-long k-min arrays (map-side collect_set, then
+        distinct-union-truncate against the stored cell: associative,
+        commutative, IDEMPOTENT — an epoch replay is a no-op), via
+        MergeAggSink = the foreachBatch + MERGE INTO lakehouse shape.
+        Same fixed per-key state bound as the engine-side kmv_day_fold,
+        held in a keyed table instead of a state store.
+    (b) the exact distinct (day, hv) pairs — calibration reference only
+        (dropped at 100 TB), parquet append deduped on read.
+    (c) the event-time high watermark — max(ts), persisted per epoch;
+        read-side it states which days are CLOSED, the same emission
+        predicate the EventTimeTimeout folds prove ms-exactly
+        (day + 1 day <= max ts, the oracle's restriction verbatim).
+
+    Hash-exactness against the SAME restricted oracle proves
+    one-pass-merged cells == engine-fold cells == batch cells; the
+    single source scan per batch is listener-verified in SCALING.md
+    ("one-pass fan-out": sum(numInputRows) is 1x the source rows vs the
+    twin's 2x)."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir, md5_long
+    from flink_tutorial_spark.sinks.foreach import (
+        EventTimeHighWatermark,
+        MergeAggSink,
+    )
+    from flink_tutorial_spark.streaming.run import run_fanout
+
+    K, S = _KMV_K, _KMV_SHARDS
+    events = stream_table(spark, sf_dir, "events")
+    hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
+    stream = (
+        events.where(F.col("event_type") == "view")
+        .select("ts", hv.alias("hv"))
+        .withColumn("shard", F.pmod("hv", F.lit(S)))
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    base = _scratch_dir()
+    pairs_dir = os.path.join(base, "pairs")
+    cells_sink = MergeAggSink(
+        spark,
+        os.path.join(base, "cells"),
+        key_cols=["day", "shard"],
+        agg_exprs=[
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmins")))),
+                1,
+                K,
+            ).alias("kmins")
+        ],
+    )
+    hwm = EventTimeHighWatermark(os.path.join(base, "hwm"))
+
+    def fold_sink(bdf: DataFrame, eid: int) -> None:
+        # map-side combine to one cell row per key BEFORE the MERGE:
+        # collect_set dedups within the batch, slice caps at k
+        part = bdf.groupBy("day", "shard").agg(
+            F.slice(F.array_sort(F.collect_set("hv")), 1, K).alias("kmins")
+        )
+        cells_sink(part, eid)
+
+    def pairs_sink(bdf: DataFrame, eid: int) -> None:
+        # append-mode calibration pairs; cross-batch (and replay)
+        # duplicates are removed by the read-side distinct
+        bdf.select("day", "hv").dropDuplicates().write.mode("append").parquet(
+            pairs_dir
+        )
+
+    run_fanout(
+        stream, [fold_sink, pairs_sink, lambda bdf, eid: hwm.update(bdf)]
+    )
+
+    closed = hwm.closed_day("day")
+    act = spark.read.parquet(pairs_dir).distinct().where(closed)
+    # day-level merge-truncate on the converged closed cells
+    # (<= S x K rows/day; shards partition the hash space)
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("day")
+    cells = (
+        cells_sink.read()
+        .where(closed)
+        .select("day", F.explode("kmins").alias("hv"))
+        .withColumn("rk", F.row_number().over(wd.orderBy("hv")))
+        .where(F.col("rk") <= K)
+        .select("day", "hv")
+    )
+    return kmv_trailing_report(act, cells)
+
+
+@query(
+    "streaming_uv_hll_onepass",
+    oracle=_HLL_LIVE_ORACLE,
+    tags=("streaming", "approx", "sketch"),
+)
+def streaming_uv_hll_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE HLL registers via the ONE-PASS foreachBatch fan-out — the
+    deployment-shape sibling of streaming_uv_hll_registers (same
+    restricted oracle) and the scalar-MERGE proof of the fan-out
+    machinery (streaming_uv_kmv_onepass proves the array merge): one
+    streaming query, each micro-batch persisted once and fanned to
+    (a) the register MERGE — batch rows reduce to max(rank) per
+        (day, shard, reg) map-side, then MERGE into the keyed cell
+        table by max: the exact `WHEN MATCHED THEN UPDATE SET m =
+        greatest(m, s.m)` a lakehouse deployment runs. max is
+        associative/commutative/IDEMPOTENT, so the converged table is
+        batching-independent and epoch replays are no-ops. Keeping
+        shard in the key preserves the uv_hll_sharded decomposition —
+        the read-side shard merge is the same element-wise max the
+        batch family proves bit-exact.
+    (b) exact distinct (day, hv) pairs — calibration only, dedup on
+        read;
+    (c) the persisted event-time high watermark, whose closed-day
+        predicate (day + 1 day <= max ts) is the oracle's restriction
+        verbatim.
+
+    Sparse vs dense registers: the engine fold holds a dense 64-long
+    vector per (day, shard); the MERGE table holds only OBSERVED
+    (day, shard, reg) cells — the read-side grid fill (_hll_report)
+    supplies rank 0 for absent registers, so the two representations
+    state identical reports (hash-exactness proves it)."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir, md5_long
+    from flink_tutorial_spark.plans.queries_patterns import (
+        _hll_report,
+        hll_rank,
+        hll_reg,
+        hll_shard,
+    )
+    from flink_tutorial_spark.sinks.foreach import (
+        EventTimeHighWatermark,
+        MergeAggSink,
+    )
+    from flink_tutorial_spark.streaming.run import run_fanout
+
+    events = stream_table(spark, sf_dir, "events")
+    hv = md5_long(F.concat(F.col("user_id").cast("string"), F.lit(":hll")))
+    stream = (
+        events.where(F.col("event_type") == "view")
+        .select("ts", hv.alias("hv"))
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .select(
+            "ts",
+            "day",
+            "hv",
+            hll_reg().alias("reg"),
+            hll_rank().alias("rank"),
+            hll_shard().alias("shard"),
+        )
+    )
+    base = _scratch_dir()
+    pairs_dir = os.path.join(base, "pairs")
+    reg_sink = MergeAggSink(
+        spark,
+        os.path.join(base, "regs"),
+        key_cols=["day", "shard", "reg"],
+        agg_exprs=[F.max("m_j").alias("m_j")],
+        # co-locate a day's registers: the read-side shard merge and the
+        # report group by day, and an epoch dirties ~every reg of the
+        # open day anyway
+        bucket_cols=["day"],
+    )
+    hwm = EventTimeHighWatermark(os.path.join(base, "hwm"))
+
+    def reg_merge_sink(bdf: DataFrame, eid: int) -> None:
+        part = bdf.groupBy("day", "shard", "reg").agg(
+            F.max("rank").alias("m_j")
+        )
+        reg_sink(part, eid)
+
+    def pairs_sink(bdf: DataFrame, eid: int) -> None:
+        bdf.select("day", "hv").dropDuplicates().write.mode("append").parquet(
+            pairs_dir
+        )
+
+    run_fanout(
+        stream, [reg_merge_sink, pairs_sink, lambda bdf, eid: hwm.update(bdf)]
+    )
+
+    closed = hwm.closed_day("day")
+    act = spark.read.parquet(pairs_dir).distinct().where(closed)
+    cells = reg_sink.read().where(closed)
+    # shard cells -> daily registers by max (the uv_hll_sharded merge)
+    regs = cells.groupBy("day", "reg").agg(F.max("m_j").alias("m_j"))
+    closed_days = cells.select("day").distinct()
+    return _hll_report(spark, act, regs, days=closed_days)

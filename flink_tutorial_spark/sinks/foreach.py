@@ -90,21 +90,32 @@ class KeyedUpsertSink:
                 out[b] = os.path.realpath(link)
         return out
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _reduce_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Hook: collapse the epoch to one row per key. Default:
+        last-row-wins by `order_col` (or arbitrary dropDuplicates)."""
         from pyspark.sql import Window
 
         if self.order_col:
             w = Window.partitionBy(*self.key_cols).orderBy(F.desc(self.order_col))
-            new = (
+            return (
                 batch_df.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        else:
-            new = batch_df.dropDuplicates(self.key_cols)
+        return batch_df.dropDuplicates(self.key_cols)
+
+    def _merge(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        """Hook: combine the stored rows of the dirty buckets with the
+        epoch's reduced rows (both carry `_bucket`). Default: keyed
+        overwrite — new wins, untouched keys survive via anti-join."""
+        keep = old.join(new.select(self.key_cols), self.key_cols, "left_anti")
+        return keep.unionByName(new)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        new = self._reduce_batch(batch_df)
         # persist: `new` feeds three branches (dirty-bucket collect, the
-        # anti-join probe, the merged union) — without it a streaming
-        # micro-batch plan (stateful agg included) re-executes per branch
+        # merge, the merged union) — without it a streaming micro-batch
+        # plan (stateful agg included) re-executes per branch
         new = new.withColumn("_bucket", self._bucket_expr()).persist()
         try:
             dirty = sorted(r[0] for r in new.select("_bucket").distinct().collect())
@@ -116,8 +127,7 @@ class KeyedUpsertSink:
                 old = self.spark.read.parquet(*old_paths).withColumn(
                     "_bucket", self._bucket_expr()
                 )
-                keep = old.join(new.select(self.key_cols), self.key_cols, "left_anti")
-                merged = keep.unionByName(new)
+                merged = self._merge(old, new)
             else:
                 merged = new
             merged = self._finalize_merged(merged)
@@ -171,6 +181,96 @@ class KeyedUpsertSink:
         if not paths:
             raise FileNotFoundError(f"empty keyed table at {self.path}")
         return self.spark.read.parquet(*paths)
+
+
+class MergeAggSink(KeyedUpsertSink):
+    """Keyed sketch-MERGE sink: instead of last-row-wins, each epoch's
+    rows COMBINE with the stored row per key through `agg_exprs` — the
+    foreachBatch + MERGE INTO deployment shape for mergeable sketches
+    (on a lakehouse this is literally `MERGE INTO cells USING batch ON
+    keys WHEN MATCHED THEN UPDATE SET cell = sketch_merge(...)`).
+
+    `agg_exprs` must be an ASSOCIATIVE + COMMUTATIVE + IDEMPOTENT
+    aggregation over the value columns (KMV distinct-union-truncate,
+    HLL element-wise max, ...): associativity/commutativity make the
+    converged table batching- and order-independent, idempotence makes
+    an epoch REPLAY after recovery a no-op — the same exactly-once
+    contract the keyed-overwrite parent gets for free. A plain additive
+    merge (count-sum) is NOT replay-safe here and must not be used.
+
+    The same expressions serve both hooks: `_reduce_batch` collapses
+    the epoch's rows per key (map-side combine before state is
+    touched), `_merge` folds the reduced rows into the dirty buckets'
+    stored rows. Epoch cost stays proportional to touched buckets, not
+    table size (the parent's contract)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        agg_exprs: list["F.Column"],
+        n_buckets: int = 16,
+        bucket_cols: list[str] | None = None,
+    ):
+        super().__init__(
+            spark, path, key_cols, order_col=None,
+            n_buckets=n_buckets, bucket_cols=bucket_cols,
+        )
+        self.agg_exprs = agg_exprs
+
+    def _combine(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.key_cols).agg(*self.agg_exprs)
+
+    def _reduce_batch(self, batch_df: DataFrame) -> DataFrame:
+        return self._combine(batch_df)
+
+    def _merge(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        # old/new both carry _bucket; it is a pure function of
+        # bucket_cols ⊆ key_cols, so re-deriving it post-agg is exact
+        cols = [c for c in new.columns if c != "_bucket"]
+        return self._combine(
+            old.select(cols).unionByName(new.select(cols))
+        ).withColumn("_bucket", self._bucket_expr())
+
+
+class EventTimeHighWatermark:
+    """Driver-side event-time high watermark for a foreachBatch fan-out:
+    tracks max(event ts) over the epochs seen, persisted to a one-line
+    json after every update (atomic os.replace). max() is idempotent, so
+    an epoch replay after recovery converges — and the persisted file is
+    the restart story (the engine-side fold operators get the same
+    watermark from the checkpoint WAL). Readers use it to state which
+    days are CLOSED (day end <= high watermark), the same emission
+    predicate the EventTimeTimeout folds prove ms-exactly."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.max_us: int | None = None
+        try:
+            with open(path) as f:
+                self.max_us = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+
+    def update(self, batch_df: DataFrame, ts_col: str = "ts") -> None:
+        hi = batch_df.agg(F.max(F.unix_micros(F.col(ts_col)))).collect()[0][0]
+        if hi is None or (self.max_us is not None and hi <= self.max_us):
+            return
+        self.max_us = hi
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(hi))
+        os.replace(tmp, self.path)
+
+    def closed_day(self, day_col: str = "day") -> "F.Column":
+        """Predicate: this day's end has been passed by the watermark."""
+        if self.max_us is None:
+            return F.lit(False)
+        return F.unix_micros(F.col(day_col) + F.expr("INTERVAL 1 DAY")) <= F.lit(
+            self.max_us
+        )
 
 
 def _merge_sql(

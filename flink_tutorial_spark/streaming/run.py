@@ -108,6 +108,52 @@ def run_to_memory_many(
     return [spark.table(name) for name in names]
 
 
+def run_fanout(
+    out: DataFrame,
+    sinks: list,
+    state_partitions: int | None = None,
+) -> None:
+    """Execute ONE streaming query whose foreachBatch fans every
+    micro-batch to several sinks — the production one-pass fan-out
+    run_to_memory_many stands in for locally (the reference's analog is
+    the side-output fan-out, SideOutputDemo.java:22-50). Each `sink` is
+    a foreachBatch callable `(batch_df, epoch_id) -> None`; the batch
+    is persisted ONCE before the first sink and unpersisted after the
+    last, so every sink reads the cached micro-batch instead of
+    re-scanning the source. At 100 TB this is the difference between N
+    source scans and one: the N-pipeline shape re-reads the topic per
+    pipeline, this shape reads it once per batch (listener-verified in
+    SCALING.md "one-pass fan-out").
+
+    Sinks run sequentially on the driver inside the batch; a sink
+    raising fails the query (at-least-once per sink: on recovery the
+    whole epoch re-delivers to ALL sinks, so each sink must be
+    replay-idempotent — keyed overwrite, idempotent sketch MERGE, or
+    dedup-on-read). Same state-partition pinning contract as
+    run_to_memory."""
+    spark = out.sparkSession
+    n = state_partitions or int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def fan(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for sink in sinks:
+                sink(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = out.writeStream.foreachBatch(fan).start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_parquet(
     out: DataFrame, path: str, state_partitions: int | None = None
 ) -> None:
