@@ -1157,12 +1157,15 @@ cum AS (
 )"""
 
 
-def qsketch_buckets(events: DataFrame, *group_cols: str) -> DataFrame:
-    """(*group_cols, e, m, c) histogram cells for the quantile sketch —
-    the Spark twin of _QSKETCH_BUCKETS_SQL (group_cols defaults to
-    event_type). One partial-aggregated groupBy; cell count is bounded
-    by 32 * octaves (~512) per group regardless of input size."""
-    keys = list(group_cols) or ["event_type"]
+def qsketch_rows(events: DataFrame, *cols: str) -> DataFrame:
+    """Per-ROW bucket coordinates (*cols, e, m) — the shared row-level
+    stage of the quantile sketch (value -> octave e, sub-bucket m).
+    qsketch_buckets aggregates it; the live fold
+    (streaming/stateful.quantile_day_fold) consumes it raw, so the
+    bucketing rule cannot drift between the batch family and the live
+    twin (the kmv_kth/hll_reg lesson). `cols` are passthrough columns
+    kept on every row (defaults to event_type)."""
+    keys = list(cols) or ["event_type"]
     ev = events.select(
         *keys,
         F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(1)).alias(
@@ -1181,13 +1184,25 @@ def qsketch_buckets(events: DataFrame, *group_cols: str) -> DataFrame:
         .otherwise(F.col("e0"))
         .alias("e"),
     )
-    return et.groupBy(
+    return et.select(
         *keys,
-        F.col("e"),
-        (
-            F.expr("(vc * 32) div shiftleft(CAST(1 AS BIGINT), e)") - 32
-        ).alias("m"),
-    ).agg(F.count("*").cast("long").alias("c"))
+        "e",
+        (F.expr("(vc * 32) div shiftleft(CAST(1 AS BIGINT), e)") - 32).alias(
+            "m"
+        ),
+    )
+
+
+def qsketch_buckets(events: DataFrame, *group_cols: str) -> DataFrame:
+    """(*group_cols, e, m, c) histogram cells for the quantile sketch —
+    the Spark twin of _QSKETCH_BUCKETS_SQL (group_cols defaults to
+    event_type). One partial-aggregated groupBy over qsketch_rows; cell
+    count is bounded by 32 * octaves (~512) per group regardless of
+    input size."""
+    keys = list(group_cols) or ["event_type"]
+    return qsketch_rows(events, *keys).groupBy(*keys, "e", "m").agg(
+        F.count("*").cast("long").alias("c")
+    )
 
 
 def qsketch_estimate(buckets: DataFrame, *group_cols: str) -> DataFrame:

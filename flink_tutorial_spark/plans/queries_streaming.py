@@ -2231,7 +2231,11 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     however long the stream runs — the 100 TB deployment keeps only
     this table hot and answers any p50/p95/p99 ask from it; merging
     parallel streams is the vector add value_quantile_sharded
-    proves."""
+    proves. Since r13 the DEPLOYMENT shape is the closed-day fold twin
+    streaming_quantile_rolling (quantile_day_fold, uniform with the
+    KMV/HLL/EMA folds); this complete-mode member stays as the
+    global-convergence proof (converged table == batch aggregate,
+    open day included — something the closed-day fold cannot state)."""
     events = stream_table(spark, sf_dir, "events")
     cells_stream = qsketch_buckets(events)
     cells = run_to_memory(cells_stream, "complete")
@@ -2767,3 +2771,100 @@ def streaming_uv_hll_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = cells.groupBy("day", "reg").agg(F.max("m_j").alias("m_j"))
     closed_days = cells.select("day").distinct()
     return _hll_report(spark, act, regs, days=closed_days)
+
+
+#: closed-days restriction of the rolling-quantile oracle: a day's
+#: cells emit when the watermark passes its end, so the live report
+#: covers exactly the days with day + 1 day <= max ts (the report day
+#: d only ever consumes cells of days <= d, all closed when d is).
+_QUANTILE_ROLLING_LIVE_ORACLE = _REG["value_quantile_rolling"].oracle.replace(
+    "days AS (SELECT DISTINCT day FROM ev",
+    """days AS (SELECT DISTINCT day FROM ev
+  WHERE day + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)""",
+)
+assert _QUANTILE_ROLLING_LIVE_ORACLE != _REG["value_quantile_rolling"].oracle
+
+
+@query(
+    "streaming_quantile_rolling",
+    oracle=_QUANTILE_ROLLING_LIVE_ORACLE,
+    tags=("streaming", "approx", "sketch", "window"),
+)
+def streaming_quantile_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p50/p95/p99 from LIVE-maintained daily quantile
+    cells — the quantile member of the closed-day fold family (VERDICT
+    r12 #4), making the fold pattern uniform across all three mergeable
+    sketch types (KMV distinct, HLL distinct, HDR quantile; EMA shares
+    the contract). streaming_quantile_sketch keeps the complete-mode
+    convergence proof; THIS is the deployment shape: state is one
+    sparse cell vector per (day, event_type, shard) — bounded by
+    32 * octaves (~512 cells) however many events a day has — emitted
+    once when the watermark passes the day end
+    (streaming/stateful.quantile_day_fold, EventTimeTimeout), and any
+    trailing window is then a vector ADD over <= 7 x ~512 cells per
+    group on the converged table: value_quantile_rolling's algebra fed
+    by live cells instead of a batch pass, stated by its oracle
+    restricted to closed days. No calibration pipeline is needed — the
+    oracle is pure sketch — so this is a SINGLE-pipeline live twin.
+
+    Bucket coordinates come from the shared row-level builder
+    (qsketch_rows), sharding from value_quantile_sharded's key
+    (event_id mod 16): the read-side shard sum is that query's proven
+    merge. localCheckpoint cuts the memory-sink lineage before the
+    report branches the cell table (days + rolling merge — the r10
+    self-join lesson)."""
+    from flink_tutorial_spark.plans.queries_patterns import (
+        qsketch_estimate,
+        qsketch_rows,
+    )
+    from flink_tutorial_spark.streaming.stateful import quantile_day_fold
+
+    events = stream_table(spark, sf_dir, "events")
+    rows = (
+        qsketch_rows(
+            events.withColumn("day", F.date_trunc("day", "ts")).withColumn(
+                "shard", F.pmod("event_id", F.lit(16))
+            ),
+            "ts",
+            "day",
+            "event_type",
+            "shard",
+        )
+        .withColumn("idx", F.col("e") * 32 + F.col("m"))
+        .withWatermark("ts", "0 seconds")
+    )
+    folded = quantile_day_fold(rows, "day", "event_type", "shard", "idx")
+    cells_tbl = run_to_memory(folded, "append").localCheckpoint()
+    # sparse vectors -> (day, type, e, m, c) cells, shards summed (the
+    # value_quantile_sharded merge); <= types x days x ~512 rows
+    b0 = (
+        cells_tbl.select(
+            "day", "event_type", F.explode(F.arrays_zip("idxs", "counts")).alias("z")
+        )
+        .select(
+            "day",
+            "event_type",
+            F.col("z.idxs").alias("idx"),
+            F.col("z.counts").alias("c"),
+        )
+        .groupBy(
+            "day",
+            "event_type",
+            F.expr("idx div 32").alias("e"),
+            (F.col("idx") % 32).alias("m"),
+        )
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    days = b0.select("day").distinct()  # closed days only (fold emission)
+    merged = (
+        b0.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn(
+            "day", F.col("day") + F.expr("make_interval(0, 0, 0, off, 0, 0, 0)")
+        )
+        .join(days.hint("broadcast"), "day")
+        .groupBy("event_type", "day", "e", "m")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return qsketch_estimate(merged, "event_type", "day").select(
+        "event_type", "day", "n", "p50_est", "p95_est", "p99_est"
+    )

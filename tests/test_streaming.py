@@ -1934,3 +1934,138 @@ def test_crash_recovery_kmv_fold_state(spark, tmp_path):
                                  # merged batch 2's new minimum into the
                                  # carried array and evicted 9
     ]
+
+
+def test_quantile_day_fold_state_is_bounded(spark, sf_dir):
+    """The live quantile fold's state must be KEY-bounded (days x types
+    x shards rows, <= ~512 cells each), NOT O(events) — the VERDICT
+    r12 #4 claim, same listener protocol as the KMV fold test."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from flink_tutorial_spark import plans
+    from flink_tutorial_spark.session import load_table
+
+    class Probe(StreamingQueryListener):
+        def __init__(self):
+            self.rows = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            for so in event.progress.stateOperators or []:
+                self.rows.append((so.operatorName, so.numRowsTotal))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    probe = Probe()
+    spark.streams.addListener(probe)
+    try:
+        result = (
+            plans.REGISTRY["streaming_quantile_rolling"].fn(spark, sf_dir).count()
+        )
+        deadline = time.time() + 30
+        fold_rows: list = []
+        while time.time() < deadline:
+            fold_rows = [
+                n for (op, n) in probe.rows if "applyInPandasWithState" in op
+            ]
+            if fold_rows:
+                time.sleep(2)
+                fold_rows = [
+                    n
+                    for (op, n) in probe.rows
+                    if "applyInPandasWithState" in op
+                ]
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(probe)
+    assert result > 0
+    assert fold_rows, f"no fold state metrics captured: {probe.rows}"
+    events = load_table(spark, sf_dir, "events")
+    n_keys = (
+        events.select(
+            F.date_trunc("day", "ts"), "event_type", F.pmod("event_id", F.lit(16))
+        )
+        .distinct()
+        .count()
+    )
+    n_events = events.count()
+    assert max(fold_rows) <= n_keys, (max(fold_rows), n_keys)
+    # the bound the fold earns: keys, not events — make sure the data is
+    # big enough that the assertion distinguishes them
+    assert n_events > n_keys
+
+
+def test_crash_recovery_quantile_fold_state(spark, tmp_path):
+    """quantile_day_fold's sparse cell-vector state AND its event-time
+    timeout survive a restart (the kmv_day_fold e2e at the quantile
+    footprint) — with the extra bite that this fold's merge is
+    ADDITIVE, so any state loss or double-fold shows up as a wrong
+    count, not just a wrong set: batch 1 folds two 1.0s and one 2.56
+    into day-0 state and emits nothing (day open — asserted); after
+    the restart, batch 2 adds a third 1.0 and a day-1 event closes
+    day 0, so the emitted counts (3 for the 1.0 cell, 1 for the 2.56
+    cell) are only right if the carried counts round-tripped exactly
+    once. Output must row-equal an uninterrupted run."""
+    from flink_tutorial_spark.plans.queries_patterns import qsketch_rows
+    from flink_tutorial_spark.streaming.stateful import quantile_day_fold
+
+    def build(s):
+        st = (
+            s.withColumnRenamed("kind", "event_type")
+            .withColumn("day", F.date_trunc("day", "ts"))
+            .withColumn("shard", F.pmod("user", F.lit(2)))
+        )
+        rows = (
+            qsketch_rows(st, "ts", "day", "event_type", "shard")
+            .withColumn("idx", F.col("e") * 32 + F.col("m"))
+            .withWatermark("ts", "0 seconds")
+        )
+        return quantile_day_fold(rows, "day", "event_type", "shard", "idx")
+
+    # value=1.0 -> vc=100 -> e=6, m=18 -> idx=210;
+    # value=2.56 -> vc=256 -> e=8, m=0 -> idx=256
+    batch1 = [
+        _row(1, user=1, value=1.0),
+        _row(2, user=1, value=1.0),
+        _row(3, user=1, value=2.56),
+    ]
+    # post-restart: one more 1.0 (its count must MERGE to 3, not reset
+    # to 1 or double) + a day-1 event that closes day 0
+    batch2 = [_row(6, user=1, value=1.0), _row(86500, user=1, value=1.0)]
+
+    src_a = str(tmp_path / "src_a")
+    out_a, ck_a = str(tmp_path / "out_a"), str(tmp_path / "ck_a")
+    _write_one_batch(src_a, batch1, 0)
+    _run_ckpt(spark, src_a, build, out_a, ck_a)
+    assert (
+        spark.read.parquet(out_a).count() == 0
+    ), "day-0 cells emitted before the day closed"
+    _write_one_batch(src_a, batch2, 1)
+    _run_ckpt(spark, src_a, build, out_a, ck_a)  # restart
+
+    src_b = str(tmp_path / "src_b")
+    _write_one_batch(src_b, batch1, 0)
+    _write_one_batch(src_b, batch2, 1)
+    out_b, ck_b = str(tmp_path / "out_b"), str(tmp_path / "ck_b")
+    _run_ckpt(spark, src_b, build, out_b, ck_b)
+
+    def snap(path):
+        return sorted(
+            (r.day, r.event_type, r.shard, list(r.idxs), list(r.counts))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    got, want = snap(out_a), snap(out_b)
+    assert got == want
+    assert got == [
+        (T0.to_pydatetime(), "x", 1, [210, 256], [3, 1]),
+    ]
