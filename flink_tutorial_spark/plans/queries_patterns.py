@@ -2211,47 +2211,47 @@ LEFT JOIN ret rt ON rt.day = p.day AND rt.off = p.off
 """
 
 
-@query(
-    "uv_kmv_retention_curve",
-    oracle=_KMV_RETENTION_CURVE_ORACLE,
-    tags=("business", "approx", "sketch"),
-)
-def uv_kmv_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-day retention COHORT CURVE (offsets 1/3/7) from the same
-    daily KMV cells — the dashboard artifact uv_kmv_retention's
-    day-over-day point feeds: for each cohort day d and horizon o, how
-    many of d's users were back on d+o. The new algebra vs the o=1
-    query: the cell union now spans NON-adjacent day pairs (d, d+7) —
-    cells merge across any gap, which is exactly why the deployment
-    keeps cells rather than trailing aggregates. Every term is the
-    shared family expression (kmv_kth / kmv_estimate), below-k-exact;
-    ret_exact rides along as calibration (the 3x-exploded pair-table
-    join, dropped at deployment).
+def kmv_retention_curve_report(act: DataFrame, cells: DataFrame) -> DataFrame:
+    """N-day retention cohort curve (offsets 1/3/7) from DAILY KMV
+    CELLS — the report stage shared by the batch query and the live
+    one-pass twin (the kmv_trailing_report pattern): `act` is the
+    distinct (day, hv) pair table (calibration reference: exact DAU
+    and the exact horizon overlap, both dropped at deployment),
+    `cells` the per-day k-min cells of any provenance (single-stage
+    rank, shard-merged, or a live MERGE sink's converged state).
 
-    Scale shape: the union expansion touches <= |offsets| x 2 x 64
-    rows per day; pairs is |days| x |offsets| rows, broadcast. Nothing
-    in the sketch path scales with |users|."""
+    Per-day estimates re-rank the CELLS (below k, the cells ARE the
+    exact set, so the estimate's fallback is the cell count — bit-equal
+    to ranking the raw pair table); the (d, d+off) union is the proven
+    cell merge over a bounded |offsets| x 2 x 64-row expansion; the
+    intersection is inclusion-exclusion, clamped at 0. Every term is
+    the shared family expression (kmv_kth / kmv_estimate)."""
     K = _KMV_K
-    act = _kmv_day_hashes(load_table(spark, sf_dir, "events"))
     offs = F.explode(
         F.array(*[F.lit(o).cast("int") for o in _KMV_CURVE_OFFS])
     )
     off_ival = F.expr("make_interval(0, 0, 0, off, 0, 0, 0)")
     w = Window.partitionBy("day")
-    r = act.select(
+    rc = cells.select(
         "day",
         "hv",
         F.row_number().over(w.orderBy("hv")).alias("rk"),
-        F.count("*").over(w).alias("n"),
+        F.count("*").over(w).alias("nc"),
     )
-    day_est = r.where(kmv_kth(F.col("rk"), F.col("n"), K)).select(
-        "day",
-        F.col("n").cast("long").alias("n_exact"),
-        kmv_estimate(F.col("hv"), F.col("n"), F.col("n"), K)
-        .cast("long")
-        .alias("uv_kmv"),
+    exact_n = act.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_exact")
     )
-    cells = r.where(F.col("rk") <= K).select("day", "hv")
+    day_est = (
+        rc.where(kmv_kth(F.col("rk"), F.col("nc"), K))
+        .join(exact_n, "day")
+        .select(
+            "day",
+            "n_exact",
+            kmv_estimate(F.col("hv"), F.col("nc"), F.col("nc"), K)
+            .cast("long")
+            .alias("uv_kmv"),
+        )
+    )
     days = act.select("day").distinct()
     days_o = days.select("day", offs.alias("off"))
     # (day, off) pairs where day + off exists
@@ -2330,6 +2330,40 @@ def uv_kmv_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ret_kmv / F.col("uv_kmv"), 4).alias("ret_rate_kmv"),
         )
     )
+
+
+@query(
+    "uv_kmv_retention_curve",
+    oracle=_KMV_RETENTION_CURVE_ORACLE,
+    tags=("business", "approx", "sketch"),
+)
+def uv_kmv_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-day retention COHORT CURVE (offsets 1/3/7) from the same
+    daily KMV cells — the dashboard artifact uv_kmv_retention's
+    day-over-day point feeds: for each cohort day d and horizon o, how
+    many of d's users were back on d+o. The new algebra vs the o=1
+    query: the cell union now spans NON-adjacent day pairs (d, d+7) —
+    cells merge across any gap, which is exactly why the deployment
+    keeps cells rather than trailing aggregates. Every term is the
+    shared family expression (kmv_kth / kmv_estimate), below-k-exact;
+    ret_exact rides along as calibration (the 3x-exploded pair-table
+    join, dropped at deployment). The report stage is shared with the
+    live one-pass twin (kmv_retention_curve_report).
+
+    Scale shape: the union expansion touches <= |offsets| x 2 x 64
+    rows per day; pairs is |days| x |offsets| rows, broadcast. Nothing
+    in the sketch path scales with |users|."""
+    K = _KMV_K
+    act = _kmv_day_hashes(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("day")
+    cells = (
+        act.select(
+            "day", "hv", F.row_number().over(w.orderBy("hv")).alias("rk")
+        )
+        .where(F.col("rk") <= K)
+        .select("day", "hv")
+    )
+    return kmv_retention_curve_report(act, cells)
 
 
 @query(

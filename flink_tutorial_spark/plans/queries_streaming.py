@@ -2607,6 +2607,17 @@ def streaming_uv_kmv_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     single source scan per batch is listener-verified in SCALING.md
     ("one-pass fan-out": sum(numInputRows) is 1x the source rows vs the
     twin's 2x)."""
+    act, cells = _kmv_onepass_tables(spark, sf_dir)
+    return kmv_trailing_report(act, cells)
+
+
+def _kmv_onepass_tables(spark: SparkSession, sf_dir: str):
+    """(act, cells) via the one-pass foreachBatch fan-out — the shared
+    front of streaming_uv_kmv_onepass and the live retention-curve
+    twin: one streaming query, three replay-idempotent sinks (KMV cell
+    MERGE / calibration pairs / persisted high watermark), converged
+    tables restricted to CLOSED days and shard cells merge-truncated
+    per day. See streaming_uv_kmv_onepass for the full contract."""
     from flink_tutorial_spark.operators.dedup import _scratch_dir, md5_long
     from flink_tutorial_spark.sinks.foreach import (
         EventTimeHighWatermark,
@@ -2673,7 +2684,55 @@ def streaming_uv_kmv_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= K)
         .select("day", "hv")
     )
-    return kmv_trailing_report(act, cells)
+    return act, cells
+
+
+from flink_tutorial_spark.plans.queries_patterns import (  # noqa: E402
+    _KMV_RETENTION_CURVE_ORACLE,
+    kmv_retention_curve_report,
+)
+
+#: closed-days restriction of the retention-curve oracle: a cohort row
+#: (d, off) is reportable live once BOTH its days' cells have emitted —
+#: d + off closed implies d closed, so restricting the horizon day in
+#: the pair filter is the whole condition.
+_KMV_CURVE_LIVE_ORACLE = _KMV_RETENTION_CURVE_ORACLE.replace(
+    "WHERE b.day = a.day + o.off * INTERVAL 1 DAY)",
+    """WHERE b.day = a.day + o.off * INTERVAL 1 DAY
+                  AND b.day + INTERVAL 1 DAY <=
+                      (SELECT max(ts) FROM events
+                       WHERE event_type = 'view'))""",
+)
+assert _KMV_CURVE_LIVE_ORACLE != _KMV_RETENTION_CURVE_ORACLE
+
+
+@query(
+    "streaming_uv_kmv_retention_curve",
+    oracle=_KMV_CURVE_LIVE_ORACLE,
+    tags=("streaming", "approx", "sketch"),
+)
+def streaming_uv_kmv_retention_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The retention cohort curve stated LIVE — VERDICT r12 #5, built
+    only now that it has the production story ROADMAP's bar demanded:
+    the one-pass fan-out (streaming_uv_kmv_onepass's MERGE sink)
+    maintains the daily KMV cells as events arrive, and the cohort
+    curve (offsets 1/3/7) is then ONE batch report over the converged
+    cell table — kmv_retention_curve_report, the stage shared verbatim
+    with the batch query, so the intersection algebra cannot drift.
+    Oracle = the batch curve oracle restricted to pairs whose horizon
+    day is CLOSED (d + off closed implies d closed); hash-exactness
+    proves live-merged cells state the same curve as a batch pass over
+    raw events.
+
+    Scale shape: the streaming leg is the proven 1x-scan fan-out with
+    fixed per-key state; the report touches <= |offsets| x 2 x 64 cell
+    rows per day plus the broadcast pair table. The exact act branch
+    (dau/ret_exact) is the calibration pipeline, dropped at 100 TB —
+    after which NOTHING in the query scales with |users|."""
+    act, cells = _kmv_onepass_tables(spark, sf_dir)
+    return kmv_retention_curve_report(act, cells)
 
 
 @query(
