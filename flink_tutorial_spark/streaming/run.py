@@ -112,6 +112,8 @@ def run_fanout(
     out: DataFrame,
     sinks: list,
     state_partitions: int | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = False,
 ) -> None:
     """Execute ONE streaming query whose foreachBatch fans every
     micro-batch to several sinks — the production one-pass fan-out
@@ -129,8 +131,12 @@ def run_fanout(
     raising fails the query (at-least-once per sink: on recovery the
     whole epoch re-delivers to ALL sinks, so each sink must be
     replay-idempotent — keyed overwrite, idempotent sketch MERGE, or
-    dedup-on-read). Same state-partition pinning contract as
-    run_to_memory."""
+    dedup-on-read). Sequential sinks trade a little local wall for the
+    halved ingest (SCALING.md r13 addendum measures both); when sink
+    compute itself is the bottleneck, submit each sink's job from the
+    fan function on a separate scheduler pool over the persisted batch
+    — the ingest stays 1x either way. Same state-partition pinning
+    contract as run_to_memory."""
     spark = out.sparkSession
     n = state_partitions or int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -145,11 +151,24 @@ def run_fanout(
 
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
-        q = out.writeStream.foreachBatch(fan).start()
+        w = out.writeStream.foreachBatch(fan)
+        if checkpoint:
+            # durable offsets: restarting on the same checkpoint resumes
+            # after the last COMMITTED epoch (an uncommitted epoch
+            # re-delivers to every sink — the replay the sinks must
+            # tolerate); the bounded catalog queries run checkpoint-less
+            # on a temp dir
+            w = w.option("checkpointLocation", checkpoint)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        q = w.start()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
-        q.processAllAvailable()
+        if available_now:
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
     finally:
         q.stop()
 
