@@ -2736,6 +2736,92 @@ def streaming_uv_kmv_retention_curve(
 
 
 @query(
+    "streaming_dedup_registry_onepass",
+    oracle="""
+WITH reg AS (
+  SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id = r.keep_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       round(1.0 - sum(CASE WHEN d.doc_id = r.keep_id THEN 1 ELSE 0 END)
+                   ::DOUBLE / count(*), 4) AS dup_rate
+FROM documents d JOIN reg r ON md5(d.text) = r.fingerprint
+GROUP BY d.source
+""",
+    tags=("streaming", "datapipe", "dedup"),
+)
+def streaming_dedup_registry_onepass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL EXACT DEDUP on ingest — the one-pass fan-out
+    generalized from sketches to the DOCUMENT pipeline (the topology a
+    100 TB training-data ingest actually runs): documents stream in
+    once; each micro-batch is fanned to
+    (a) the fingerprint REGISTRY — a MergeAggSink keyed by md5(text)
+        whose merge is min(doc_id): min is associative/commutative/
+        IDEMPOTENT, so the registry is batching-independent and epoch
+        replays are no-ops — the `MERGE INTO registry ... UPDATE SET
+        keep_id = least(keep_id, s.doc_id)` every lakehouse dedup
+        registry runs, maintained incrementally instead of by
+        re-scanning the corpus per batch (dedup_exact's keep-min rule,
+        operators/dedup.py:137, as LIVE state);
+    (b) the per-doc metadata append (doc_id, source, fingerprint) —
+        dedup-on-read by doc_id, so replays are harmless.
+    The report joins converged metadata to the registry: per source,
+    how many docs survive keep-min and the duplicate rate — the
+    ingest-time governance row C4/RefinedWeb-style pipelines publish.
+    Oracle = the same stats from a batch pass over raw documents;
+    hash-exactness proves the incrementally-merged registry equals the
+    batch groupBy at any batching.
+
+    Scale shape: the registry holds one (fingerprint, keep_id) row per
+    DISTINCT document — the same cardinality dedup_exact's shuffle
+    output has, but built once and kept current; epoch cost is
+    proportional to the batch's dirty buckets, never the corpus. The
+    stream never rescans, never all-pairs."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.sinks.foreach import MergeAggSink
+    from flink_tutorial_spark.streaming.run import run_fanout
+
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fingerprint")
+    )
+    base = _scratch_dir()
+    meta_dir = os.path.join(base, "meta")
+    registry = MergeAggSink(
+        spark,
+        os.path.join(base, "registry"),
+        key_cols=["fingerprint"],
+        agg_exprs=[F.min("keep_id").alias("keep_id")],
+    )
+
+    def registry_sink(bdf: DataFrame, eid: int) -> None:
+        registry(bdf.select("fingerprint", F.col("doc_id").alias("keep_id")), eid)
+
+    def meta_sink(bdf: DataFrame, eid: int) -> None:
+        bdf.write.mode("append").parquet(meta_dir)
+
+    run_fanout(docs, [registry_sink, meta_sink])
+
+    meta = spark.read.parquet(meta_dir).dropDuplicates(["doc_id"])
+    kept = F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+    return (
+        meta.join(registry.read().select("fingerprint", "keep_id"), "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(
+                F.lit(1.0) - F.sum(kept) / F.count("*"), 4
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
     "streaming_uv_hll_onepass",
     oracle=_HLL_LIVE_ORACLE,
     tags=("streaming", "approx", "sketch"),
