@@ -986,9 +986,9 @@ def streaming_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_adclick_blacklist",
-    oracle="""
+#: shared by streaming_adclick_blacklist and its one-pass fan-out twin —
+#: identical filter, window rule, and closed-horizon predicate
+_ADCLICK_ORACLE = """
 WITH c AS (
     SELECT user_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
@@ -1015,7 +1015,12 @@ FROM main WHERE wend <= (SELECT w FROM wm)
 UNION ALL
 SELECT 'warning' AS channel, ts, item_id, user_id, CAST(NULL AS BIGINT) AS cnt
 FROM c WHERE rk = 2
-""",
+"""
+
+
+@query(
+    "streaming_adclick_blacklist",
+    oracle=_ADCLICK_ORACLE,
     tags=("streaming", "cep", "business", "side-output"),
 )
 def streaming_adclick_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,6 +1126,110 @@ def streaming_adclick_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in started:
             q.stop()
     return spark.table(names[0]).unionByName(spark.table(names[1]))
+
+
+@query(
+    "streaming_adclick_onepass",
+    oracle=_ADCLICK_ORACLE,
+    tags=("streaming", "cep", "business", "side-output"),
+)
+def streaming_adclick_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-click blacklist with its warning side-output as a ONE-PASS
+    foreachBatch fan-out — the reference's literal side-output topology
+    (SideOutputDemo.java:22-50, AdClickAnalysis.scala:39-123: ONE
+    keyed filter, two output channels) finally taking its production
+    shape here (VERDICT r13 next #2; the two-query twin's own docstring
+    called the fan-out the production form it didn't yet take). The
+    stateful blacklist filter runs ONCE per micro-batch; the persisted
+    batch fans to three sinks, retiring the twin's 2x source scan AND
+    2x filter compute:
+
+    (a) main channel -> hourly per-ad counts, ADDITIVE, merged through
+        EpochLedgerMergeAggSink (counts sum across epochs; the
+        per-bucket epoch ledger makes replays exact, where the
+        engine-side twin gets this from windowed-agg state);
+    (b) warning channel -> parquet append, replay-deduped on read (one
+        warning per (user, ad, day) crossing — naturally keyed);
+    (c) main-channel event-time high watermark — the oracle's closed-
+        window predicate verbatim (the twin's watermark node also sits
+        post-filter on the main channel).
+
+    Same oracle as streaming_adclick_blacklist: hash-exactness proves
+    ledger-merged hourly cells == engine windowed-agg rows, and the
+    warning channel byte-identical. Scale shape: one scan, one
+    stateful-filter pass, epoch cost ∝ dirty hour-buckets; state
+    bounded as in blacklist_filter (~2 days of active (user, ad)
+    pairs)."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.sinks.foreach import (
+        EpochLedgerMergeAggSink,
+        EventTimeHighWatermark,
+    )
+    from flink_tutorial_spark.streaming.run import run_fanout
+    from flink_tutorial_spark.streaming.stateful import blacklist_filter
+
+    MAX_CLICKS = 1
+    events = stream_table(spark, sf_dir, "events")
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .withColumn("item_id", F.get_json_object("props", "$.k").cast("long"))
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withWatermark("ts", "0 seconds")
+    )
+    both = blacklist_filter(clicks, "user_id", "item_id", "ts", "day", MAX_CLICKS)
+
+    base = _scratch_dir()
+    warn_dir = os.path.join(base, "warn")
+    cnt_sink = EpochLedgerMergeAggSink(
+        spark,
+        os.path.join(base, "cnt"),
+        key_cols=["ts", "item_id"],
+        agg_exprs=[F.sum("cnt").cast("long").alias("cnt")],
+    )
+    hwm = EventTimeHighWatermark(os.path.join(base, "hwm"))
+
+    def main_sink(bdf: DataFrame, eid: int) -> None:
+        m = bdf.where(F.col("channel") == "main")
+        part = m.groupBy(
+            (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "item_id",
+        ).agg(F.count("*").cast("long").alias("cnt"))
+        cnt_sink(part, eid)
+        hwm.update(m, "ts")
+
+    def warn_sink(bdf: DataFrame, eid: int) -> None:
+        bdf.where(F.col("channel") == "warning").select(
+            "ts", "item_id", "user_id"
+        ).write.mode("append").parquet(warn_dir)
+
+    run_fanout(both, [main_sink, warn_sink])
+
+    # closed windows: wend <= max main-channel ts (inclusive, the
+    # oracle's `wend <= (SELECT w FROM wm)`)
+    hi = hwm.max_us if hwm.max_us is not None else -1
+    main_rows = (
+        cnt_sink.read()
+        .where(F.unix_micros(F.col("ts")) <= F.lit(hi))
+        .select(
+            F.lit("main").alias("channel"),
+            "ts",
+            "item_id",
+            F.lit(None).cast("long").alias("user_id"),
+            "cnt",
+        )
+    )
+    try:
+        warn = spark.read.parquet(warn_dir).distinct()
+    except Exception:  # no warnings at all -> empty channel
+        return main_rows
+    warn_rows = warn.select(
+        F.lit("warning").alias("channel"),
+        "ts",
+        "item_id",
+        "user_id",
+        F.lit(None).cast("long").alias("cnt"),
+    )
+    return main_rows.unionByName(warn_rows)
 
 
 @query(
@@ -2111,10 +2220,9 @@ _CM_HASH_S = (
     "{i})), 1, 15)) AS BIGINT) % 512"
 )
 
-
-@query(
-    "streaming_freq_cm",
-    oracle=f"""
+#: shared by streaming_freq_cm and its one-pass fan-out twin — identical
+#: cells and report, so the oracle is identical too
+_CM_LIVE_ORACLE = f"""
 WITH ev AS (
   SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events
   WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -2136,7 +2244,44 @@ SELECT CAST(e.item AS BIGINT) AS item_id, x.exact_cnt,
        CAST(e.est_cnt AS BIGINT) AS est_cnt,
        CAST(e.est_cnt - x.exact_cnt AS BIGINT) AS overestimate
 FROM est e JOIN exact x USING (item)
-""",
+"""
+
+
+def _cm_cell(item_col: F.Column, i_col: F.Column) -> F.Column:
+    """CM cell index — one md5-derived hash per (item, row) pair, the
+    Spark twin of the oracle's _CM_HASH_S rule (shared by the live,
+    one-pass, and batch CM queries so the cells cannot drift)."""
+    from flink_tutorial_spark.operators.dedup import md5_long
+
+    return (
+        md5_long(
+            F.concat(item_col.cast("string"), F.lit(":cm:"), i_col.cast("string"))
+        )
+        % 512
+    )
+
+
+def _cm_report(exact: DataFrame, cells: DataFrame, rows_df: DataFrame) -> DataFrame:
+    """est-vs-exact calibration report over converged CM cells — the
+    stage shared by streaming_freq_cm and the one-pass twin."""
+    est = (
+        exact.crossJoin(F.broadcast(rows_df))
+        .withColumn("cell", _cm_cell(F.col("item"), F.col("row_i")))
+        .join(F.broadcast(cells), ["row_i", "cell"])
+        .groupBy("item", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("item").cast("long").alias("item_id"),
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+@query(
+    "streaming_freq_cm",
+    oracle=_CM_LIVE_ORACLE,
     tags=("streaming", "approx", "sketch", "measurement"),
 )
 def streaming_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2152,28 +2297,19 @@ def streaming_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pipeline (a)'s state is the FIXED 2048 cells however
     large the stream gets — the sketch is why a 100 TB deployment keeps
     only the cell table hot and reads exact counts from batch; the
-    4-row expansion is a broadcast stream-static crossJoin."""
-    from flink_tutorial_spark.operators.dedup import md5_long
-
+    4-row expansion is a broadcast stream-static crossJoin. The r14
+    one-pass twin streaming_freq_cm_onepass runs the same cells through
+    the epoch-ledger MERGE sink; this member stays as the engine-side
+    complete-mode convergence proof."""
     events = stream_table(spark, sf_dir, "events")
     ev = events.select(
         F.get_json_object("props", "$.k").cast("int").alias("item")
     ).where(F.col("item").isNotNull())
 
-    def cm_cell(item_col, i_col):
-        return (
-            md5_long(
-                F.concat(
-                    item_col.cast("string"), F.lit(":cm:"), i_col.cast("string")
-                )
-            )
-            % 512
-        )
-
     rows_df = spark.range(4).select(F.col("id").cast("int").alias("row_i"))
     cells_stream = (
         ev.crossJoin(F.broadcast(rows_df))
-        .groupBy("row_i", cm_cell(F.col("item"), F.col("row_i")).alias("cell"))
+        .groupBy("row_i", _cm_cell(F.col("item"), F.col("row_i")).alias("cell"))
         .agg(F.count("*").cast("long").alias("c"))
     )
     exact_stream = ev.groupBy("item").agg(
@@ -2184,19 +2320,82 @@ def streaming_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, exact = run_to_memory_many(
         [(cells_stream, "complete"), (exact_stream, "complete")]
     )
-    est = (
-        exact.crossJoin(F.broadcast(rows_df))
-        .withColumn("cell", cm_cell(F.col("item"), F.col("row_i")))
-        .join(F.broadcast(cells), ["row_i", "cell"])
-        .groupBy("item", "exact_cnt")
-        .agg(F.min("c").cast("long").alias("est_cnt"))
+    return _cm_report(exact, cells, rows_df)
+
+
+@query(
+    "streaming_freq_cm_onepass",
+    oracle=_CM_LIVE_ORACLE,
+    tags=("streaming", "approx", "sketch", "measurement"),
+)
+def streaming_freq_cm_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch via the ONE-PASS foreachBatch fan-out with
+    ADDITIVE MERGE sinks — the capability the r13 fan-out drew the
+    boundary of (VERDICT r13 next #2): CM cell counts are sums, so the
+    idempotent MergeAggSink refuses them; EpochLedgerMergeAggSink makes
+    the additive merge replay-safe with a per-bucket last-applied-epoch
+    ledger (the version-dir-encoded epoch each bucket's atomic symlink
+    swap records — skip any bucket whose ledger already covers a
+    replayed epoch). Same oracle as streaming_freq_cm: hash-exactness
+    proves ledger-merged cells == engine complete-mode cells == the
+    batch pass.
+
+    One streaming query, each micro-batch persisted once, two additive
+    sinks fanned per batch (reference analog: the side-output fan-out,
+    SideOutputDemo.java:22-50):
+    (a) CM cells — map-side combine to <=2048 (row_i, cell) partial
+        sums, then ledger-MERGE into the keyed cell table;
+    (b) exact per-item counts — the calibration reference (dropped at
+        100 TB), same ledger-MERGE machinery keyed by item.
+
+    Scale shape: epoch cost ∝ dirty buckets (cells: fixed 2048 keys);
+    the source is scanned once per batch (listener-pinned vs the
+    two-pipeline twin's 2x in tests/test_fanout.py); the ledger adds
+    zero writes — it rides the existing bucket-swap atomicity."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.sinks.foreach import EpochLedgerMergeAggSink
+    from flink_tutorial_spark.streaming.run import run_fanout
+
+    events = stream_table(spark, sf_dir, "events")
+    ev = events.select(
+        F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).where(F.col("item").isNotNull())
+
+    rows_df = spark.range(4).select(F.col("id").cast("int").alias("row_i"))
+    base = _scratch_dir()
+    cells_sink = EpochLedgerMergeAggSink(
+        spark,
+        os.path.join(base, "cells"),
+        key_cols=["row_i", "cell"],
+        agg_exprs=[F.sum("c").cast("long").alias("c")],
     )
-    return est.select(
-        F.col("item").cast("long").alias("item_id"),
-        "exact_cnt",
-        "est_cnt",
-        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    exact_sink = EpochLedgerMergeAggSink(
+        spark,
+        os.path.join(base, "exact"),
+        key_cols=["item"],
+        agg_exprs=[F.sum("exact_cnt").cast("long").alias("exact_cnt")],
     )
+
+    def cells_fold(bdf: DataFrame, eid: int) -> None:
+        part = (
+            bdf.crossJoin(F.broadcast(rows_df))
+            .groupBy(
+                "row_i", _cm_cell(F.col("item"), F.col("row_i")).alias("cell")
+            )
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        cells_sink(part, eid)
+
+    def exact_fold(bdf: DataFrame, eid: int) -> None:
+        exact_sink(
+            bdf.groupBy("item").agg(F.count("*").cast("long").alias("exact_cnt")),
+            eid,
+        )
+
+    run_fanout(ev, [cells_fold, exact_fold])
+    cells = cells_sink.read().select("row_i", "cell", "c")
+    exact = exact_sink.read().select("item", "exact_cnt")
+    return _cm_report(exact, cells, rows_df)
 
 
 from flink_tutorial_spark.plans.queries_patterns import (  # noqa: E402

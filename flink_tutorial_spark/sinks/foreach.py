@@ -111,17 +111,33 @@ class KeyedUpsertSink:
         keep = old.join(new.select(self.key_cols), self.key_cols, "left_anti")
         return keep.unionByName(new)
 
+    def _apply_buckets(
+        self, dirty: list[int], live: dict[int, str], epoch_id: int
+    ) -> list[int]:
+        """Hook: which dirty buckets this epoch should actually rewrite.
+        Default: all of them — the keyed-overwrite/idempotent-MERGE
+        subclasses are replay-safe per key, so re-applying a replayed
+        epoch converges. EpochLedgerMergeAggSink overrides this to skip
+        buckets whose ledger already covers the epoch (additive merges
+        must apply each epoch exactly once)."""
+        return dirty
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         new = self._reduce_batch(batch_df)
         # persist: `new` feeds three branches (dirty-bucket collect, the
         # merge, the merged union) — without it a streaming micro-batch
         # plan (stateful agg included) re-executes per branch
-        new = new.withColumn("_bucket", self._bucket_expr()).persist()
+        cached = new.withColumn("_bucket", self._bucket_expr()).persist()
+        new = cached
         try:
             dirty = sorted(r[0] for r in new.select("_bucket").distinct().collect())
             if not dirty:
                 return
             live = self._live_bucket_paths()
+            dirty = self._apply_buckets(dirty, live, epoch_id)
+            if not dirty:
+                return  # whole epoch already applied (ledger replay no-op)
+            new = new.where(F.col("_bucket").isin(dirty))
             old_paths = [live[b] for b in dirty if b in live]
             if old_paths:
                 old = self.spark.read.parquet(*old_paths).withColumn(
@@ -138,7 +154,7 @@ class KeyedUpsertSink:
             version_dir = os.path.join(self.path, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(version_dir)
         finally:
-            new.unpersist()
+            cached.unpersist()
         prev = {}  # bucket -> superseded realpath (retained one epoch)
         for b in dirty:
             target = os.path.join(version_dir, f"_bucket={b}")
@@ -196,7 +212,12 @@ class MergeAggSink(KeyedUpsertSink):
     converged table batching- and order-independent, idempotence makes
     an epoch REPLAY after recovery a no-op — the same exactly-once
     contract the keyed-overwrite parent gets for free. A plain additive
-    merge (count-sum) is NOT replay-safe here and must not be used.
+    merge (count-sum) is NOT replay-safe here and must not be used —
+    use EpochLedgerMergeAggSink for those. The requirement is ENFORCED
+    at runtime, not just documented: the first non-empty epoch probes
+    `_combine(sample ∪ sample) == sample` on a bounded sample and
+    raises if the combine is not idempotent (an additive F.sum would
+    silently double-count on epoch replay otherwise).
 
     The same expressions serve both hooks: `_reduce_batch` collapses
     the epoch's rows per key (map-side combine before state is
@@ -218,12 +239,44 @@ class MergeAggSink(KeyedUpsertSink):
             n_buckets=n_buckets, bucket_cols=bucket_cols,
         )
         self.agg_exprs = agg_exprs
+        self._idem_checked = False
+
+    #: subclasses designed for non-idempotent (additive) combines set
+    #: this False and bring their own replay-dedup machinery
+    requires_idempotent = True
 
     def _combine(self, df: DataFrame) -> DataFrame:
         return df.groupBy(*self.key_cols).agg(*self.agg_exprs)
 
+    def _check_idempotent(self, reduced: DataFrame) -> None:
+        """One-time runtime probe of the idempotence contract: combining
+        a sample with itself must be a no-op. Catches an additive
+        `F.sum` passed where only idempotent merges are replay-safe —
+        at construction-adjacent cost (<=16 rows, first epoch only)."""
+        rows = reduced.limit(16).collect()
+        if not rows:
+            return  # probe again on the next non-empty epoch
+        self._idem_checked = True
+        sample = self.spark.createDataFrame(rows, reduced.schema)
+        doubled = self._combine(sample.unionByName(sample)).collect()
+
+        def canon(rs):
+            return sorted(str(sorted(r.asDict().items())) for r in rs)
+
+        if canon(rows) != canon(doubled):
+            raise ValueError(
+                "MergeAggSink agg_exprs are not idempotent: combining a "
+                "sample with itself changed it. An epoch replay after "
+                "recovery would double-count. Use EpochLedgerMergeAggSink "
+                "for additive merges (per-bucket last-applied-epoch "
+                "ledger), or fix the combine (union-truncate, max, ...)."
+            )
+
     def _reduce_batch(self, batch_df: DataFrame) -> DataFrame:
-        return self._combine(batch_df)
+        reduced = self._combine(batch_df)
+        if self.requires_idempotent and not self._idem_checked:
+            self._check_idempotent(reduced)
+        return reduced
 
     def _merge(self, old: DataFrame, new: DataFrame) -> DataFrame:
         # old/new both carry _bucket; it is a pure function of
@@ -232,6 +285,63 @@ class MergeAggSink(KeyedUpsertSink):
         return self._combine(
             old.select(cols).unionByName(new.select(cols))
         ).withColumn("_bucket", self._bucket_expr())
+
+
+class EpochLedgerMergeAggSink(MergeAggSink):
+    """MergeAggSink for ADDITIVE (non-idempotent) combines — count-sum
+    CM cells, quantile histogram counts, running totals — made
+    replay-safe by a per-bucket last-applied-epoch LEDGER instead of by
+    combine idempotence (VERDICT r13 next #2; the standard lakehouse
+    MERGE-dedup: persist max(epoch_id) per bucket with the bucket swap,
+    skip a bucket whose ledger already covers a replayed epoch).
+
+    The ledger costs NOTHING extra and cannot desynchronize from the
+    data, because it rides the parent's existing atomicity unit: every
+    epoch writes into a version directory named ``v{epoch_id}_{uuid}``
+    and each dirty bucket's symlink swaps to it atomically (os.replace)
+    — so ``realpath(link)`` already records, per bucket, the epoch that
+    last rewrote it. `_apply_buckets` parses that epoch and drops any
+    bucket with ledger >= epoch_id from the rewrite set. Recovery walk:
+
+    - crash before any swap: replay re-applies every bucket (their
+      links still hold pre-epoch data) — exactly once overall;
+    - crash mid-swap-loop: swapped buckets skip (ledger == epoch),
+      unswapped buckets re-apply from their still-pre-epoch links;
+    - crash after all swaps but before the stream commits the epoch:
+      the full replay is a no-op.
+
+    Contract: epoch ids must be monotonically increasing over the
+    sink's lifetime — true within one Structured Streaming checkpoint
+    lineage (epoch_id is the checkpointed batch id, which survives
+    restarts). A NEW checkpoint restarts epochs at 0, so a fresh
+    checkpoint requires a fresh sink path (same rule as any
+    epoch-id-keyed dedup, e.g. Delta's txn-version idempotent writes).
+
+    Reference analog: the side-output fan-out writing additive
+    aggregates (SideOutputDemo.java:22-50, AdClickAnalysis.scala:39-123)
+    — Flink gets this from checkpoint-aligned two-phase sinks; on
+    micro-batch geometry the epoch ledger is the equivalent."""
+
+    requires_idempotent = False
+
+    @staticmethod
+    def _ledger_epoch(bucket_path: str) -> int:
+        """Last-applied epoch of a live bucket, parsed from its version
+        directory (``.../v{epoch}_{uuid}/_bucket={b}``)."""
+        vdir = os.path.basename(os.path.dirname(bucket_path))
+        try:
+            return int(vdir.split("_", 1)[0][1:])
+        except (IndexError, ValueError):
+            return -1
+
+    def _apply_buckets(
+        self, dirty: list[int], live: dict[int, str], epoch_id: int
+    ) -> list[int]:
+        return [
+            b
+            for b in dirty
+            if b not in live or self._ledger_epoch(live[b]) < epoch_id
+        ]
 
 
 class EventTimeHighWatermark:

@@ -154,6 +154,10 @@ class _ScanProbe:
     [
         ("streaming_uv_kmv_onepass", "streaming_uv_kmv_trailing"),
         ("streaming_uv_hll_onepass", "streaming_uv_hll_registers"),
+        # r14: additive sinks through the epoch ledger get the same
+        # 1x-scan guarantee (VERDICT r13 next #2)
+        ("streaming_freq_cm_onepass", "streaming_freq_cm"),
+        ("streaming_adclick_onepass", "streaming_adclick_blacklist"),
     ],
 )
 def test_onepass_fanout_scans_source_once(spark, sf_dir, onepass, twin):
@@ -259,3 +263,146 @@ def test_run_fanout_checkpoint_restart_resumes_not_replays(spark, tmp_path):
     got, want = snap(sink_a), snap(sink_b)
     assert got == want
     assert got == [("d1", [1, 5]), ("d2", [8])]
+
+
+# ---------------------------------------------------------------- r14:
+# additive merges via the per-bucket epoch ledger (VERDICT r13 next #2)
+
+
+def _sum_sink(spark, path, n_buckets=4):
+    from flink_tutorial_spark.sinks.foreach import EpochLedgerMergeAggSink
+
+    return EpochLedgerMergeAggSink(
+        spark,
+        str(path),
+        key_cols=["k"],
+        agg_exprs=[F.sum("c").cast("long").alias("c")],
+        n_buckets=n_buckets,
+    )
+
+
+def _counts(sink):
+    return sorted((r["k"], r["c"]) for r in sink.read().collect())
+
+
+def test_merge_agg_sink_rejects_additive_combine(spark, tmp_path):
+    """ADVICE r13 #1: the idempotence requirement is ENFORCED, not just
+    documented — an additive F.sum combine (which would double-count on
+    epoch replay) is rejected at the first non-empty epoch."""
+    sink = MergeAggSink(
+        spark,
+        str(tmp_path / "bad"),
+        key_cols=["k"],
+        agg_exprs=[F.sum("c").cast("long").alias("c")],
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="not idempotent"):
+        sink(spark.createDataFrame([("a", 1), ("a", 2)], ["k", "c"]), 0)
+
+
+def test_epoch_ledger_sink_accumulates_and_replay_is_noop(spark, tmp_path):
+    """Additive cells SUM across epochs, yet a full replay of any
+    already-applied epoch leaves the table bit-identical — replay
+    safety from the ledger, not from combine idempotence."""
+    sink = _sum_sink(spark, tmp_path / "cm")
+    e0 = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "c"])
+    e1 = spark.createDataFrame([("a", 10), ("c", 5)], ["k", "c"])
+    sink(e0, 0)
+    sink(e1, 1)
+    expect = [("a", 11), ("b", 2), ("c", 5)]
+    assert _counts(sink) == expect
+    sink(e1, 1)  # replay of the committed epoch
+    assert _counts(sink) == expect
+    sink(e0, 0)  # stale replay (ledger far ahead)
+    assert _counts(sink) == expect
+    sink(spark.createDataFrame([("a", 100)], ["k", "c"]), 2)
+    assert _counts(sink) == [("a", 111), ("b", 2), ("c", 5)]
+
+
+def test_epoch_ledger_partial_replay_reapplies_only_unswapped_buckets(
+    spark, tmp_path
+):
+    """Crash MID-SWAP-LOOP: some buckets' symlinks already point at the
+    epoch's version, others still at the previous one. The replay must
+    re-apply ONLY the unswapped buckets (their ledger is behind) and
+    skip the swapped ones — converging to the uninterrupted result."""
+    import os
+
+    sink = _sum_sink(spark, tmp_path / "led")
+    # pick two keys that land in different buckets
+    cand = spark.createDataFrame([(f"k{i}",) for i in range(16)], ["k"])
+    by_bucket = {}
+    for r in cand.withColumn("_b", sink._bucket_expr()).collect():
+        by_bucket.setdefault(r["_b"], r["k"])
+        if len(by_bucket) >= 2:
+            break
+    (b1, k1), (b2, k2) = sorted(by_bucket.items())[:2]
+
+    e0 = spark.createDataFrame([(k1, 1), (k2, 2)], ["k", "c"])
+    e1 = spark.createDataFrame([(k1, 10), (k2, 20)], ["k", "c"])
+    sink(e0, 0)
+    pre = dict(sink._live_bucket_paths())  # targets BEFORE epoch 1
+    sink(e1, 1)
+    done = _counts(sink)
+    assert done == sorted([(k1, 11), (k2, 22)])
+    # simulate the crash: roll bucket b1's swap back to its epoch-0
+    # target (prune retains the N-1 version precisely for this window)
+    assert os.path.isdir(pre[b1])
+    link = sink._link(b1)
+    os.unlink(link)
+    os.symlink(pre[b1], link)
+    # replay epoch 1: b1 (ledger 0) re-applies, b2 (ledger 1) skips
+    sink(e1, 1)
+    assert _counts(sink) == done
+
+
+def test_epoch_ledger_checkpoint_restart_no_double_count(spark, tmp_path):
+    """Engine-driven recovery for ADDITIVE sinks: a checkpointed
+    run_fanout restarted on the same checkpointLocation must leave the
+    summed cells equal to an uninterrupted run's — committed epochs are
+    not re-applied, new epochs apply exactly once."""
+    import os as _os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tutorial_spark.streaming.run import run_fanout
+
+    schema = pa.schema([("k", pa.string()), ("c", pa.int64())])
+
+    def write_file(src, idx, rows):
+        _os.makedirs(src, exist_ok=True)
+        pdf = pd.DataFrame(rows, columns=["k", "c"])
+        p = f"{src}/b{idx:03d}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), p
+        )
+        _os.utime(p, (1_600_000_000 + idx, 1_600_000_000 + idx))
+
+    batch1 = [("a", 1), ("b", 2)]
+    batch2 = [("a", 10), ("c", 5)]
+
+    def run_once(src, ck, sink):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("k string, c long")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        run_fanout(stream, [sink], checkpoint=ck, available_now=True)
+
+    src_a, ck_a = str(tmp_path / "src_a"), str(tmp_path / "ck_a")
+    sink_a = _sum_sink(spark, tmp_path / "cells_a")
+    write_file(src_a, 0, batch1)
+    run_once(src_a, ck_a, sink_a)
+    write_file(src_a, 1, batch2)
+    run_once(src_a, ck_a, sink_a)
+
+    src_b, ck_b = str(tmp_path / "src_b"), str(tmp_path / "ck_b")
+    sink_b = _sum_sink(spark, tmp_path / "cells_b")
+    write_file(src_b, 0, batch1)
+    write_file(src_b, 1, batch2)
+    run_once(src_b, ck_b, sink_b)
+
+    assert _counts(sink_a) == _counts(sink_b) == [("a", 11), ("b", 2), ("c", 5)]
