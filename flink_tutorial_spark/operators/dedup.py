@@ -28,6 +28,7 @@ import tempfile
 import uuid
 from functools import reduce
 
+from flink_tutorial_spark import plan_capture
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -259,6 +260,7 @@ def minhash_lsh_dedup(
         raise ValueError("k must divide evenly into bands")
     sig_raw = minhash_signatures(shingle_table(docs, id_col, text_col), id_col, k=k)
     scratch = _scratch_dir() + "/sig"
+    plan_capture.capture_df(sig_raw, "scratch:minhash_sig")
     sig_raw.write.mode("overwrite").parquet(scratch)
     sig = docs.sparkSession.read.parquet(scratch)
     cand = lsh_candidate_pairs(
@@ -434,6 +436,7 @@ def ngram_jaccard_pairs(
         F.col(id_col), md5_long(F.col("shingle")).alias("sh")
     )
     scratch = _scratch_dir() + "/sh"
+    plan_capture.capture_df(sh_raw, "scratch:simhash_sig")
     sh_raw.write.mode("overwrite").parquet(scratch)
     sh = docs.sparkSession.read.parquet(scratch)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -568,6 +571,7 @@ def simhash_near_dup(
     mask = (1 << bits_per) - 1
     fp_raw = simhash(docs, id_col, text_col)
     scratch = _scratch_dir() + "/fp"
+    plan_capture.capture_df(fp_raw, "scratch:fingerprint")
     fp_raw.write.mode("overwrite").parquet(scratch)
     fp = docs.sparkSession.read.parquet(scratch)
     slices = F.array(
@@ -669,6 +673,7 @@ def dedup_components(
     edges_raw = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    plan_capture.capture_df(edges_raw, "scratch:cc_edges")
     edges_raw.write.mode("overwrite").parquet(f"{root}/edges")
     edges = spark.read.parquet(f"{root}/edges")
 
@@ -690,6 +695,7 @@ def dedup_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("self").alias("old"))
         )
+        plan_capture.capture_df(new_labels, "scratch:cc_labels")
         new_labels.write.mode("overwrite").parquet(f"{root}/l{it}")
         new_labels = spark.read.parquet(f"{root}/l{it}")
         changed = new_labels.where(F.col("label") != F.col("old")).count()

@@ -20,6 +20,7 @@ hash-match a distributed float-free PageRank.
 
 from __future__ import annotations
 
+from flink_tutorial_spark import plan_capture
 from pyspark.sql import DataFrame, functions as F
 
 #: fixed-point scale for PageRank ranks (1.0 == 1e9 units). At this
@@ -124,7 +125,7 @@ def pagerank(
         # checkpoint EVERY round (incl. the last): truncates lineage and
         # lets the returned plan depend only on the materialized rank
         # table, so unpersisting e/nodes below costs no recompute
-        ranks = ranks.localCheckpoint()
+        ranks = plan_capture.checkpoint(ranks, "ckpt:pagerank")
     out = ranks.select(
         F.col("item").alias("item_id"),
         F.col("r").alias("rank_fp"),
@@ -242,8 +243,8 @@ def label_propagation(und: DataFrame, iterations: int = 2) -> DataFrame:
     # population re-runs the (data-sized) edge build per branch — measured
     # 2.9s -> 24.8s at sf1 before this. After the checkpoint every round
     # touches only the materialized |edges|-sized table.
-    adj = adj.localCheckpoint()
-    nodes = adj.select("node").distinct().localCheckpoint()
+    adj = plan_capture.checkpoint(adj, "ckpt:lpa_adj")
+    nodes = plan_capture.checkpoint(adj.select("node").distinct(), "ckpt:lpa_nodes")
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(iterations):
         nb = (
@@ -265,10 +266,11 @@ def label_propagation(und: DataFrame, iterations: int = 2) -> DataFrame:
             .where(F.col("rk") == 1)
             .select("node", "lbl")
         )
-        labels = (
-            nodes.join(pick, "node", "left")
-            .select("node", F.coalesce("lbl", "node").alias("lbl"))
-            .localCheckpoint()
+        labels = plan_capture.checkpoint(
+            nodes.join(pick, "node", "left").select(
+                "node", F.coalesce("lbl", "node").alias("lbl")
+            ),
+            "ckpt:lpa_labels",
         )
     return labels.select(
         F.col("node").cast("long").alias("item_id"),
@@ -290,7 +292,7 @@ def bfs_hops(edges: DataFrame, source_item: int, max_hops: int = 4) -> DataFrame
     on item id) + one partial-aggregable min-groupBy; dist is
     localCheckpointed per round (flat lineage). Integer hop counts, so
     the result is bit-exact against an unrolled-CTE oracle."""
-    e = edges.select("src", "dst").localCheckpoint()
+    e = plan_capture.checkpoint(edges.select("src", "dst"), "ckpt:bfs_edges")
     dist = e.sparkSession.createDataFrame(
         [(source_item, 0)], "item int, hops int"
     )
@@ -299,11 +301,9 @@ def bfs_hops(edges: DataFrame, source_item: int, max_hops: int = 4) -> DataFrame
             e.join(dist, e.src == dist.item)
             .select(F.col("dst").alias("item"), (F.col("hops") + 1).alias("hops"))
         )
-        dist = (
-            dist.unionByName(step)
-            .groupBy("item")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint()
+        dist = plan_capture.checkpoint(
+            dist.unionByName(step).groupBy("item").agg(F.min("hops").alias("hops")),
+            "ckpt:bfs_dist",
         )
     return dist.select(
         F.col("item").cast("long").alias("item_id"),
@@ -328,9 +328,10 @@ def cheapest_paths(
     round one equi-join against the cached weighted edge list + one
     partial-aggregable min-groupBy, dist localCheckpointed per round;
     the edge table never moves."""
-    e = edges.selectExpr(
-        "src", "dst", "div(1000000 + cnt - 1, cnt) AS w"
-    ).localCheckpoint()
+    e = plan_capture.checkpoint(
+        edges.selectExpr("src", "dst", "div(1000000 + cnt - 1, cnt) AS w"),
+        "ckpt:cheapest_edges",
+    )
     dist = e.sparkSession.createDataFrame(
         [(source_item, 0)], "item long, cost_fp long"
     )
@@ -339,11 +340,11 @@ def cheapest_paths(
             F.col("dst").alias("item"),
             (F.col("cost_fp") + F.col("w")).alias("cost_fp"),
         )
-        dist = (
+        dist = plan_capture.checkpoint(
             dist.unionByName(step)
             .groupBy("item")
-            .agg(F.min("cost_fp").alias("cost_fp"))
-            .localCheckpoint()
+            .agg(F.min("cost_fp").alias("cost_fp")),
+            "ckpt:cheapest_dist",
         )
     return dist.select(
         F.col("item").cast("long").alias("item_id"),

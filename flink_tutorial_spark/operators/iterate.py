@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from flink_tutorial_spark import plan_capture
+
 
 def iterate(
     df: DataFrame,
@@ -41,6 +43,6 @@ def iterate(
         done = done.unionByName(exited)
         current = stepped.filter(~exit_filter)
         if (i + 1) % checkpoint_every == 0:
-            current = current.localCheckpoint()
-            done = done.localCheckpoint()
+            current = plan_capture.checkpoint(current, "ckpt:iterate_current")
+            done = plan_capture.checkpoint(done, "ckpt:iterate_done")
     return done

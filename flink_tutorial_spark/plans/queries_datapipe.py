@@ -9,6 +9,7 @@ exact oracles.
 
 from __future__ import annotations
 
+from flink_tutorial_spark import plan_capture
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1665,6 +1666,7 @@ def datapipe_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_table(docs)
     sig_raw = D.minhash_signatures(sh)
     scratch = D._scratch_dir() + "/ndi_sig"
+    plan_capture.capture_df(sig_raw, "scratch:datapipe_sig")
     sig_raw.write.mode("overwrite").parquet(scratch)
     sig = spark.read.parquet(scratch)
 

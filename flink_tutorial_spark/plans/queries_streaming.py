@@ -24,6 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_tutorial_spark import plan_capture
 from flink_tutorial_spark.plans.catalog import query
 from flink_tutorial_spark.plans.parity import dec_sum
 from flink_tutorial_spark.streaming.run import (
@@ -624,6 +625,7 @@ def streaming_late_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = agg.writeStream.outputMode("update").foreachBatch(fb).start()
         q.processAllAvailable()
+        plan_capture.capture_stream(q, "stream:late_topn")
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -1038,10 +1040,15 @@ def streaming_adclick_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark 3.5+/4.x multi-stateful support; the first chained-stateful
     query in this catalog), exactly the topology the reference builds
     with process() .keyBy() .window(). The WARNING channel is a second
-    live run of the same filter (one operator, two sinks needs
-    foreachBatch fan-out in production — sinks/foreach.py:370 — but two
-    independent live queries keep the catalog contract of one
-    DataFrame). Closed-horizon contract: window rows emit when the
+    live run of the same filter.
+
+    STATUS (r14): COMPARISON FIXTURE — streaming_adclick_onepass IS the
+    production fan-out this docstring used to promise (ONE filter pass,
+    ledger-merged hourly counts, warning append), retiring this query's
+    2x-scan shape as a deployment recommendation; this member is
+    retained as the catalog's only CHAINED-stateful topology proof
+    (applyInPandasWithState -> re-watermark -> windowed agg), which the
+    foreachBatch twin cannot replace. Closed-horizon contract: window rows emit when the
     watermark (max main-channel ts, since the watermark node sits after
     the channel filter) passes the window end; warnings are plain
     append rows, all emitted. The daily reset is the day key dimension;
@@ -1122,6 +1129,7 @@ def streaming_adclick_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for q in started:
             q.processAllAvailable()
+            plan_capture.capture_stream(q, f"stream:{q.name}")
     finally:
         for q in started:
             q.stop()
@@ -2442,6 +2450,54 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_quantile_onepass",
+    # identical cells + report as streaming_quantile_sketch -> identical
+    # oracle: ledger-merged cells must equal engine complete-mode cells
+    oracle=(
+        f"WITH {_QSKETCH_BUCKETS_SQL}, {_QSKETCH_EST_SQL} "
+        "SELECT event_type, n, p50_est, p95_est, p99_est FROM est"
+    ),
+    tags=("streaming", "approx", "sketch"),
+)
+def streaming_quantile_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch cells through the ONE-PASS epoch-ledger MERGE
+    sink — with streaming_freq_cm_onepass this completes the fan-out
+    deployment shape across the WHOLE mergeable-sketch family (KMV and
+    HLL merged idempotently in r13; CM and quantile cells are ADDITIVE
+    integer counts, exactly what the per-bucket last-applied-epoch
+    ledger exists for). Each micro-batch map-side combines to its
+    partial (event_type, e, m) histogram cells via qsketch_buckets —
+    the SAME bucketing rule as the batch family, so the cells cannot
+    drift — and the ledger-MERGE sums them per key, replay-exact. The
+    converged table feeds qsketch_estimate, stated by the identical
+    oracle as streaming_quantile_sketch.
+
+    Scale shape: cell table fixed at <= types x ~512 keys forever;
+    epoch cost ∝ dirty buckets; one source scan per batch (the fan-out
+    contract); a replayed epoch is a per-bucket no-op via the ledger.
+    This is the lakehouse row for continuous percentile serving: MERGE
+    INTO cells USING batch ... UPDATE SET c = t.c + s.c, with the
+    batch id ledger standing in for the engine's state-store WAL."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.sinks.foreach import EpochLedgerMergeAggSink
+    from flink_tutorial_spark.streaming.run import run_fanout
+
+    events = stream_table(spark, sf_dir, "events")
+    sink = EpochLedgerMergeAggSink(
+        spark,
+        os.path.join(_scratch_dir(), "qcells"),
+        key_cols=["event_type", "e", "m"],
+        agg_exprs=[F.sum("c").cast("long").alias("c")],
+    )
+
+    def fold(bdf: DataFrame, eid: int) -> None:
+        sink(qsketch_buckets(bdf), eid)
+
+    run_fanout(events, [fold])
+    return qsketch_estimate(sink.read().select("event_type", "e", "m", "c"))
+
+
+@query(
     "streaming_blocklist_filter",
     oracle="""
 WITH dom AS (
@@ -2623,6 +2679,13 @@ def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     to closed days — hash-exactness proves live fold cells == batch
     cells == single-stage sketch.
 
+    STATUS (r14, decided per VERDICT r13 #5): COMPARISON FIXTURE, not a
+    deployment recommendation. streaming_uv_kmv_onepass is the
+    production shape (one source scan, MERGE sink); this two-pipeline
+    member is retained as the ENGINE-FOLD proof — the only query that
+    states the EventTimeTimeout state-store fold (kmv_day_fold) against
+    the same oracle, which the MERGE-sink twin cannot replace.
+
     localCheckpoint on the converged tables: the report's broadcast
     day-joins branch each table twice, and memory-sink plans cannot
     self-join (Spark fails to de-conflict the sink's attribute refs —
@@ -2659,8 +2722,8 @@ def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(folded, "append"),
          (pairs.select(F.col("w.start").alias("day"), "hv"), "append")]
     )
-    shard_cells = folded_tbl.localCheckpoint()
-    act = pairs_tbl.localCheckpoint()
+    shard_cells = plan_capture.checkpoint(folded_tbl, "ckpt:kmv_fold")
+    act = plan_capture.checkpoint(pairs_tbl, "ckpt:kmv_pairs")
     # day-level merge-truncate on the converged cells (<= S x K rows/day;
     # shards partition the hash space, so no cross-shard duplicates)
     wd = Window.partitionBy("day")
@@ -2713,6 +2776,12 @@ def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically — hash-exactness proves live fold registers == batch
     registers, including the closed-form estimate.
 
+    STATUS (r14, decided per VERDICT r13 #5): COMPARISON FIXTURE, not a
+    deployment recommendation. streaming_uv_hll_onepass is the
+    production shape (one source scan, greatest() MERGE sink); this
+    member is retained as the ENGINE-FOLD proof for hll_day_fold's
+    state-store max-fold, which the MERGE-sink twin cannot replace.
+
     localCheckpoint: memory-sink plans cannot self-join (the r10
     drift-psi lesson) and the report branches each table (grid +
     fill; exact + join)."""
@@ -2756,8 +2825,8 @@ def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(folded, "append"),
          (pairs.select(F.col("w.start").alias("day"), "hv"), "append")]
     )
-    shard_regs = folded_tbl.localCheckpoint()
-    act = pairs_tbl.localCheckpoint()
+    shard_regs = plan_capture.checkpoint(folded_tbl, "ckpt:hll_fold")
+    act = plan_capture.checkpoint(pairs_tbl, "ckpt:hll_pairs")
     # shard vectors -> daily registers by element-wise max (batch side,
     # <= shards x 64 rows/day)
     regs = (
@@ -3178,7 +3247,7 @@ def streaming_quantile_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "0 seconds")
     )
     folded = quantile_day_fold(rows, "day", "event_type", "shard", "idx")
-    cells_tbl = run_to_memory(folded, "append").localCheckpoint()
+    cells_tbl = plan_capture.checkpoint(run_to_memory(folded, "append"), "ckpt:quantile_fold")
     # sparse vectors -> (day, type, e, m, c) cells, shards summed (the
     # value_quantile_sharded merge); <= types x days x ~512 rows
     b0 = (

@@ -13,6 +13,7 @@ validity intervals.
 
 from __future__ import annotations
 
+from flink_tutorial_spark import plan_capture
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flink_tutorial_spark.plans.catalog import query
@@ -79,6 +80,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint makes the events scan the single data-sized pass (same
     # rationale as the minhash signature checkpoint, dedup.py:252)
     scratch = _scratch_dir() + "/gapfill_b"
+    plan_capture.capture_df(b, "scratch:ts_buckets")
     b.write.mode("overwrite").parquet(scratch)
     b = spark.read.parquet(scratch)
     span = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))

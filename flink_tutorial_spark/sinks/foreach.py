@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_tutorial_spark import plan_capture
+
 
 class KeyedUpsertSink:
     """foreachBatch upsert into a hash-bucketed keyed parquet table.
@@ -152,6 +154,7 @@ class KeyedUpsertSink:
             import uuid
 
             version_dir = os.path.join(self.path, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
+            plan_capture.capture_df(merged, f"sink:{os.path.basename(self.path)}")
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(version_dir)
         finally:
             cached.unpersist()

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 
+from flink_tutorial_spark import plan_capture
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -107,6 +108,7 @@ class RetractingUpsertSink:
         # epoch partition dir: written before the table merge, at most once
         epoch_dir = os.path.join(self.log_path, f"epoch={int(epoch_id)}")
         if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            plan_capture.capture_df(log_rows, "scratch:retract_log")
             log_rows.write.mode("overwrite").parquet(epoch_dir)
         self.table(batch_df, epoch_id)
 

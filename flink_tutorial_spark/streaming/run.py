@@ -14,6 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from flink_tutorial_spark import plan_capture
 from flink_tutorial_spark.session import ensure_runtime_confs, normalize_event_time
 
 
@@ -96,6 +97,10 @@ def run_to_memory_many(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         for q in started:
             q.processAllAvailable()
+            # executed micro-batch plan, pre-truncation (the memory
+            # table the caller gets scans an in-memory sink — the real
+            # plan lives here; see plan_capture)
+            plan_capture.capture_stream(q, f"stream:{q.name}")
     finally:
         # a failed Nth start (or a drain error) must not leak the
         # already-running queries — and a stop() error on one query
@@ -169,6 +174,7 @@ def run_fanout(
             q.awaitTermination()
         else:
             q.processAllAvailable()
+        plan_capture.capture_stream(q, "stream:fanout")
     finally:
         q.stop()
 
@@ -196,6 +202,7 @@ def run_to_parquet(
         )
         try:
             q.processAllAvailable()
+            plan_capture.capture_stream(q, "stream:parquet")
         finally:
             # mirror run_to_memory: a raise must not leak a live query
             # still writing to the handoff while the conf is restored

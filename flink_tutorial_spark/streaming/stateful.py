@@ -1102,7 +1102,7 @@ def kmv_day_fold(
 ) -> DataFrame:
     """Bounded KMV distinct-insert fold per (day, shard) — the live
     sketch builder for streaming_uv_kmv_trailing (VERDICT r11 #3). The
-    reference's UV bitmap/state pattern (UvWithBloomFliter.scala:55-94)
+    reference's UV bitmap/state pattern (UniqueVisitorWithBloom.scala:76-120)
     keyed by window, re-expressed as a FIXED-STATE k-min fold.
 
     State per key is ONE sorted array of at most k longs — the k
@@ -1177,7 +1177,7 @@ def quantile_day_fold(
     quantile member of the fixed-state fold family (VERDICT r12 #4),
     completing the kmv_day_fold / hll_day_fold pattern for all three
     mergeable sketch types. The reference's keyed windowed-state
-    pattern (UvWithBloomFliter.scala:55-94) at the quantile sketch's
+    pattern (UniqueVisitorWithBloom.scala:76-120) at the quantile sketch's
     footprint.
 
     State per key is ONE sparse cell vector — parallel sorted arrays
@@ -1260,7 +1260,7 @@ def hll_day_fold(
 ) -> DataFrame:
     """Live HLL register fold per (day, shard) — the fixed-state
     streaming twin of uv_hll_registers/uv_hll_sharded (the reference's
-    UV state pattern, UvWithBloomFliter.scala:55-94, at HLL's 64-long
+    UV state pattern, UniqueVisitorWithBloom.scala:76-120, at HLL's 64-long
     footprint).
 
     State per key is ONE m-long register vector; each batch folds in

@@ -335,19 +335,33 @@ def test_catalog_wide_plan_audit(spark, sf_dir):
     BroadcastNestedLoopJoin, so any CartesianProduct is a real
     data-sized cross join). Streaming queries execute on call and are
     audited by their own tests."""
+    from flink_tutorial_spark import plan_capture
+
     bad = []
-    for name, spec in plans.REGISTRY.items():
-        if name.startswith("streaming_"):
-            continue
-        try:
-            plan = formatted_plan(spark, name, sf_dir)
-        except Exception as e:  # pragma: no cover - audit must see all
-            bad.append((name, f"plan build failed: {e}"))
-            continue
-        if "BatchEvalPython" in plan:
-            bad.append((name, "BatchEvalPython"))
-        if "CartesianProduct" in plan:
-            bad.append((name, "CartesianProduct"))
+    plan_capture.enable()
+    try:
+        for name, spec in plans.REGISTRY.items():
+            if name.startswith("streaming_"):
+                continue
+            plan_capture.drain()
+            try:
+                plan = formatted_plan(spark, name, sf_dir)
+            except Exception as e:  # pragma: no cover - audit must see all
+                bad.append((name, f"plan build failed: {e}"))
+                continue
+            # full lineage (r13 blind spot): the final plan PLUS every
+            # pre-truncation capture — localCheckpoint loop bodies,
+            # scratch-parquet writes, sink merges, and the executed
+            # micro-batch plans of live queries hiding behind memory
+            # sinks (cep_* run streams despite the batch-looking name)
+            plans_to_check = [("final", plan)] + plan_capture.drain()
+            for lbl, pl in plans_to_check:
+                if "BatchEvalPython" in pl:
+                    bad.append((name, lbl, "BatchEvalPython"))
+                if "CartesianProduct" in pl:
+                    bad.append((name, lbl, "CartesianProduct"))
+    finally:
+        plan_capture.disable()
     assert not bad, bad
 
 
@@ -425,3 +439,45 @@ def test_pii_scrub_map_side_only(spark, sf_dir):
     plan = formatted_plan(spark, "text_pii_scrub", sf_dir)
     assert "Exchange" not in plan, plan[:800]
     assert "BatchEvalPython" not in plan, plan[:800]
+
+
+def test_plan_capture_sees_through_materialization(spark, sf_dir):
+    """r13 blind spot closed: queries that materialize mid-flight must
+    hand the linter their REAL plans. Three truncation mechanisms, one
+    representative each: a live query behind a memory sink whose name
+    lacks the streaming_ prefix (cep_chain3 — the census treated it as
+    batch and saw only a memory scan), a localCheckpoint iteration loop
+    (graph_pagerank), and a scratch-parquet write+reread
+    (dedup_connected_components)."""
+    from flink_tutorial_spark import plan_capture
+
+    def captures_of(name):
+        plan_capture.enable()
+        try:
+            plans.REGISTRY[name].fn(spark, sf_dir)
+            return plan_capture.drain()
+        finally:
+            plan_capture.disable()
+
+    caps = captures_of("cep_chain3")
+    stream_caps = [p for lbl, p in caps if lbl.startswith("stream:")]
+    assert stream_caps, [lbl for lbl, _ in caps]
+    # the executed micro-batch plan, not a memory-table scan: the
+    # pattern-match work (window/agg or pandas op) must be visible
+    assert any("Scan ExistingRDD" not in p or len(p) > 200 for p in stream_caps)
+    assert all("BatchEvalPython" not in p for p in stream_caps)
+
+    caps = captures_of("graph_pagerank")
+    ckpt = [p for lbl, p in caps if lbl.startswith("ckpt:")]
+    assert ckpt, [lbl for lbl, _ in caps]
+    # the loop body's join+agg is in the captured plans
+    assert any("Join" in p or "Aggregate" in p for p in ckpt)
+    assert all("BatchEvalPython" not in p and "CartesianProduct" not in p for p in ckpt)
+
+    caps = captures_of("dedup_connected_components")
+    scratch = [p for lbl, p in caps if lbl.startswith("scratch:")]
+    assert scratch, [lbl for lbl, _ in caps]
+    assert all("BatchEvalPython" not in p and "CartesianProduct" not in p for p in scratch)
+
+    # disabled by default: hooks are no-ops and nothing leaks
+    assert not plan_capture.enabled()

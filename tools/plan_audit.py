@@ -21,6 +21,16 @@ node census of the post-stream batch report plan under "post". A
 silently added second stateful operator or a second pipeline now
 shows up as a one-line JSON diff, the way batch exchanges do.
 
+r14 (VERDICT r13 #3): the census sees through MATERIALIZATION — with
+flink_tutorial_spark.plan_capture armed, every lineage-cutting
+boundary (memory-sink/foreachBatch runs, localCheckpoint sites,
+scratch-parquet writes, keyed-sink merge jobs) records its
+pre-truncation plan; those merge into a per-row "pre" census (+ the
+capture labels), so no query presents only a `Scan ExistingRDD` stub.
+LIVE queries are detected by BEHAVIOR (stream captures / listener
+runs), not the name prefix — cep_* and other memory-sink composites
+are censused as streaming now.
+
 Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001)
 Writes PLAN_AUDIT.json at the repo root and prints a summary line.
 """
@@ -35,7 +45,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from flink_tutorial_spark import plans  # noqa: E402
+from flink_tutorial_spark import plan_capture, plans  # noqa: E402
 from flink_tutorial_spark.session import get_spark  # noqa: E402
 
 COUNTS = {
@@ -53,10 +63,61 @@ COUNTS = {
 }
 
 
+#: node names counted in TREE-format plans (StreamingQuery.explainInternal
+#: — the executed micro-batch plan captured by plan_capture): one node per
+#: line, prefixed by tree glyphs and optional codegen stars
+TREE_NODES = {
+    "exchange": ("Exchange",),
+    "bhj": ("BroadcastHashJoin",),
+    "smj": ("SortMergeJoin",),
+    "shj": ("ShuffledHashJoin",),
+    "bnlj": ("BroadcastNestedLoopJoin",),
+    "cartesian": ("CartesianProduct",),
+    "python": ("BatchEvalPython",),
+    "arrow": (
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandasWithState",
+        "FlatMapGroupsInPandas",
+    ),
+    "generate": ("Generate",),
+    "window": ("Window",),
+    "agg": ("HashAggregate", "SortAggregate", "ObjectHashAggregate"),
+    "state": ("StateStoreSave", "StateStoreRestore", "SessionWindowStateStore"),
+}
+
+
 def audit(plan: str) -> dict:
     row = {k: len(re.findall(p, plan, re.M)) for k, p in COUNTS.items()}
-    row["wscg_spans"] = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    # formatted mode prints codegen membership as `[codegen id : N]`
+    # (the r13 `WholeStageCodegen (N)` regex never matched — dead column)
+    row["wscg_spans"] = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
     return {k: v for k, v in row.items() if v}
+
+
+def audit_tree(plan: str) -> dict:
+    """Census of a TREE-format plan (simple/explainInternal mode):
+    strip the tree glyphs / codegen star per line, then prefix-match
+    the node name."""
+    row: dict[str, int] = {}
+    wscg = set(re.findall(r"\*\((\d+)\)", plan))
+    for line in plan.splitlines():
+        node = re.sub(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?", "", line)
+        for k, names in TREE_NODES.items():
+            if node.startswith(names):
+                row[k] = row.get(k, 0) + 1
+                break
+    if wscg:
+        row["wscg_spans"] = len(wscg)
+    return row
+
+
+def audit_any(plan: str) -> dict:
+    """Dispatch on plan format: formatted (numbered detail lines) vs
+    tree (explainInternal captures)."""
+    if re.search(r"^\(\d+\) ", plan, re.M):
+        return audit(plan)
+    return audit_tree(plan)
 
 
 def _plan_str(spark, df) -> str:
@@ -115,40 +176,70 @@ def main() -> None:
     errs = []
     probe = _StreamProbe()
     spark.streams.addListener(probe.listener)
+    plan_capture.enable()
     for name in sorted(plans.REGISTRY):
-        streaming = name.startswith("streaming_")
         prior_runs = set(probe.listener.batches)
+        plan_capture.drain()  # isolate this query's captures
         try:
             df = plans.REGISTRY[name].fn(spark, sf_dir)
             plan = _plan_str(spark, df)
         except Exception as e:
             errs.append((name, str(e)[:120]))
             continue
+        captures = plan_capture.drain()
+        # LIVE detection is by behavior, not name prefix (r13 blind spot:
+        # cep_* run streams too): the runners capture every started
+        # query's executed plan synchronously, so stream captures — or
+        # already-visible listener runs — mean this query went live.
+        streaming = any(lbl.startswith("stream:") for lbl, _ in captures) or any(
+            r not in prior_runs for r in probe.listener.batches
+        )
+        # full-lineage census: merge the final plan with every captured
+        # pre-truncation plan (localCheckpoint bodies, scratch writes,
+        # sink merges, executed micro-batch plans)
+        pre: dict[str, int] = {}
+        for _, cplan in captures:
+            for k, v in audit_any(cplan).items():
+                pre[k] = pre.get(k, 0) + v
+        row_extra = {}
+        if captures:
+            row_extra = {
+                "pre": pre,
+                "capture_labels": sorted({lbl for lbl, _ in captures}),
+            }
         if not streaming:
-            out[name] = audit(plan)
+            out[name] = dict(audit(plan), **row_extra)
             continue
         # streaming: the query already ran to completion inside fn();
-        # listener events are async — wait for the tail to drain
+        # listener events are async — wait until a NON-EMPTY snapshot
+        # attributable to THIS query goes stable (ADVICE r13 #2: two
+        # equal empty/stale snapshots must not end the drain early)
         deadline, last = time.time() + 20, None
         while time.time() < deadline:
             cur = {r: set(b) for r, b in probe.listener.batches.items()}
-            if cur == last:
+            if cur == last and any(r not in prior_runs for r in cur):
                 break
             last = cur
             time.sleep(1.0)
         runs = [r for r in probe.listener.batches if r not in prior_runs]
+        if not runs:
+            errs.append((name, "live query produced no progress events"))
         state_ops: dict[str, int] = {}
         for r in runs:
             for op, c in probe.listener.ops.get(r, {}).items():
                 state_ops[op] = state_ops.get(op, 0) + c
-        out[name] = {
-            "streaming_queries": len(runs),
-            "micro_batches": sum(
-                len(probe.listener.batches[r]) for r in runs
-            ),
-            "state_ops": state_ops,
-            "post": audit(plan),
-        }
+        out[name] = dict(
+            {
+                "streaming_queries": len(runs),
+                "micro_batches": sum(
+                    len(probe.listener.batches[r]) for r in runs
+                ),
+                "state_ops": state_ops,
+                "post": audit(plan),
+            },
+            **row_extra,
+        )
+    plan_capture.disable()
     spark.streams.removeListener(probe.listener)
     path = os.path.join(REPO, "PLAN_AUDIT.json")
     with open(path, "w") as f:

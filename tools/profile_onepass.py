@@ -28,6 +28,10 @@ from flink_tutorial_spark.session import get_spark, load_table  # noqa: E402
 PAIRS = [
     ("streaming_uv_kmv_onepass", "streaming_uv_kmv_trailing"),
     ("streaming_uv_hll_onepass", "streaming_uv_hll_registers"),
+    # r14: additive sinks through the epoch ledger
+    ("streaming_freq_cm_onepass", "streaming_freq_cm"),
+    ("streaming_adclick_onepass", "streaming_adclick_blacklist"),
+    ("streaming_quantile_onepass", "streaming_quantile_sketch"),
 ]
 
 
