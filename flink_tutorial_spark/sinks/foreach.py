@@ -124,6 +124,15 @@ class KeyedUpsertSink:
         must apply each epoch exactly once)."""
         return dirty
 
+    def _check_contract(self, new: DataFrame) -> None:
+        """Hook, called once the epoch's reduced rows are CACHED (right
+        after the dirty-bucket collect materialized them): subclasses
+        with a runtime-checkable replay contract probe it here, where a
+        small sample read costs a cache hit instead of re-executing the
+        micro-batch reduce. Base: nothing to check — keyed overwrite is
+        replay-safe by construction."""
+        return None
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         new = self._reduce_batch(batch_df)
         # persist: `new` feeds three branches (dirty-bucket collect, the
@@ -136,10 +145,13 @@ class KeyedUpsertSink:
             if not dirty:
                 return
             live = self._live_bucket_paths()
-            dirty = self._apply_buckets(dirty, live, epoch_id)
-            if not dirty:
+            self._check_contract(new)
+            applied = self._apply_buckets(dirty, live, epoch_id)
+            if not applied:
                 return  # whole epoch already applied (ledger replay no-op)
-            new = new.where(F.col("_bucket").isin(dirty))
+            if applied != dirty:  # partial replay: drop covered buckets
+                new = new.where(F.col("_bucket").isin(applied))
+            dirty = applied
             old_paths = [live[b] for b in dirty if b in live]
             if old_paths:
                 old = self.spark.read.parquet(*old_paths).withColumn(
@@ -251,16 +263,25 @@ class MergeAggSink(KeyedUpsertSink):
     def _combine(self, df: DataFrame) -> DataFrame:
         return df.groupBy(*self.key_cols).agg(*self.agg_exprs)
 
-    def _check_idempotent(self, reduced: DataFrame) -> None:
+    def _check_contract(self, new: DataFrame) -> None:
         """One-time runtime probe of the idempotence contract: combining
         a sample with itself must be a no-op. Catches an additive
-        `F.sum` passed where only idempotent merges are replay-safe —
-        at construction-adjacent cost (<=16 rows, first epoch only)."""
-        rows = reduced.limit(16).collect()
+        `F.sum` passed where only idempotent merges are replay-safe.
+        Runs from the CACHED reduced rows (the parent calls this right
+        after the dirty-bucket collect materialized them), so the cost
+        is one cache-hit sample read + one <=32-row local job, once per
+        sink — never a re-execution of the micro-batch reduce (the r14
+        bench caught the _reduce_batch-sited probe costing the one-pass
+        twins a full extra batch aggregation on their first epoch)."""
+        if not self.requires_idempotent or self._idem_checked:
+            return
+        cols = [c for c in new.columns if c != "_bucket"]
+        sample_src = new.select(cols)
+        rows = sample_src.limit(16).collect()
         if not rows:
             return  # probe again on the next non-empty epoch
         self._idem_checked = True
-        sample = self.spark.createDataFrame(rows, reduced.schema)
+        sample = self.spark.createDataFrame(rows, sample_src.schema)
         doubled = self._combine(sample.unionByName(sample)).collect()
 
         def canon(rs):
@@ -276,10 +297,7 @@ class MergeAggSink(KeyedUpsertSink):
             )
 
     def _reduce_batch(self, batch_df: DataFrame) -> DataFrame:
-        reduced = self._combine(batch_df)
-        if self.requires_idempotent and not self._idem_checked:
-            self._check_idempotent(reduced)
-        return reduced
+        return self._combine(batch_df)
 
     def _merge(self, old: DataFrame, new: DataFrame) -> DataFrame:
         # old/new both carry _bucket; it is a pure function of
