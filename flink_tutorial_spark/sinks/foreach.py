@@ -214,6 +214,15 @@ class KeyedUpsertSink:
         return self.spark.read.parquet(*paths)
 
 
+#: process-wide idempotence-probe verdicts, keyed by the combine's
+#: expression signature: the same agg_exprs have the same algebra, so a
+#: combine proven idempotent once needn't re-pay the probe's two small
+#: Spark jobs for every fresh sink instance (catalog queries build a new
+#: scratch sink per run — unmemoized, the probe measured ~1 s/run).
+#: Failures are never memoized: a bad combine raises on every attempt.
+_IDEMPOTENT_COMBINES: set[tuple] = set()
+
+
 class MergeAggSink(KeyedUpsertSink):
     """Keyed sketch-MERGE sink: instead of last-row-wins, each epoch's
     rows COMBINE with the stored row per key through `agg_exprs` — the
@@ -275,12 +284,15 @@ class MergeAggSink(KeyedUpsertSink):
         twins a full extra batch aggregation on their first epoch)."""
         if not self.requires_idempotent or self._idem_checked:
             return
+        sig = self._combine_signature()
+        if sig is not None and sig in _IDEMPOTENT_COMBINES:
+            self._idem_checked = True
+            return
         cols = [c for c in new.columns if c != "_bucket"]
         sample_src = new.select(cols)
         rows = sample_src.limit(16).collect()
         if not rows:
             return  # probe again on the next non-empty epoch
-        self._idem_checked = True
         sample = self.spark.createDataFrame(rows, sample_src.schema)
         doubled = self._combine(sample.unionByName(sample)).collect()
 
@@ -295,6 +307,21 @@ class MergeAggSink(KeyedUpsertSink):
                 "for additive merges (per-bucket last-applied-epoch "
                 "ledger), or fix the combine (union-truncate, max, ...)."
             )
+        self._idem_checked = True  # only on success: a bad combine raises
+        if sig is not None:        # on every epoch it is attempted with
+            _IDEMPOTENT_COMBINES.add(sig)
+
+    def _combine_signature(self) -> tuple | None:
+        """Stable per-process identity of the combine's algebra: the
+        JVM expression strings of agg_exprs + the key columns. None if
+        unavailable (e.g. a Connect session) — then the probe runs per
+        sink instance."""
+        try:
+            return tuple(c._jc.toString() for c in self.agg_exprs) + (
+                tuple(self.key_cols),
+            )
+        except Exception:
+            return None
 
     def _reduce_batch(self, batch_df: DataFrame) -> DataFrame:
         return self._combine(batch_df)
