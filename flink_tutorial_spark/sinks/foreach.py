@@ -385,6 +385,27 @@ class EpochLedgerMergeAggSink(MergeAggSink):
     def _apply_buckets(
         self, dirty: list[int], live: dict[int, str], epoch_id: int
     ) -> list[int]:
+        # Lineage guard: on a valid checkpoint lineage the only epoch
+        # that can re-deliver is the last UNCOMMITTED one, so every
+        # delivered epoch satisfies epoch_id >= ledger[b] for all
+        # buckets (equality = the replayed epoch's own partial swaps).
+        # ledger[b] > epoch_id therefore proves a NEW checkpoint (epoch
+        # ids restarted) writing into a STALE table — silently skipping
+        # every bucket would be data loss, so raise instead of merging.
+        behind = {
+            b: self._ledger_epoch(live[b])
+            for b in dirty
+            if b in live and self._ledger_epoch(live[b]) > epoch_id
+        }
+        if behind:
+            raise ValueError(
+                f"EpochLedgerMergeAggSink lineage mismatch at {self.path}: "
+                f"epoch {epoch_id} delivered but bucket ledgers are ahead "
+                f"({behind}) — a fresh checkpoint is writing into a stale "
+                "sink table. Epoch ids restart at 0 on a new checkpoint, "
+                "so a fresh checkpoint requires a fresh sink path (the "
+                "same rule as any epoch-id-keyed MERGE dedup)."
+            )
         return [
             b
             for b in dirty

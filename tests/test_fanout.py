@@ -313,7 +313,11 @@ def test_epoch_ledger_sink_accumulates_and_replay_is_noop(spark, tmp_path):
     assert _counts(sink) == expect
     sink(e1, 1)  # replay of the committed epoch
     assert _counts(sink) == expect
-    sink(e0, 0)  # stale replay (ledger far ahead)
+    # an OLDER epoch id can never re-deliver on a valid lineage (only
+    # the last uncommitted epoch replays) — the lineage guard raises
+    # instead of silently skipping, and the table is untouched
+    with pytest.raises(ValueError, match="lineage mismatch"):
+        sink(e0, 0)
     assert _counts(sink) == expect
     sink(spark.createDataFrame([("a", 100)], ["k", "c"]), 2)
     assert _counts(sink) == [("a", 111), ("b", 2), ("c", 5)]
@@ -406,3 +410,18 @@ def test_epoch_ledger_checkpoint_restart_no_double_count(spark, tmp_path):
     run_once(src_b, ck_b, sink_b)
 
     assert _counts(sink_a) == _counts(sink_b) == [("a", 11), ("b", 2), ("c", 5)]
+
+
+def test_epoch_ledger_rejects_fresh_checkpoint_on_stale_table(spark, tmp_path):
+    """The ledger's one sharp edge, ENFORCED: epoch ids restart at 0 on
+    a new checkpoint, so a fresh checkpoint writing into a previously-
+    written sink table would silently skip every bucket (the ledger is
+    ahead) — data loss. On a valid lineage no delivered epoch can be
+    STRICTLY below any bucket's ledger (only the last uncommitted epoch
+    replays), so the sink raises on that signature instead of merging."""
+    sink = _sum_sink(spark, tmp_path / "lineage")
+    e = spark.createDataFrame([("a", 1)], ["k", "c"])
+    sink(e, 5)
+    sink(e, 5)  # replay of the same epoch: fine (ledger == epoch)
+    with pytest.raises(ValueError, match="lineage mismatch"):
+        sink(e, 2)  # "fresh checkpoint" delivering an older epoch id
