@@ -188,7 +188,12 @@ def main() -> None:
     if isinstance(summary.get("staleness"), dict):
         summary["staleness"] = {
             k: summary["staleness"].get(k)
-            for k in ("as_of_round", "max_gap_rounds", "median_gap_rounds")
+            for k in (
+                "as_of_round",
+                "floor_gap_rounds",  # ceil(N/sample): max_gap == floor
+                "max_gap_rounds",    # is the rotation OPTIMUM (r14 #5)
+                "median_gap_rounds",
+            )
         }
     summary["queries"] = {n: times[n] for n in HEADLINE if n in times}
     summary["n_headline_queries"] = len(summary["queries"])

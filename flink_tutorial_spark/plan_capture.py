@@ -41,9 +41,15 @@ def enable() -> None:
 
 
 def drain() -> list[tuple[str, str]]:
-    """Return captured (label, plan) pairs since enable(); re-arms."""
+    """Return captured (label, plan) pairs since enable(); re-arms.
+
+    When capture is DISABLED this is a pure no-op returning [] — it must
+    not arm capture (ADVICE r14: a stray drain() in a long-lived process
+    would start unbounded plan-string accumulation)."""
     global _active
-    out = _active or []
+    if _active is None:
+        return []
+    out = _active
     _active = []
     return out
 

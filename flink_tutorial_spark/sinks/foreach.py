@@ -308,8 +308,32 @@ class MergeAggSink(KeyedUpsertSink):
                 "ledger), or fix the combine (union-truncate, max, ...)."
             )
         self._idem_checked = True  # only on success: a bad combine raises
-        if sig is not None:        # on every epoch it is attempted with
+        # Memoize process-wide ONLY on a non-degenerate sample: an
+        # all-zero/empty value sample is a fixed point of additive
+        # combines too (sum(0,0)=0), so it proves nothing about the
+        # algebra — memoizing it would permanently disable the guard for
+        # every later sink sharing the agg_exprs (ADVICE r14). The
+        # per-sink pass above is still safe: THIS sink's replay of THIS
+        # degenerate epoch converges either way, and a later sink with
+        # real values re-probes.
+        if sig is not None and self._probe_nondegenerate(rows):
             _IDEMPOTENT_COMBINES.add(sig)
+
+    def _probe_nondegenerate(self, rows) -> bool:
+        """True if any sampled non-key value is a nonzero number or a
+        non-empty string/collection — i.e. the idempotence probe actually
+        exercised the combine's algebra."""
+        keys = set(self.key_cols)
+        for r in rows:
+            for k, v in r.asDict().items():
+                if k in keys or v is None:
+                    continue
+                if isinstance(v, (int, float)):
+                    if v != 0:
+                        return True
+                elif v:  # non-empty str/bytes/list/dict
+                    return True
+        return False
 
     def _combine_signature(self) -> tuple | None:
         """Stable per-process identity of the combine's algebra: the
@@ -692,16 +716,30 @@ class LateSideChannel:
         return None if hi is None else hi - self.delay * 1_000_000
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        ts_us = F.unix_micros(F.col(self.ts_col))
-        if self.watermark is not None:
-            late = batch_df.where(ts_us < F.lit(self.watermark))
-            main = batch_df.where(ts_us >= F.lit(self.watermark))
-        else:
-            late = batch_df.limit(0)
-            main = batch_df
-        main.write.mode("append").parquet(self.main_path)
-        late.write.mode("append").parquet(self.late_path)
-        hi = batch_df.agg(F.max(ts_us)).collect()[0][0]
+        # persist: this splitter runs THREE actions over the raw
+        # micro-batch (late write, main write, max-ts agg) — unpersisted,
+        # a foreachBatch over a raw stream re-executes the source read
+        # per action, a 3x ingest on the one operator that by contract
+        # sits on the RAW stream (VERDICT r14 #4; run_fanout.fan is the
+        # same pattern). The other foreachBatch callables in this module
+        # are single-action (duckdb/jdbc upsert: one toPandas/one staging
+        # write; socket_writer: one collect; EventTimeHighWatermark: one
+        # agg, and its fan-out call sites read run_fanout's persisted
+        # batch) — no persist needed there.
+        batch_df.persist()
+        try:
+            ts_us = F.unix_micros(F.col(self.ts_col))
+            if self.watermark is not None:
+                late = batch_df.where(ts_us < F.lit(self.watermark))
+                main = batch_df.where(ts_us >= F.lit(self.watermark))
+            else:
+                late = batch_df.limit(0)
+                main = batch_df
+            main.write.mode("append").parquet(self.main_path)
+            late.write.mode("append").parquet(self.late_path)
+            hi = batch_df.agg(F.max(ts_us)).collect()[0][0]
+        finally:
+            batch_df.unpersist()
         if hi is not None:
             candidate = hi - self.delay * 1_000_000
             if self.watermark is None or candidate > self.watermark:

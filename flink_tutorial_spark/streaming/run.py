@@ -113,6 +113,26 @@ def run_to_memory_many(
     return [spark.table(name) for name in names]
 
 
+def fanout_sink_root(checkpoint: str) -> str:
+    """The sink root PAIRED with a checkpoint location — a directory
+    under the checkpoint dir itself, so checkpoint lineage and sink
+    state share ONE lifetime by construction (VERDICT r14 #3): a fresh
+    checkpoint necessarily starts with fresh, empty sink tables, which
+    makes the epoch-ledger lineage guard
+    (sinks/foreach.py EpochLedgerMergeAggSink._apply_buckets: "a new
+    checkpoint restarts epoch ids at 0, so it must not write into a
+    stale sink table") unconstructible in idiomatic use — and deleting
+    a checkpoint to start over deletes its sinks with it. Spark's
+    checkpoint machinery touches only its own subdirs
+    (offsets/commits/state/sources/metadata), so a sibling ``sinks/``
+    directory is inert to it. Pass names for per-sink tables:
+    ``EpochLedgerMergeAggSink(spark, os.path.join(
+    fanout_sink_root(ckpt), "hourly_counts"), ...)``."""
+    root = os.path.join(checkpoint, "sinks")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def run_fanout(
     out: DataFrame,
     sinks: list,

@@ -425,3 +425,82 @@ def test_epoch_ledger_rejects_fresh_checkpoint_on_stale_table(spark, tmp_path):
     sink(e, 5)  # replay of the same epoch: fine (ledger == epoch)
     with pytest.raises(ValueError, match="lineage mismatch"):
         sink(e, 2)  # "fresh checkpoint" delivering an older epoch id
+
+
+def test_idempotence_probe_not_memoized_on_degenerate_sample(spark, tmp_path):
+    """ADVICE r14: an all-zero value sample is a fixed point of additive
+    combines too (sum(0,0)=0) — it must pass THIS sink's probe (the
+    replay of a degenerate epoch converges either way) but must NOT
+    memoize the combine signature process-wide, or a later sink with the
+    same agg_exprs and real values would skip the guard entirely."""
+    agg = lambda: [F.sum("c").cast("long").alias("c")]  # noqa: E731
+    degenerate = MergeAggSink(
+        spark, str(tmp_path / "zeros"), key_cols=["k"], agg_exprs=agg(),
+        n_buckets=4,
+    )
+    degenerate(spark.createDataFrame([("a", 0), ("b", 0)], ["k", "c"]), 0)
+    assert degenerate._idem_checked  # per-sink pass stands
+    live = MergeAggSink(
+        spark, str(tmp_path / "real"), key_cols=["k"], agg_exprs=agg(),
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="not idempotent"):
+        live(spark.createDataFrame([("a", 1), ("a", 2)], ["k", "c"]), 0)
+
+
+def test_fanout_sink_root_pairs_checkpoint_and_sink_lineage(spark, tmp_path):
+    """VERDICT r14 #3: deriving sink tables from the checkpoint location
+    makes the epoch-ledger lineage guard unconstructible in idiomatic
+    use — a FRESH checkpoint gets fresh (empty) sink tables, so epoch
+    ids restarting at 0 can never meet a ledger that is ahead. A
+    manually mismatched pair (fresh checkpoint, stale table) still
+    raises."""
+    import os as _os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tutorial_spark.streaming.run import fanout_sink_root, run_fanout
+
+    schema = pa.schema([("k", pa.string()), ("c", pa.int64())])
+
+    def write_file(src, idx, rows):
+        _os.makedirs(src, exist_ok=True)
+        pdf = pd.DataFrame(rows, columns=["k", "c"])
+        p = f"{src}/b{idx:03d}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), p
+        )
+        _os.utime(p, (1_600_000_000 + idx, 1_600_000_000 + idx))
+
+    def run_once(src, ck, sink):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("k string, c long")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        run_fanout(stream, [sink], checkpoint=ck, available_now=True)
+
+    src = str(tmp_path / "src")
+    write_file(src, 0, [("a", 1), ("b", 2)])
+    write_file(src, 1, [("a", 10)])  # same key again: ledger(bucket a)=1
+
+    ck1 = str(tmp_path / "ck1")
+    sink1 = _sum_sink(spark, _os.path.join(fanout_sink_root(ck1), "cells"))
+    run_once(src, ck1, sink1)
+    assert _counts(sink1) == [("a", 11), ("b", 2)]
+
+    # start over, idiomatically: new checkpoint -> derived root -> fresh
+    # table. Epochs restart at 0 and never trip the guard.
+    ck2 = str(tmp_path / "ck2")
+    sink2 = _sum_sink(spark, _os.path.join(fanout_sink_root(ck2), "cells"))
+    run_once(src, ck2, sink2)
+    assert _counts(sink2) == [("a", 11), ("b", 2)]
+
+    # the mismatch the helper exists to prevent: fresh checkpoint, STALE
+    # sink table — epoch 0 delivered against ledger 1 must still raise
+    ck3 = str(tmp_path / "ck3")
+    with pytest.raises(Exception, match="lineage mismatch"):
+        run_once(src, ck3, sink1)

@@ -481,3 +481,18 @@ def test_plan_capture_sees_through_materialization(spark, sf_dir):
 
     # disabled by default: hooks are no-ops and nothing leaks
     assert not plan_capture.enabled()
+
+
+def test_plan_capture_drain_is_noop_when_disabled():
+    """ADVICE r14: drain() on a DISABLED registry must return [] without
+    arming capture — a stray drain() in a long-lived process would
+    otherwise start unbounded plan-string accumulation."""
+    from flink_tutorial_spark import plan_capture
+
+    plan_capture.disable()
+    assert plan_capture.drain() == []
+    assert not plan_capture.enabled()
+    # and the hooks stay no-ops
+    plan_capture.capture_text("some plan", "label")
+    assert plan_capture.drain() == []
+    assert not plan_capture.enabled()

@@ -2069,3 +2069,47 @@ def test_crash_recovery_quantile_fold_state(spark, tmp_path):
     assert got == [
         (T0.to_pydatetime(), "x", 1, [210, 256], [3, 1]),
     ]
+
+
+def test_late_side_channel_reads_batch_once(spark, tmp_path):
+    """VERDICT r14 #4: the splitter runs three actions over the raw
+    micro-batch (late write, main write, max-ts agg) — it must persist
+    the batch so the upstream computes ONCE per epoch, not 3x (at 100 TB
+    an unpersisted foreachBatch over the raw stream re-reads the source
+    per action). Pinned with an accumulator in a pass-through
+    mapInPandas: cache hits skip the Python stage, so the count equals
+    rows-computed, not rows-referenced."""
+    from flink_tutorial_spark.sinks.foreach import LateSideChannel
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    cols = ["ts", "key", "user", "kind", "value"]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols), schema=EVENT_SCHEMA
+        ).mapInPandas(counting, EVENT_SCHEMA)
+
+    rows = [_row(0), _row(100), _row(50), _row(200)]
+    batch = mk(rows)
+    ch = LateSideChannel(spark, str(tmp_path / "out"), "ts", delay_seconds=10)
+    ch(batch, 0)
+    n0 = acc.value
+    assert n0 == len(rows), f"epoch 0 computed rows {n0}x, expected 1x"
+    # second epoch, watermark now set: late + main + agg all read cache
+    batch2 = mk([_row(95), _row(10), _row(300)])
+    ch(batch2, 1)
+    assert acc.value - n0 == 3, (
+        f"epoch 1 computed {acc.value - n0} rows for a 3-row batch — "
+        "the batch is being re-executed per action"
+    )
+    mains = sorted((r.ts - T0).total_seconds() for r in ch.main().collect())
+    lates = sorted((r.ts - T0).total_seconds() for r in ch.late().collect())
+    # epoch-0 watermark = 200 - 10 = 190: 95 and 10 are both late
+    assert mains == [0.0, 50.0, 100.0, 200.0, 300.0]
+    assert lates == [10.0, 95.0]

@@ -58,7 +58,10 @@ COUNTS = {
     "python": r"^\(\d+\) BatchEvalPython",
     "arrow": r"^\(\d+\) (?:ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)",
     "generate": r"^\(\d+\) Generate",
-    "window": r"^\(\d+\) Window",
+    # whole-token: "Window" must not also count WindowGroupLimit (the
+    # Spark 3.5+ top-k pushdown node — censused separately; ADVICE r14)
+    "window": r"^\(\d+\) Window(?![A-Za-z])",
+    "windowgrouplimit": r"^\(\d+\) WindowGroupLimit",
     "agg": r"^\(\d+\) (?:HashAggregate|SortAggregate|ObjectHashAggregate)",
 }
 
@@ -82,9 +85,19 @@ TREE_NODES = {
     ),
     "generate": ("Generate",),
     "window": ("Window",),
+    "windowgrouplimit": ("WindowGroupLimit",),
     "agg": ("HashAggregate", "SortAggregate", "ObjectHashAggregate"),
-    "state": ("StateStoreSave", "StateStoreRestore", "SessionWindowStateStore"),
+    "state": (
+        "StateStoreSave",
+        "StateStoreRestore",
+        "SessionWindowStateStoreSave",
+        "SessionWindowStateStoreRestore",
+    ),
 }
+
+#: node-token -> census key, inverted from TREE_NODES for whole-token
+#: lookup (prefix matching counted WindowGroupLimit as Window; ADVICE r14)
+_TREE_TOKEN = {n: k for k, names in TREE_NODES.items() for n in names}
 
 
 def audit(plan: str) -> dict:
@@ -97,16 +110,16 @@ def audit(plan: str) -> dict:
 
 def audit_tree(plan: str) -> dict:
     """Census of a TREE-format plan (simple/explainInternal mode):
-    strip the tree glyphs / codegen star per line, then prefix-match
-    the node name."""
+    strip the tree glyphs / codegen star per line, then match the node's
+    WHOLE first token (not a prefix) against the census names."""
     row: dict[str, int] = {}
     wscg = set(re.findall(r"\*\((\d+)\)", plan))
     for line in plan.splitlines():
         node = re.sub(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?", "", line)
-        for k, names in TREE_NODES.items():
-            if node.startswith(names):
-                row[k] = row.get(k, 0) + 1
-                break
+        m = re.match(r"[A-Za-z]+", node)
+        k = _TREE_TOKEN.get(m.group(0)) if m else None
+        if k:
+            row[k] = row.get(k, 0) + 1
     if wscg:
         row["wscg_spans"] = len(wscg)
     return row
@@ -167,6 +180,24 @@ class _StreamProbe:
         assert probe is self
 
 
+def _settle_listener(listener, timeout: float = 8.0) -> None:
+    """Wait until the async listener's run/batch snapshot goes stable —
+    called before snapshotting prior_runs after a query that went live
+    (ADVICE r14: a straggler progress event from the PREVIOUS query
+    landing after the snapshot misclassifies the next batch query as
+    streaming and hands it the other query's runs/state_ops)."""
+    import time
+
+    last = None
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        cur = {r: frozenset(b) for r, b in listener.batches.items()}
+        if cur == last:
+            return
+        last = cur
+        time.sleep(0.3)
+
+
 def main() -> None:
     import time
 
@@ -177,7 +208,41 @@ def main() -> None:
     probe = _StreamProbe()
     spark.streams.addListener(probe.listener)
     plan_capture.enable()
+    prev_live = False
+    try:
+        _audit_loop(spark, sf_dir, out, errs, probe, prev_live)
+    finally:
+        # an unexpected error must not leave capture armed (unbounded
+        # accumulation in a long-lived process) or the listener attached
+        plan_capture.disable()
+        spark.streams.removeListener(probe.listener)
+    path = os.path.join(REPO, "PLAN_AUDIT.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    n_stream = sum(1 for r in out.values() if "streaming_queries" in r)
+    tot = {
+        k: sum(r.get(k, 0) for r in out.values() if "streaming_queries" not in r)
+        for k in COUNTS
+    }
+    print(
+        json.dumps(
+            {
+                "n_batch_queries": len(out) - n_stream,
+                "n_streaming_queries": n_stream,
+                "errors": errs,
+                "totals": tot,
+            }
+        )
+    )
+
+
+def _audit_loop(spark, sf_dir, out, errs, probe, prev_live) -> None:
+    import time
+
     for name in sorted(plans.REGISTRY):
+        if prev_live:  # drain the previous live query's stragglers first
+            _settle_listener(probe.listener)
         prior_runs = set(probe.listener.batches)
         plan_capture.drain()  # isolate this query's captures
         try:
@@ -185,6 +250,7 @@ def main() -> None:
             plan = _plan_str(spark, df)
         except Exception as e:
             errs.append((name, str(e)[:120]))
+            prev_live = True  # a failed fn() may still have gone live
             continue
         captures = plan_capture.drain()
         # LIVE detection is by behavior, not name prefix (r13 blind spot:
@@ -194,6 +260,7 @@ def main() -> None:
         streaming = any(lbl.startswith("stream:") for lbl, _ in captures) or any(
             r not in prior_runs for r in probe.listener.batches
         )
+        prev_live = streaming
         # full-lineage census: merge the final plan with every captured
         # pre-truncation plan (localCheckpoint bodies, scratch writes,
         # sink merges, executed micro-batch plans)
@@ -239,27 +306,6 @@ def main() -> None:
             },
             **row_extra,
         )
-    plan_capture.disable()
-    spark.streams.removeListener(probe.listener)
-    path = os.path.join(REPO, "PLAN_AUDIT.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
-        f.write("\n")
-    n_stream = sum(1 for r in out.values() if "streaming_queries" in r)
-    tot = {
-        k: sum(r.get(k, 0) for r in out.values() if "streaming_queries" not in r)
-        for k in COUNTS
-    }
-    print(
-        json.dumps(
-            {
-                "n_batch_queries": len(out) - n_stream,
-                "n_streaming_queries": n_stream,
-                "errors": errs,
-                "totals": tot,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -94,7 +94,26 @@ def _catalog(repo: str) -> list[str]:
         return []
 
 
+def _latest_sample_size(repo: str) -> int:
+    """Row count of the most recent CORRECTNESS_r*.json — the driver's
+    per-round sample size (50 as of r14)."""
+    best_rnd, best_n = 0, 0
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_rnd:
+            continue
+        try:
+            data = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            best_rnd, best_n = int(m.group(1)), len(data)
+    return best_n
+
+
 def staleness_summary(repo: str = REPO, n_stalest: int = 10) -> dict:
+    import math
+
     last, cur = last_green_rounds(repo)
     catalog = _catalog(repo) or sorted(last)
     gaps = {n: (cur - last[n]) if n in last else -1 for n in catalog}
@@ -104,9 +123,17 @@ def staleness_summary(repo: str = REPO, n_stalest: int = 10) -> dict:
     stalest = sorted(
         (n for n in gaps if gaps[n] >= 0), key=lambda n: (-gaps[n], n)
     )[:n_stalest]
+    # Rotation floor (VERDICT r14 #5): an N-name catalog re-verified by
+    # an S-query/round sample has a rotation period of ceil(N/S) rounds,
+    # so max_gap == floor is the arithmetic OPTIMUM, not staleness —
+    # adjudicate max_gap against this, not an absolute number.
+    sample = _latest_sample_size(repo)
+    floor = math.ceil(len(catalog) / sample) if sample else 0
     return {
         "as_of_round": cur,
         "n_catalog": len(catalog),
+        "sample_size": sample,
+        "floor_gap_rounds": floor,
         "max_gap_rounds": max(seen) if seen else 0,
         "median_gap_rounds": med,
         "never_checked": never,
