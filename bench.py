@@ -138,6 +138,18 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "catalog_total_sec": round(sum(times.values()), 3),
+        # COMPARISON FIXTURES (tags=("...","fixture")): two-pipeline /
+        # engine-side twins kept to prove engine mechanisms their
+        # one-pass siblings can't state — NOT deployment shapes. Their
+        # cost is tagged out so the catalog total stays interpretable
+        # (VERDICT r14 #6; growth policy in ROADMAP).
+        "fixture_queries": sorted(
+            n for n, s in plans.REGISTRY.items() if "fixture" in s.tags
+        ),
+        "fixture_total_sec": round(
+            sum(t for n, t in times.items()
+                if "fixture" in plans.REGISTRY[n].tags), 3
+        ),
         "n_queries": len(times),
         "sf": float(sf),
         "runs": raw_runs,

@@ -188,9 +188,13 @@ def bucketed_nn(
 def sign_lsh_bucket(vec_col, bit_dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57)) -> F.Column:
     """Axis-aligned sign-LSH bucket id: one bit per probed dimension.
 
-    element_at is 1-indexed, matching the SQL oracle's list indexing."""
+    element_at is 1-indexed, matching the SQL oracle's list indexing.
+    try_element_at: a vector shorter than the probed dimension gets a 0
+    bit (NULL > 0 is false) instead of an ANSI out-of-bounds error —
+    deterministic, and it matches DuckDB's out-of-range list index
+    returning NULL."""
     bits = [
-        F.when(F.element_at(vec_col, d) > 0, F.lit(1 << i)).otherwise(0)
+        F.when(F.try_element_at(vec_col, F.lit(d)) > 0, F.lit(1 << i)).otherwise(0)
         for i, d in enumerate(bit_dims)
     ]
     out = bits[0]
@@ -199,25 +203,47 @@ def sign_lsh_bucket(vec_col, bit_dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 
     return out.cast("int")
 
 
-def lsh_topk(
+def lsh_index(
     vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bit_dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
+) -> DataFrame:
+    """The PERSISTED form of the sign-LSH index: (id, bucket, vector).
+
+    The bucket is a pure per-row function of the vector, so index rows
+    are idempotent under re-insertion — exactly what lets the index be
+    maintained incrementally by a keyed-overwrite sink on ingest
+    (streaming_ann_ingest) with no extra replay machinery."""
+    return vectors.select(
+        F.col(id_col),
+        sign_lsh_bucket(F.col(vec_col), bit_dims).alias("bucket"),
+        F.col(vec_col),
+    )
+
+
+def lsh_topk_from_index(
+    index: DataFrame,
     queries: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bit_dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
+    nbits: int = 8,
     probe_radius: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket(s). With probe_radius=1 the query side also probes every
+    """Approximate top-k answered from a PREBUILT (id, bucket, vector)
+    index table — the read side of the ingest-time ANN index. `queries`
+    must carry the same three columns (typically a filter of the index
+    itself). With probe_radius=1 the query side also probes every
     bucket at hamming distance 1 (multi-probe LSH) — the standard
     recall/cost dial: b bits cut candidates to ~N/2^b per probe, and
     (1 + b) probes recover most neighbors lost to a single flipped bit.
 
-    At scale the join is a co-partitioned equi-join on bucket; only the
-    (small) query side is exploded per probe and broadcast."""
-    nbits = len(bit_dims)
-    q_bucket = sign_lsh_bucket(F.col(vec_col), bit_dims)
+    At scale the join is a co-partitioned equi-join on bucket (the
+    KeyedUpsertSink table is hash-bucketed BY the LSH bucket, so the
+    probe reads only matching table buckets); only the (small) query
+    side is exploded per probe and broadcast."""
+    q_bucket = F.col("bucket")
     probes = [q_bucket]
     if probe_radius >= 1:
         probes += [q_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
@@ -226,10 +252,10 @@ def lsh_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
-    v = vectors.select(
+    v = index.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
-        sign_lsh_bucket(F.col(vec_col), bit_dims).alias("bucket"),
+        "bucket",
     )
     scored = (
         v.join(F.broadcast(q), "bucket")
@@ -244,3 +270,26 @@ def lsh_topk(
     return top_n_per_group(
         scored, ["query_id"], "cosine", k, tiebreak_cols=["neighbor_id"]
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bit_dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
+    probe_radius: int = 0,
+) -> DataFrame:
+    """Approximate top-k with the index built inline from the vectors —
+    the one-shot batch shape; lsh_topk_from_index is the same query over
+    a persisted (ingest-maintained) index."""
+    return lsh_topk_from_index(
+        lsh_index(vectors, id_col, vec_col, bit_dims),
+        lsh_index(queries, id_col, vec_col, bit_dims),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        nbits=len(bit_dims),
+        probe_radius=probe_radius,
+    )

@@ -1023,7 +1023,7 @@ FROM c WHERE rk = 2
 @query(
     "streaming_adclick_blacklist",
     oracle=_ADCLICK_ORACLE,
-    tags=("streaming", "cep", "business", "side-output"),
+    tags=("streaming", "cep", "business", "side-output", "fixture"),
 )
 def streaming_adclick_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ad-click blacklist LIVE with its side-output warning channel —
@@ -2290,7 +2290,7 @@ def _cm_report(exact: DataFrame, cells: DataFrame, rows_df: DataFrame) -> DataFr
 @query(
     "streaming_freq_cm",
     oracle=_CM_LIVE_ORACLE,
-    tags=("streaming", "approx", "sketch", "measurement"),
+    tags=("streaming", "approx", "sketch", "measurement", "fixture"),
 )
 def streaming_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch LIVE — the frequency sibling of
@@ -2421,7 +2421,7 @@ from flink_tutorial_spark.plans.queries_patterns import (  # noqa: E402
         f"WITH {_QSKETCH_BUCKETS_SQL}, {_QSKETCH_EST_SQL} "
         "SELECT event_type, n, p50_est, p95_est, p99_est FROM est"
     ),
-    tags=("streaming", "approx", "sketch"),
+    tags=("streaming", "approx", "sketch", "fixture"),
 )
 def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch LIVE — the quantile sibling of streaming_uv_kmv
@@ -2656,7 +2656,7 @@ assert _KMV_TRAILING_LIVE_ORACLE != _KMV_TRAILING_ORACLE
 @query(
     "streaming_uv_kmv_trailing",
     oracle=_KMV_TRAILING_LIVE_ORACLE,
-    tags=("streaming", "approx", "sketch", "window"),
+    tags=("streaming", "approx", "sketch", "window", "fixture"),
 )
 def streaming_uv_kmv_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day UV from LIVE-maintained daily KMV cells — the
@@ -2754,7 +2754,7 @@ assert _HLL_LIVE_ORACLE != _REG["uv_hll_registers"].oracle
 @query(
     "streaming_uv_hll_registers",
     oracle=_HLL_LIVE_ORACLE,
-    tags=("streaming", "approx", "sketch"),
+    tags=("streaming", "approx", "sketch", "fixture"),
 )
 def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE HyperLogLog registers — the streaming member that completes
@@ -3281,3 +3281,74 @@ def streaming_quantile_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_estimate(merged, "event_type", "day").select(
         "event_type", "day", "n", "p50_est", "p95_est", "p99_est"
     )
+
+
+# The ingest-time ANN index answers the SAME question as the batch
+# similarity_ann_lsh (same oracle — queries_datapipe registers first via
+# plans/__init__): hash-exactness proves the incrementally-built index
+# is the batch index.
+from flink_tutorial_spark.plans.catalog import REGISTRY as _REGISTRY  # noqa: E402
+
+_ANN_LSH_ORACLE = _REGISTRY["similarity_ann_lsh"].oracle
+
+
+@query(
+    "streaming_ann_ingest",
+    oracle=_ANN_LSH_ORACLE,
+    tags=("streaming", "datapipe", "similarity"),
+)
+def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME ANN INDEX (VERDICT r14 #2) — the similarity side of
+    the one-pass ingest topology, completing what the dedup registry
+    (streaming_dedup_registry_onepass) proved for fingerprints: vectors
+    stream in ONCE, and each micro-batch MERGEs its rows into the
+    persisted sign-LSH index — a KeyedUpsertSink keyed by vec_id whose
+    stored row is (vec_id, bucket, embedding). The bucket is a pure
+    per-row function of the vector (operators/similarity.lsh_index), so
+    index maintenance is keyed overwrite: idempotent, replay-safe on
+    epoch re-delivery, no new sink machinery (the contract VERDICT r14
+    predicted). The table is hash-bucketed BY the LSH bucket, so a
+    probe at read time touches only the table buckets its LSH bucket
+    maps to — "index the corpus as it lands", then answer ANN queries
+    from the index without ever re-scanning the corpus.
+
+    The returned answer is lsh_topk_from_index over the converged
+    index: top-3 cosine neighbors for the 20 query vectors, candidates
+    restricted to the query's bucket. Oracle = the EXACT batch
+    similarity_ann_lsh SQL — hash-exactness proves the
+    incrementally-built index answers identically to an index built by
+    one batch pass (any batching: the sink converges per key).
+
+    Scale shape (100 TB): ingest is the proven 1x-scan fan-out
+    (tests/test_fanout.py pins one streaming query, sum(numInputRows)
+    == corpus); epoch cost is proportional to the batch's dirty table
+    buckets, never the index size; the read-side join is a
+    co-partitioned equi-join on bucket with only the exploded query
+    side broadcast. Reference analog: the reference keeps no ANN
+    index; this extends its keyed-state-on-ingest pattern
+    (day07 state demos) to the LLM-pipeline brief's similarity
+    surface."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.similarity import (
+        lsh_index,
+        lsh_topk_from_index,
+    )
+    from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+    from flink_tutorial_spark.streaming.run import run_fanout
+
+    vecs = stream_table(spark, sf_dir, "embeddings")
+    index = KeyedUpsertSink(
+        spark,
+        os.path.join(_scratch_dir(), "lsh_index"),
+        key_cols=["vec_id"],
+        n_buckets=16,
+        bucket_cols=["bucket"],  # co-locate same-LSH-bucket vectors
+    )
+
+    def index_sink(bdf: DataFrame, eid: int) -> None:
+        index(lsh_index(bdf), eid)
+
+    run_fanout(vecs, [index_sink])
+
+    idx = index.read().select("vec_id", "bucket", "embedding")
+    return lsh_topk_from_index(idx, idx.where(F.col("vec_id") < 20), k=3)
