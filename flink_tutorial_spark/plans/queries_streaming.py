@@ -3308,8 +3308,10 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index maintenance is keyed overwrite: idempotent, replay-safe on
     epoch re-delivery, no new sink machinery (the contract VERDICT r14
     predicted). The table is hash-bucketed BY the LSH bucket, so a
-    probe at read time touches only the table buckets its LSH bucket
-    maps to — "index the corpus as it lands", then answer ANN queries
+    point probe reads only the table buckets its LSH values hash into
+    (sink.read_buckets — the manual twin of partition pruning; this
+    query's 20-vector probe spans most buckets, so it uses the full
+    read) — "index the corpus as it lands", then answer ANN queries
     from the index without ever re-scanning the corpus.
 
     The returned answer is lsh_topk_from_index over the converged

@@ -213,6 +213,28 @@ class KeyedUpsertSink:
             raise FileNotFoundError(f"empty keyed table at {self.path}")
         return self.spark.read.parquet(*paths)
 
+    def read_buckets(self, values: DataFrame) -> DataFrame:
+        """Read ONLY the table buckets that `values` rows (carrying the
+        sink's bucket_cols) hash into — the point-probe read path: a
+        lookup touching k bucket values opens <= k of the table's
+        n_buckets directories instead of the whole table (the manual
+        twin of lakehouse partition pruning; the ANN index uses it so a
+        query probes just its LSH bucket's files). The bucket ids come
+        from the same Spark-side hash expression the writer used, so
+        reader and writer can never disagree on placement; the collect
+        is <= n_buckets ints."""
+        ids = sorted(
+            r[0]
+            for r in values.select(self._bucket_expr().alias("_b"))
+            .distinct()
+            .collect()
+        )
+        live = self._live_bucket_paths()
+        paths = [live[b] for b in ids if b in live]
+        if not paths:
+            return self.read().limit(0)
+        return self.spark.read.parquet(*paths)
+
 
 #: process-wide idempotence-probe verdicts, keyed by the combine's
 #: expression signature: the same agg_exprs have the same algebra, so a

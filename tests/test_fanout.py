@@ -614,3 +614,56 @@ def test_ann_index_checkpoint_restart_equals_uninterrupted(spark, tmp_path):
         )
 
     assert topk(sink_a) == topk(sink_b)
+
+
+def test_read_buckets_point_probe_reads_subset_and_agrees(spark, tmp_path):
+    """read_buckets (the point-probe read path) must return exactly the
+    full table's rows for the probed bucket values while opening only
+    the matching bucket directories — the manual twin of partition
+    pruning that makes an ANN point lookup touch its LSH bucket's files
+    only."""
+    from flink_tutorial_spark.operators.similarity import (
+        lsh_index,
+        lsh_topk_from_index,
+    )
+    from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(
+        spark, str(tmp_path / "idx"), key_cols=["vec_id"], n_buckets=8,
+        bucket_cols=["bucket"],
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(64)])
+        for i in range(200)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sink(lsh_index(vecs), 0)
+
+    q = lsh_index(vecs.where("vec_id < 3"))
+    sub = sink.read_buckets(q)
+    # agreement: the subset contains every index row of the probed
+    # buckets (join answers are identical to a full-table read)
+    full_ans = sorted(
+        tuple(r)
+        for r in lsh_topk_from_index(
+            sink.read().select("vec_id", "bucket", "embedding"), q, k=3
+        ).collect()
+    )
+    sub_ans = sorted(
+        tuple(r)
+        for r in lsh_topk_from_index(
+            sub.select("vec_id", "bucket", "embedding"), q, k=3
+        ).collect()
+    )
+    assert full_ans == sub_ans and len(full_ans) > 0
+    # and it actually pruned: the probe opened at most 3 of the 8 table
+    # bucket dirs, so the subset is a strict subset of the table
+    ids = {
+        r[0]
+        for r in q.select(sink._bucket_expr().alias("b")).distinct().collect()
+    }
+    assert len(ids) <= 3
+    assert 0 < sub.count() < sink.read().count()

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Scale evidence for the ingest-time ANN index (VERDICT r14 #2 /
+SCALING.md r15): synthesizes an embedding corpus far beyond the testdata
+SFs, streams it through streaming_ann_ingest's exact topology
+(file micro-batches -> run_fanout -> KeyedUpsertSink keyed by vec_id,
+hash-bucketed BY the LSH bucket), and measures
+
+1. scan multiple: one streaming query, sum(numInputRows) == corpus
+   (the 1x-ingest claim, same listener protocol as profile_onepass.py);
+2. incremental epoch cost: after the corpus has landed, a 1% update
+   batch's epoch wall vs rebuilding the index from the full corpus —
+   the reason the index is MAINTAINED on ingest rather than re-derived
+   per batch at 100 TB;
+3. read-side probe: lsh_topk_from_index over the converged index for a
+   20-vector query set.
+
+Usage: python tools/profile_ann_ingest.py [n_vectors] [dim] [n_files]
+Defaults 100_000 x 64 x 10. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from flink_tutorial_spark.operators.dedup import _scratch_dir  # noqa: E402
+from flink_tutorial_spark.operators.similarity import (  # noqa: E402
+    lsh_index,
+    lsh_topk_from_index,
+)
+from flink_tutorial_spark.session import get_spark  # noqa: E402
+from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink  # noqa: E402
+from flink_tutorial_spark.streaming.run import run_fanout  # noqa: E402
+
+
+def synth(src: str, n: int, dim: int, n_files: int, seed: int = 7) -> None:
+    os.makedirs(src, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    per = n // n_files
+    for i in range(n_files):
+        ids = np.arange(i * per, (i + 1) * per, dtype=np.int64)
+        vecs = rng.standard_normal((per, dim)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+        p = f"{src}/b{i:03d}.parquet"
+        pq.write_table(t, p)
+        os.utime(p, (1_600_000_000 + i, 1_600_000_000 + i))
+
+
+class _Probe:
+    def __init__(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class L(StreamingQueryListener):
+            def __init__(self):
+                self.rows = {}
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                self.rows[(str(p.id), p.batchId)] = p.numInputRows
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.listener = L()
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("annprof", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    base = _scratch_dir()
+    src = os.path.join(base, "src")
+    synth(src, n, dim, n_files)
+
+    def stream():
+        return (
+            spark.readStream.format("parquet")
+            .schema(f"vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+
+    sink = KeyedUpsertSink(
+        spark,
+        os.path.join(base, "idx"),
+        key_cols=["vec_id"],
+        n_buckets=64,
+        bucket_cols=["bucket"],
+    )
+    probe = _Probe()
+    spark.streams.addListener(probe.listener)
+    ck = os.path.join(base, "ck")
+    t0 = time.perf_counter()
+    run_fanout(
+        stream(), [lambda b, e: sink(lsh_index(b), e)],
+        checkpoint=ck, available_now=True,
+    )
+    build_s = time.perf_counter() - t0
+    deadline = time.time() + 20
+    last = None
+    while time.time() < deadline:
+        cur = dict(probe.listener.rows)
+        if cur and cur == last:
+            break
+        last = cur
+        time.sleep(1.0)
+    spark.streams.removeListener(probe.listener)
+    n_queries = len({q for q, _ in probe.listener.rows})
+    ingested = sum(probe.listener.rows.values())
+
+    # incremental epoch: 1% of the corpus re-embedded, delivered as one
+    # new file on the SAME checkpoint lineage
+    n_upd = max(n // 100, 1)
+    synth(os.path.join(base, "upd"), n_upd, dim, 1, seed=11)
+    os.rename(
+        os.path.join(base, "upd", "b000.parquet"),
+        os.path.join(src, f"b{n_files:03d}.parquet"),
+    )
+    os.utime(
+        os.path.join(src, f"b{n_files:03d}.parquet"),
+        (1_600_000_000 + n_files, 1_600_000_000 + n_files),
+    )
+    t0 = time.perf_counter()
+    run_fanout(
+        stream(), [lambda b, e: sink(lsh_index(b), e)],
+        checkpoint=ck, available_now=True,
+    )
+    update_s = time.perf_counter() - t0
+
+    # the rebuild alternative the incremental epoch replaces: index the
+    # FULL corpus again as one batch pass (write the same keyed table)
+    rebuild_sink = KeyedUpsertSink(
+        spark,
+        os.path.join(base, "idx_rebuild"),
+        key_cols=["vec_id"],
+        n_buckets=64,
+        bucket_cols=["bucket"],
+    )
+    corpus = spark.read.parquet(src)
+    t0 = time.perf_counter()
+    rebuild_sink(lsh_index(corpus), 0)
+    rebuild_s = time.perf_counter() - t0
+
+    # read side: top-3 for 20 queries from the converged index
+    idx = sink.read().select("vec_id", "bucket", "embedding")
+    t0 = time.perf_counter()
+    got = lsh_topk_from_index(idx, idx.where("vec_id < 20"), k=3).count()
+    probe_s = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "dim": dim,
+                "n_files": n_files,
+                "streaming_queries": n_queries,
+                "rows_ingested": ingested,
+                "scan_multiple": round(ingested / n, 3),
+                "build_s": round(build_s, 2),
+                "update_1pct_s": round(update_s, 2),
+                "rebuild_full_s": round(rebuild_s, 2),
+                "index_rows": idx.count(),
+                "probe_topk_s": round(probe_s, 2),
+                "topk_rows": got,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
