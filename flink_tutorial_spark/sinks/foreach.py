@@ -344,18 +344,28 @@ class MergeAggSink(KeyedUpsertSink):
     def _probe_nondegenerate(self, rows) -> bool:
         """True if any sampled non-key value is a nonzero number or a
         non-empty string/collection — i.e. the idempotence probe actually
-        exercised the combine's algebra."""
+        exercised the combine's algebra. Collections recurse: an
+        all-zeros array is degenerate too (element-wise add has the same
+        zero fixed point a scalar sum does)."""
+
+        def live(v) -> bool:
+            if v is None:
+                return False
+            if isinstance(v, (int, float)):
+                return v != 0
+            if isinstance(v, (list, tuple, set)):
+                return any(live(x) for x in v)
+            if isinstance(v, dict):
+                return any(live(x) for x in v.values())
+            return bool(v)  # non-empty str/bytes/Row/...
+
         keys = set(self.key_cols)
-        for r in rows:
-            for k, v in r.asDict().items():
-                if k in keys or v is None:
-                    continue
-                if isinstance(v, (int, float)):
-                    if v != 0:
-                        return True
-                elif v:  # non-empty str/bytes/list/dict
-                    return True
-        return False
+        return any(
+            live(v)
+            for r in rows
+            for k, v in r.asDict().items()
+            if k not in keys
+        )
 
     def _combine_signature(self) -> tuple | None:
         """Stable per-process identity of the combine's algebra: the

@@ -667,3 +667,31 @@ def test_read_buckets_point_probe_reads_subset_and_agrees(spark, tmp_path):
     }
     assert len(ids) <= 3
     assert 0 < sub.count() < sink.read().count()
+
+
+def test_idempotence_probe_degeneracy_recurses_into_arrays(spark, tmp_path):
+    """An all-zeros ARRAY sample is degenerate too (element-wise add has
+    the same zero fixed point a scalar sum does): it must not memoize,
+    so a later sink with the same combine and live values still probes."""
+    agg = lambda: [  # noqa: E731  — element-wise add via zip_with
+        F.aggregate(
+            F.collect_list("xs"),
+            F.expr("array(0, 0)"),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("xs")
+    ]
+    zeros = MergeAggSink(
+        spark, str(tmp_path / "z"), key_cols=["k"], agg_exprs=agg(),
+        n_buckets=4,
+    )
+    zeros(spark.createDataFrame([("a", [0, 0])], "k string, xs array<int>"), 0)
+    assert zeros._idem_checked
+    live = MergeAggSink(
+        spark, str(tmp_path / "l"), key_cols=["k"], agg_exprs=agg(),
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="not idempotent"):
+        live(
+            spark.createDataFrame([("a", [1, 2])], "k string, xs array<int>"),
+            0,
+        )
