@@ -137,6 +137,13 @@ def main() -> None:
     }
     if "staleness" in base:
         out["staleness"] = base["staleness"]
+    # fixture tagging (r15): recompute the subtotal from the MERGED mins
+    # so the committed artifact carries it like a direct bench run does
+    if "fixture_queries" in base:
+        out["fixture_queries"] = base["fixture_queries"]
+        out["fixture_total_sec"] = round(
+            sum(times[n] for n in base["fixture_queries"] if n in times), 3
+        )
     path = os.path.join(REPO, "BENCH_FULL_local.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
