@@ -96,7 +96,7 @@ def main() -> None:
     def stream():
         return (
             spark.readStream.format("parquet")
-            .schema(f"vec_id long, embedding array<float>")
+            .schema("vec_id long, embedding array<float>")
             .option("maxFilesPerTrigger", "1")
             .load(src)
         )
