@@ -3307,7 +3307,11 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row function of the vector (operators/similarity.lsh_index), so
     index maintenance is keyed overwrite: idempotent, replay-safe on
     epoch re-delivery, no new sink machinery (the contract VERDICT r14
-    predicted). The table is hash-bucketed BY the LSH bucket, so a
+    predicted). Value-derived bucketing carries one explicit contract
+    (stable_value_buckets, enforced by the sink): a key's bucket never
+    changes across insertions — re-embedded vectors must arrive as NEW
+    ids (content-addressed) or trigger a rebuild, exactly the rule
+    IVF/LSH stores impose on moved vectors. The table is hash-bucketed BY the LSH bucket, so a
     point probe reads only the table buckets its LSH values hash into
     (sink.read_buckets — the manual twin of partition pruning; this
     query's 20-vector probe spans most buckets, so it uses the full
@@ -3345,6 +3349,11 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["vec_id"],
         n_buckets=16,
         bucket_cols=["bucket"],  # co-locate same-LSH-bucket vectors
+        # value-derived bucketing contract (enforced at construction):
+        # a vec_id's bucket never changes across insertions — true here
+        # (append-only corpus), and the production rule for re-embeds
+        # is new ids or rebuild, same as any IVF/LSH store
+        stable_value_buckets=True,
     )
 
     def index_sink(bdf: DataFrame, eid: int) -> None:

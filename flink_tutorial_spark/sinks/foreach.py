@@ -61,6 +61,7 @@ class KeyedUpsertSink:
         order_col: str | None = None,
         n_buckets: int = 16,
         bucket_cols: list[str] | None = None,
+        stable_value_buckets: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -71,6 +72,28 @@ class KeyedUpsertSink:
         # (and recomputed) together — e.g. all items of one window for a
         # per-window ranking. Default: the full key.
         self.bucket_cols = bucket_cols or key_cols
+        # An epoch rewrites only the buckets its NEW rows hash into, and
+        # stale-key cleanup is an anti-join WITHIN those buckets — so a
+        # key whose bucket_cols value CHANGES between insertions would
+        # leave its old row stranded in a bucket the epoch never reads
+        # (a silent duplicate). bucket_cols ⊆ key_cols makes that
+        # impossible (keys can't move). Value-derived bucketing (e.g. an
+        # ANN index bucketed by the vector's LSH bucket) is sound ONLY
+        # under the contract that a key's bucket value is stable across
+        # re-insertions — append-only corpora, content-addressed ids, or
+        # replay of identical rows. Callers must accept that contract
+        # explicitly; a moved key is otherwise undefined (re-embeds must
+        # arrive as new ids or trigger an index rebuild, the same rule
+        # IVF/LSH stores impose on moved vectors).
+        if not set(self.bucket_cols) <= set(key_cols) and not stable_value_buckets:
+            raise ValueError(
+                f"bucket_cols {self.bucket_cols} are not a subset of "
+                f"key_cols {key_cols}: keyed overwrite cannot clean up a "
+                "key whose bucket value changes between insertions (the "
+                "old row strands in an unread bucket). Pass "
+                "stable_value_buckets=True to accept the contract that a "
+                "key's bucket value never changes across re-insertions."
+            )
         os.makedirs(os.path.join(self.path, "links"), exist_ok=True)
 
     def _link(self, bucket: int) -> str:
@@ -222,7 +245,10 @@ class KeyedUpsertSink:
         query probes just its LSH bucket's files). The bucket ids come
         from the same Spark-side hash expression the writer used, so
         reader and writer can never disagree on placement; the collect
-        is <= n_buckets ints."""
+        is <= n_buckets ints. A fully-empty table raises
+        FileNotFoundError exactly like read() (no schema source exists
+        to shape an empty frame); probed values matching no LIVE bucket
+        of a non-empty table return an empty frame."""
         ids = sorted(
             r[0]
             for r in values.select(self._bucket_expr().alias("_b"))
@@ -342,11 +368,15 @@ class MergeAggSink(KeyedUpsertSink):
             _IDEMPOTENT_COMBINES.add(sig)
 
     def _probe_nondegenerate(self, rows) -> bool:
-        """True if any sampled non-key value is a nonzero number or a
-        non-empty string/collection — i.e. the idempotence probe actually
-        exercised the combine's algebra. Collections recurse: an
-        all-zeros array is degenerate too (element-wise add has the same
-        zero fixed point a scalar sum does)."""
+        """True only if EVERY sampled non-key column has at least one
+        nonzero/non-empty value — i.e. the idempotence probe exercised
+        the combine's algebra on every aggregated column. Per-column,
+        not any-value-anywhere: with agg_exprs = [max(day), sum(c)] and
+        an all-zero c sample, the live day values must not vouch for the
+        untested additive column (the doubling fixed point is per
+        column). Collections recurse: an all-zeros array is degenerate
+        too (element-wise add has the same zero fixed point a scalar sum
+        does)."""
 
         def live(v) -> bool:
             if v is None:
@@ -360,11 +390,9 @@ class MergeAggSink(KeyedUpsertSink):
             return bool(v)  # non-empty str/bytes/Row/...
 
         keys = set(self.key_cols)
-        return any(
-            live(v)
-            for r in rows
-            for k, v in r.asDict().items()
-            if k not in keys
+        cols = [c for c in rows[0].asDict() if c not in keys]
+        return all(
+            any(live(r.asDict()[c]) for r in rows) for c in cols
         )
 
     def _combine_signature(self) -> tuple | None:

@@ -535,8 +535,10 @@ def test_ann_index_checkpoint_restart_equals_uninterrupted(spark, tmp_path):
     """Engine-driven recovery for the ingest-time LSH index: a
     checkpointed build interrupted between micro-batches and restarted
     on the same checkpointLocation must converge to the SAME index as
-    an uninterrupted build — including a re-inserted vec_id whose
-    vector changed (keyed overwrite: the new row wins)."""
+    an uninterrupted build — including a re-delivered vec_id (identical
+    row, the stable_value_buckets contract: re-embeds that would MOVE a
+    key's bucket must arrive as new ids; the sink enforces the opt-in
+    at construction, test_keyed_sink_rejects_value_buckets_without_optin)."""
     import os as _os
 
     import pandas as pd
@@ -564,12 +566,14 @@ def test_ann_index_checkpoint_restart_equals_uninterrupted(spark, tmp_path):
         _os.utime(p, (1_600_000_000 + idx, 1_600_000_000 + idx))
 
     batch1 = [(1, [1.0, 2.0]), (2, [-1.0, 0.5]), (3, [0.9, 1.9])]
-    batch2 = [(4, [-0.8, 0.4]), (1, [-2.0, -1.0])]  # vec 1 re-embedded
+    # vec 1 re-delivered IDENTICALLY (at-least-once replay shape);
+    # vec 4 is the new arrival
+    batch2 = [(4, [-0.8, 0.4]), (1, [1.0, 2.0])]
 
     def build(src, ck, path):
         sink = KeyedUpsertSink(
             spark, str(path), key_cols=["vec_id"], n_buckets=4,
-            bucket_cols=["bucket"],
+            bucket_cols=["bucket"], stable_value_buckets=True,
         )
         stream = (
             spark.readStream.format("parquet")
@@ -603,8 +607,8 @@ def test_ann_index_checkpoint_restart_equals_uninterrupted(spark, tmp_path):
 
     got, want = snap(sink_a), snap(sink_b)
     assert got == want
-    assert len(got) == 4  # 1,2,3,4 — vec 1 once, with the NEW vector
-    assert dict((v, e) for v, _, e in got)[1] == [-2.0, -1.0]
+    assert len(got) == 4  # 1,2,3,4 — the re-delivered vec 1 exactly once
+    assert dict((v, e) for v, _, e in got)[1] == [1.0, 2.0]
 
     # and the index ANSWERS identically
     def topk(s):
@@ -630,7 +634,7 @@ def test_read_buckets_point_probe_reads_subset_and_agrees(spark, tmp_path):
 
     sink = KeyedUpsertSink(
         spark, str(tmp_path / "idx"), key_cols=["vec_id"], n_buckets=8,
-        bucket_cols=["bucket"],
+        bucket_cols=["bucket"], stable_value_buckets=True,
     )
     import numpy as np
 
@@ -695,3 +699,24 @@ def test_idempotence_probe_degeneracy_recurses_into_arrays(spark, tmp_path):
             spark.createDataFrame([("a", [1, 2])], "k string, xs array<int>"),
             0,
         )
+
+
+def test_keyed_sink_rejects_value_buckets_without_optin(spark, tmp_path):
+    """Value-derived bucketing (bucket_cols not a subset of key_cols)
+    is only sound when a key's bucket value never changes across
+    insertions — a moved key would strand its old row in a bucket the
+    epoch never reads (a silent duplicate). The sink refuses the shape
+    unless the caller accepts that contract explicitly."""
+    from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+
+    with pytest.raises(ValueError, match="stable_value_buckets"):
+        KeyedUpsertSink(
+            spark, str(tmp_path / "t"), key_cols=["vec_id"], n_buckets=4,
+            bucket_cols=["bucket"],
+        )
+    # key-derived bucketing (the default and all subset cases) needs no
+    # opt-in
+    KeyedUpsertSink(
+        spark, str(tmp_path / "t2"), key_cols=["day", "shard"],
+        n_buckets=4, bucket_cols=["day"],
+    )

@@ -180,6 +180,18 @@ class _StreamProbe:
         assert probe is self
 
 
+def _snapshot(listener) -> dict:
+    """Copy the listener's run->batches map without tripping over the
+    listener thread mutating it mid-iteration (dict/set comprehensions
+    over live structures raise RuntimeError exactly when stragglers —
+    the thing being waited for — arrive)."""
+    while True:
+        try:
+            return {r: frozenset(b) for r, b in list(listener.batches.items())}
+        except RuntimeError:  # changed size during iteration — go again
+            continue
+
+
 def _settle_listener(listener, timeout: float = 8.0) -> None:
     """Wait until the async listener's run/batch snapshot goes stable —
     called before snapshotting prior_runs after a query that went live
@@ -191,7 +203,7 @@ def _settle_listener(listener, timeout: float = 8.0) -> None:
     last = None
     deadline = time.time() + timeout
     while time.time() < deadline:
-        cur = {r: frozenset(b) for r, b in listener.batches.items()}
+        cur = _snapshot(listener)
         if cur == last:
             return
         last = cur
@@ -283,7 +295,7 @@ def _audit_loop(spark, sf_dir, out, errs, probe, prev_live) -> None:
         # equal empty/stale snapshots must not end the drain early)
         deadline, last = time.time() + 20, None
         while time.time() < deadline:
-            cur = {r: set(b) for r, b in probe.listener.batches.items()}
+            cur = _snapshot(probe.listener)
             if cur == last and any(r not in prior_runs for r in cur):
                 break
             last = cur

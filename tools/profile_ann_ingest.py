@@ -7,10 +7,11 @@ hash-bucketed BY the LSH bucket), and measures
 
 1. scan multiple: one streaming query, sum(numInputRows) == corpus
    (the 1x-ingest claim, same listener protocol as profile_onepass.py);
-2. incremental epoch cost: after the corpus has landed, a 1% update
-   batch's epoch wall vs rebuilding the index from the full corpus —
-   the reason the index is MAINTAINED on ingest rather than re-derived
-   per batch at 100 TB;
+2. incremental epoch cost: after the corpus has landed, a 1% APPEND
+   batch (new vec_ids — the stable_value_buckets contract: an existing
+   key's bucket never changes, so re-embeds arrive as new ids) vs
+   rebuilding the index from the full corpus — the reason the index is
+   MAINTAINED on ingest rather than re-derived per batch at 100 TB;
 3. read-side probe: lsh_topk_from_index over the converged index for a
    20-vector query set.
 
@@ -40,15 +41,20 @@ from flink_tutorial_spark.operators.similarity import (  # noqa: E402
 from flink_tutorial_spark.session import get_spark  # noqa: E402
 from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink  # noqa: E402
 from flink_tutorial_spark.streaming.run import run_fanout  # noqa: E402
+from tools.profile_onepass import Probe, drain  # noqa: E402
 
 
-def synth(src: str, n: int, dim: int, n_files: int, seed: int = 7) -> None:
+def synth(
+    src: str, n: int, dim: int, n_files: int, seed: int = 7, id0: int = 0
+) -> None:
     os.makedirs(src, exist_ok=True)
     rng = np.random.default_rng(seed)
     per = n // n_files
     for i in range(n_files):
-        ids = np.arange(i * per, (i + 1) * per, dtype=np.int64)
-        vecs = rng.standard_normal((per, dim)).astype(np.float32)
+        lo = i * per
+        hi = n if i == n_files - 1 else lo + per  # remainder -> last file
+        ids = np.arange(id0 + lo, id0 + hi, dtype=np.int64)
+        vecs = rng.standard_normal((hi - lo, dim)).astype(np.float32)
         t = pa.table(
             {
                 "vec_id": ids,
@@ -58,30 +64,6 @@ def synth(src: str, n: int, dim: int, n_files: int, seed: int = 7) -> None:
         p = f"{src}/b{i:03d}.parquet"
         pq.write_table(t, p)
         os.utime(p, (1_600_000_000 + i, 1_600_000_000 + i))
-
-
-class _Probe:
-    def __init__(self):
-        from pyspark.sql.streaming import StreamingQueryListener
-
-        class L(StreamingQueryListener):
-            def __init__(self):
-                self.rows = {}
-
-            def onQueryStarted(self, event):
-                pass
-
-            def onQueryProgress(self, event):
-                p = event.progress
-                self.rows[(str(p.id), p.batchId)] = p.numInputRows
-
-            def onQueryIdle(self, event):
-                pass
-
-            def onQueryTerminated(self, event):
-                pass
-
-        self.listener = L()
 
 
 def main() -> None:
@@ -107,9 +89,10 @@ def main() -> None:
         key_cols=["vec_id"],
         n_buckets=64,
         bucket_cols=["bucket"],
+        stable_value_buckets=True,  # vec_ids are append-only here
     )
-    probe = _Probe()
-    spark.streams.addListener(probe.listener)
+    probe = Probe()
+    spark.streams.addListener(probe)
     ck = os.path.join(base, "ck")
     t0 = time.perf_counter()
     run_fanout(
@@ -117,22 +100,16 @@ def main() -> None:
         checkpoint=ck, available_now=True,
     )
     build_s = time.perf_counter() - t0
-    deadline = time.time() + 20
-    last = None
-    while time.time() < deadline:
-        cur = dict(probe.listener.rows)
-        if cur and cur == last:
-            break
-        last = cur
-        time.sleep(1.0)
-    spark.streams.removeListener(probe.listener)
-    n_queries = len({q for q, _ in probe.listener.rows})
-    ingested = sum(probe.listener.rows.values())
+    drain(probe)
+    spark.streams.removeListener(probe)
+    n_queries = len({q for q, _ in probe.rows})
+    ingested = sum(probe.rows.values())
 
-    # incremental epoch: 1% of the corpus re-embedded, delivered as one
-    # new file on the SAME checkpoint lineage
+    # incremental epoch: 1% NEW vectors appended as one file on the
+    # SAME checkpoint lineage (stable_value_buckets contract: re-embeds
+    # arrive as new ids, never as moved keys)
     n_upd = max(n // 100, 1)
-    synth(os.path.join(base, "upd"), n_upd, dim, 1, seed=11)
+    synth(os.path.join(base, "upd"), n_upd, dim, 1, seed=11, id0=n)
     os.rename(
         os.path.join(base, "upd", "b000.parquet"),
         os.path.join(src, f"b{n_files:03d}.parquet"),
@@ -156,6 +133,7 @@ def main() -> None:
         key_cols=["vec_id"],
         n_buckets=64,
         bucket_cols=["bucket"],
+        stable_value_buckets=True,
     )
     corpus = spark.read.parquet(src)
     t0 = time.perf_counter()
@@ -178,7 +156,7 @@ def main() -> None:
                 "rows_ingested": ingested,
                 "scan_multiple": round(ingested / n, 3),
                 "build_s": round(build_s, 2),
-                "update_1pct_s": round(update_s, 2),
+                "append_1pct_s": round(update_s, 2),
                 "rebuild_full_s": round(rebuild_s, 2),
                 "index_rows": idx.count(),
                 "probe_topk_s": round(probe_s, 2),
