@@ -140,15 +140,22 @@ def main() -> None:
         "catalog_total_sec": round(sum(times.values()), 3),
         # COMPARISON FIXTURES (tags=("...","fixture")): two-pipeline /
         # engine-side twins kept to prove engine mechanisms their
-        # one-pass siblings can't state — NOT deployment shapes. Their
-        # cost is tagged out so the catalog total stays interpretable
-        # (VERDICT r14 #6; growth policy in ROADMAP).
+        # one-pass siblings can't state — NOT deployment shapes.
+        # catalog_total_sec still INCLUDES them; their cost is reported
+        # as a separate subtotal (fixture_total_sec) plus an explicit
+        # fixtures-excluded total, so a reader can see deployment cost
+        # without recomputing (VERDICT r14 #6; ADVICE r15; growth
+        # policy in ROADMAP).
         "fixture_queries": sorted(
             n for n, s in plans.REGISTRY.items() if "fixture" in s.tags
         ),
         "fixture_total_sec": round(
             sum(t for n, t in times.items()
                 if "fixture" in plans.REGISTRY[n].tags), 3
+        ),
+        "catalog_total_excl_fixtures_sec": round(
+            sum(t for n, t in times.items()
+                if "fixture" not in plans.REGISTRY[n].tags), 3
         ),
         "n_queries": len(times),
         "sf": float(sf),

@@ -3363,3 +3363,70 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = index.read().select("vec_id", "bucket", "embedding")
     return lsh_topk_from_index(idx, idx.where(F.col("vec_id") < 20), k=3)
+
+
+@query(
+    "streaming_ann_ingest_append",
+    oracle=_ANN_LSH_ORACLE,
+    tags=("streaming", "datapipe", "similarity"),
+)
+def streaming_ann_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE-APPEND ANN INGEST (VERDICT r15 #2) — the O(batch)-per-epoch
+    channel of the ingest-time LSH index, for append-only embedding
+    corpora. Same topology as streaming_ann_ingest (vectors stream in
+    ONCE; each micro-batch lands (vec_id, bucket, embedding) rows into
+    the persisted index; the answer is lsh_topk_from_index over the
+    converged index against the EXACT batch similarity_ann_lsh oracle)
+    but the sink is the append + dedup-on-read channel the dedup
+    registry's meta-sink proved (KeyedAppendSink): an epoch WRITES ONLY
+    ITS OWN ROWS to a fresh atomic-published directory — no old-side
+    read, no bucket rewrite — and the read side dedups by (vec_id,
+    max-epoch). This is the deployment answer to the r15 profiler's
+    honest limit of keyed overwrite: under uniformly-keyed append
+    traffic every epoch of the overwrite channel read-merge-writes ALL
+    dirty table buckets (6.3 s/epoch vs one-shot 2.3 s at 100k
+    vectors), while this channel's epoch cost is the batch itself —
+    corpus-size-independent. The rent moves to the read side (keyed
+    window over the accumulated epochs), paid down by periodic
+    compact() instead of on every epoch — INSERT INTO + dedup view +
+    scheduled compaction, the standard lakehouse append-table shape.
+
+    Replay safety: re-delivered epochs append byte-identical rows under
+    the same epoch id; the max-epoch dedup collapses them (restart e2e
+    in tests/test_fanout.py). Value-derived bucketing carries the same
+    stable_value_buckets contract as the overwrite channel — the point
+    is sharper here: the FULL read's dedup would tolerate a moved key,
+    but the bucket-pruned point probe would not, so the opt-in asserts
+    the same new-ids-or-rebuild rule for re-embeds.
+
+    Scale shape (100 TB): 1x-scan fan-out ingest (listener-pinned);
+    epoch cost O(batch); read-side join unchanged from the overwrite
+    channel (bucket equi-join, exploded 20-vector query side
+    broadcast). Reference analog: none (the reference keeps no ANN
+    index); this is the brief's similarity surface on the reference's
+    keyed-ingest pattern (day07 state demos)."""
+    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.similarity import (
+        lsh_index,
+        lsh_topk_from_index,
+    )
+    from flink_tutorial_spark.sinks.foreach import KeyedAppendSink
+    from flink_tutorial_spark.streaming.run import run_fanout
+
+    vecs = stream_table(spark, sf_dir, "embeddings")
+    index = KeyedAppendSink(
+        spark,
+        os.path.join(_scratch_dir(), "lsh_index_append"),
+        key_cols=["vec_id"],
+        n_buckets=16,
+        bucket_cols=["bucket"],
+        stable_value_buckets=True,
+    )
+
+    def index_sink(bdf: DataFrame, eid: int) -> None:
+        index(lsh_index(bdf), eid)
+
+    run_fanout(vecs, [index_sink])
+
+    idx = index.read().select("vec_id", "bucket", "embedding")
+    return lsh_topk_from_index(idx, idx.where(F.col("vec_id") < 20), k=3)

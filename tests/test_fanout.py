@@ -5,6 +5,7 @@ two-pipeline siblings."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -510,19 +511,24 @@ def test_fanout_sink_root_pairs_checkpoint_and_sink_lineage(spark, tmp_path):
 # ingest-time ANN index (VERDICT r14 #2)
 
 
-def test_ann_ingest_scans_source_once(spark, sf_dir):
-    """streaming_ann_ingest ingests the embeddings corpus ONCE (one
-    streaming query, sum(numInputRows) == corpus rows) — the index is
-    maintained in-pass, never by re-scanning. Hash-exactness vs the
-    batch similarity_ann_lsh oracle is covered by the catalog parity
-    suite; this pins the scan count."""
+@pytest.mark.parametrize(
+    "query_name",
+    ["streaming_ann_ingest", "streaming_ann_ingest_append"],
+)
+def test_ann_ingest_scans_source_once(spark, sf_dir, query_name):
+    """Both ANN ingest channels (keyed overwrite r15; pure append r16)
+    ingest the embeddings corpus ONCE (one streaming query,
+    sum(numInputRows) == corpus rows) — the index is maintained
+    in-pass, never by re-scanning. Hash-exactness vs the batch
+    similarity_ann_lsh oracle is covered by the catalog parity suite;
+    this pins the scan count."""
     from flink_tutorial_spark import plans
 
     n_src = load_table(spark, sf_dir, "embeddings").count()
     probe = _ScanProbe()
     spark.streams.addListener(probe.listener)
     try:
-        rows = plans.REGISTRY["streaming_ann_ingest"].fn(spark, sf_dir).count()
+        rows = plans.REGISTRY[query_name].fn(spark, sf_dir).count()
     finally:
         nq, total = probe.total()
         spark.streams.removeListener(probe.listener)
@@ -531,14 +537,20 @@ def test_ann_ingest_scans_source_once(spark, sf_dir):
     assert total == n_src
 
 
-def test_ann_index_checkpoint_restart_equals_uninterrupted(spark, tmp_path):
-    """Engine-driven recovery for the ingest-time LSH index: a
+@pytest.mark.parametrize("channel", ["overwrite", "append"])
+def test_ann_index_checkpoint_restart_equals_uninterrupted(
+    spark, tmp_path, channel
+):
+    """Engine-driven recovery for the ingest-time LSH index, BOTH
+    channels (keyed overwrite r15; pure append + dedup-on-read r16): a
     checkpointed build interrupted between micro-batches and restarted
     on the same checkpointLocation must converge to the SAME index as
     an uninterrupted build — including a re-delivered vec_id (identical
     row, the stable_value_buckets contract: re-embeds that would MOVE a
     key's bucket must arrive as new ids; the sink enforces the opt-in
-    at construction, test_keyed_sink_rejects_value_buckets_without_optin)."""
+    at construction, test_keyed_sink_rejects_value_buckets_without_optin).
+    For the append channel the re-delivery lands as duplicate identical
+    rows that the max-epoch read dedups."""
     import os as _os
 
     import pandas as pd
@@ -549,8 +561,13 @@ def test_ann_index_checkpoint_restart_equals_uninterrupted(spark, tmp_path):
         lsh_index,
         lsh_topk_from_index,
     )
-    from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+    from flink_tutorial_spark.sinks.foreach import (
+        KeyedAppendSink,
+        KeyedUpsertSink,
+    )
     from flink_tutorial_spark.streaming.run import run_fanout
+
+    sink_cls = KeyedUpsertSink if channel == "overwrite" else KeyedAppendSink
 
     schema = pa.schema(
         [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
@@ -571,7 +588,7 @@ def test_ann_index_checkpoint_restart_equals_uninterrupted(spark, tmp_path):
     batch2 = [(4, [-0.8, 0.4]), (1, [1.0, 2.0])]
 
     def build(src, ck, path):
-        sink = KeyedUpsertSink(
+        sink = sink_cls(
             spark, str(path), key_cols=["vec_id"], n_buckets=4,
             bucket_cols=["bucket"], stable_value_buckets=True,
         )
@@ -701,22 +718,205 @@ def test_idempotence_probe_degeneracy_recurses_into_arrays(spark, tmp_path):
         )
 
 
-def test_keyed_sink_rejects_value_buckets_without_optin(spark, tmp_path):
+@pytest.mark.parametrize("cls_name", ["KeyedUpsertSink", "KeyedAppendSink"])
+def test_keyed_sink_rejects_value_buckets_without_optin(
+    spark, tmp_path, cls_name
+):
     """Value-derived bucketing (bucket_cols not a subset of key_cols)
     is only sound when a key's bucket value never changes across
-    insertions — a moved key would strand its old row in a bucket the
-    epoch never reads (a silent duplicate). The sink refuses the shape
-    unless the caller accepts that contract explicitly."""
-    from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+    insertions — for the overwrite channel a moved key would strand its
+    old row in a bucket the epoch never reads; for the append channel
+    the point-probe read would let the stale row win unchallenged. Both
+    sinks refuse the shape unless the caller accepts that contract
+    explicitly."""
+    from flink_tutorial_spark.sinks import foreach
 
+    cls = getattr(foreach, cls_name)
     with pytest.raises(ValueError, match="stable_value_buckets"):
-        KeyedUpsertSink(
+        cls(
             spark, str(tmp_path / "t"), key_cols=["vec_id"], n_buckets=4,
             bucket_cols=["bucket"],
         )
     # key-derived bucketing (the default and all subset cases) needs no
     # opt-in
-    KeyedUpsertSink(
+    cls(
         spark, str(tmp_path / "t2"), key_cols=["day", "shard"],
         n_buckets=4, bucket_cols=["day"],
     )
+
+
+# ------------------------------------------------------------------ r16:
+# pure-append ANN ingest channel + KeyedUpsertSink.rebucket (VERDICT r15
+# #2/#3)
+
+
+def test_append_sink_epoch_is_o_batch_and_replay_dedups(spark, tmp_path):
+    """The append channel's contract, structurally: an epoch publishes
+    exactly one new directory and NEVER touches previously published
+    epochs (O(batch) writes — no old-side read-merge-write); a newer
+    epoch's row wins per key on read; a replayed epoch (same id, same
+    content — the foreachBatch re-delivery shape) changes nothing; and
+    compact() folds history to one directory with an identical answer."""
+    from flink_tutorial_spark.sinks.foreach import KeyedAppendSink
+
+    sink = KeyedAppendSink(
+        spark, str(tmp_path / "t"), key_cols=["k"], n_buckets=4
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    sink(df([("a", 1), ("b", 2)]), 0)
+    dirs0 = sink._epoch_dirs()
+    assert len(dirs0) == 1
+    files0 = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(dirs0[0])
+        for f in fs
+        if not f.startswith(".")
+    )
+    mtimes0 = [os.path.getmtime(p) for p in files0]
+
+    sink(df([("a", 10), ("c", 3)]), 1)  # key a updated in a later epoch
+    assert len(sink._epoch_dirs()) == 2
+    # epoch 0's directory is byte-untouched: the epoch wrote only itself
+    assert [os.path.getmtime(p) for p in files0] == mtimes0
+
+    def snap():
+        return sorted(tuple(r) for r in sink.read().collect())
+
+    assert snap() == [("a", 10), ("b", 2), ("c", 3)]
+
+    sink(df([("a", 10), ("c", 3)]), 1)  # replay: identical re-delivery
+    assert len(sink._epoch_dirs()) == 3
+    assert snap() == [("a", 10), ("b", 2), ("c", 3)]
+
+    sink.compact()
+    assert len(sink._epoch_dirs()) == 1
+    assert snap() == [("a", 10), ("b", 2), ("c", 3)]
+    # and a post-compaction epoch still wins over compacted history
+    sink(df([("b", 20)]), 2)
+    assert snap() == [("a", 10), ("b", 20), ("c", 3)]
+
+
+def test_append_read_buckets_point_probe_reads_subset_and_agrees(
+    spark, tmp_path
+):
+    """read_buckets on the append channel: prune to the probed buckets'
+    partition dirs ACROSS epochs, then the same max-epoch dedup —
+    answers must match a full-table read for the probed values."""
+    import numpy as np
+
+    from flink_tutorial_spark.operators.similarity import (
+        lsh_index,
+        lsh_topk_from_index,
+    )
+    from flink_tutorial_spark.sinks.foreach import KeyedAppendSink
+
+    sink = KeyedAppendSink(
+        spark, str(tmp_path / "idx"), key_cols=["vec_id"], n_buckets=8,
+        bucket_cols=["bucket"], stable_value_buckets=True,
+    )
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(64)])
+        for i in range(200)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # two epochs so the probe must stitch bucket dirs across epoch dirs
+    sink(lsh_index(vecs.where("vec_id < 100")), 0)
+    sink(lsh_index(vecs.where("vec_id >= 100")), 1)
+
+    q = lsh_index(vecs.where("vec_id < 3"))
+    sub = sink.read_buckets(q)
+    full_ans = sorted(
+        tuple(r)
+        for r in lsh_topk_from_index(
+            sink.read().select("vec_id", "bucket", "embedding"), q, k=3
+        ).collect()
+    )
+    sub_ans = sorted(
+        tuple(r)
+        for r in lsh_topk_from_index(
+            sub.select("vec_id", "bucket", "embedding"), q, k=3
+        ).collect()
+    )
+    assert full_ans == sub_ans and len(full_ans) > 0
+    assert 0 < sub.count() < sink.read().count()
+
+
+def test_rebucket_answers_identically(spark, tmp_path):
+    """KeyedUpsertSink.rebucket(n) (VERDICT r15 #3): re-sharding the
+    table under a new bucket count is a pure repartition — full read,
+    point-probe read, and the ANN top-k answer are all identical before
+    and after, under both growth (8->16) and shrink (16->4)."""
+    import numpy as np
+
+    from flink_tutorial_spark.operators.similarity import (
+        lsh_index,
+        lsh_topk_from_index,
+    )
+    from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(
+        spark, str(tmp_path / "idx"), key_cols=["vec_id"], n_buckets=8,
+        bucket_cols=["bucket"], stable_value_buckets=True,
+    )
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(64)])
+        for i in range(200)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sink(lsh_index(vecs), 0)
+    q = lsh_index(vecs.where("vec_id < 5"))
+
+    probed_lsh = {r[0] for r in q.select("bucket").distinct().collect()}
+
+    def answers():
+        idx = sink.read().select("vec_id", "bucket", "embedding")
+        topk = sorted(
+            tuple(r) for r in lsh_topk_from_index(idx, q, k=3).collect()
+        )
+        # the point-probe's CO-RESIDENT rows legitimately change with the
+        # bucket count; what must be invariant is every row matching the
+        # probed LSH values being present in the pruned read
+        probe = sorted(
+            (r["vec_id"], r["bucket"])
+            for r in sink.read_buckets(q).collect()
+            if r["bucket"] in probed_lsh
+        )
+        return topk, probe
+
+    before_topk, before_probe = answers()
+    assert len(before_topk) > 0
+
+    for n in (16, 4):
+        sink.rebucket(n)
+        assert sink.n_buckets == n
+        live = sink._live_bucket_paths()
+        assert set(live) <= set(range(n)) and live
+        after_topk, after_probe = answers()
+        assert after_topk == before_topk
+        assert after_probe == before_probe
+        # exactly one generation on disk after a rebuild
+        gens = [
+            e
+            for e in os.listdir(str(tmp_path / "idx"))
+            if e != "links" and os.path.isdir(str(tmp_path / "idx" / e))
+        ]
+        assert len(gens) == 1
+
+    # and the sink keeps WORKING after a rebuild: a new epoch under the
+    # new count places and reads consistently
+    extra = [
+        (int(1000 + i), [float(x) for x in rng.standard_normal(64)])
+        for i in range(10)
+    ]
+    sink(
+        lsh_index(
+            spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+        ),
+        1,
+    )
+    assert sink.read().count() == 210

@@ -138,12 +138,28 @@ def main() -> None:
     if "staleness" in base:
         out["staleness"] = base["staleness"]
     # fixture tagging (r15): recompute the subtotal from the MERGED mins
-    # so the committed artifact carries it like a direct bench run does
-    if "fixture_queries" in base:
-        out["fixture_queries"] = base["fixture_queries"]
-        out["fixture_total_sec"] = round(
-            sum(times[n] for n in base["fixture_queries"] if n in times), 3
+    # so the committed artifact carries it like a direct bench run does.
+    # ADVICE r15: union the fixture list across ALL merged runs (a
+    # pre-r15 base artifact carries no fixture_queries, which would
+    # silently drop the subtotal even though the merged times include
+    # fixture queries); fall back to the live REGISTRY tags when no run
+    # carries the list at all.
+    fixture_names = sorted(
+        {n for _, d in clean for n in d.get("fixture_queries", [])}
+    )
+    if not fixture_names:
+        from flink_tutorial_spark import plans  # noqa: E402
+
+        fixture_names = sorted(
+            n for n, s in plans.REGISTRY.items() if "fixture" in s.tags
         )
+    out["fixture_queries"] = fixture_names
+    out["fixture_total_sec"] = round(
+        sum(times[n] for n in fixture_names if n in times), 3
+    )
+    out["catalog_total_excl_fixtures_sec"] = round(
+        sum(t for n, t in times.items() if n not in set(fixture_names)), 3
+    )
     path = os.path.join(REPO, "BENCH_FULL_local.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)

@@ -184,12 +184,23 @@ def _snapshot(listener) -> dict:
     """Copy the listener's run->batches map without tripping over the
     listener thread mutating it mid-iteration (dict/set comprehensions
     over live structures raise RuntimeError exactly when stragglers —
-    the thing being waited for — arrive)."""
-    while True:
+    the thing being waited for — arrive). Retries are BOUNDED (ADVICE
+    r15: an unbounded loop could spin forever against a pathologically
+    chatty listener); after the cap, fall back to a best-effort copy —
+    _settle_listener's stability loop re-snapshots anyway, so a torn
+    copy only delays settling by one tick, never corrupts the result."""
+    for _ in range(512):
         try:
             return {r: frozenset(b) for r, b in list(listener.batches.items())}
         except RuntimeError:  # changed size during iteration — go again
             continue
+    out = {}
+    for r in list(listener.batches):
+        try:
+            out[r] = frozenset(listener.batches.get(r, ()))
+        except RuntimeError:  # this key torn too — empty forces a re-tick
+            out[r] = frozenset()
+    return out
 
 
 def _settle_listener(listener, timeout: float = 8.0) -> None:

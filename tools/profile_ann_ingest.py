@@ -15,8 +15,13 @@ hash-bucketed BY the LSH bucket), and measures
 3. read-side probe: lsh_topk_from_index over the converged index for a
    20-vector query set.
 
-Usage: python tools/profile_ann_ingest.py [n_vectors] [dim] [n_files]
-Defaults 100_000 x 64 x 10. Prints one JSON line.
+Usage: python tools/profile_ann_ingest.py [n_vectors] [dim] [n_files] [channel]
+Defaults 100_000 x 64 x 10 overwrite. channel=append profiles the r16
+pure-append + dedup-on-read channel (KeyedAppendSink) instead: same
+topology and measurements, plus compact() timed separately — the
+append channel's epoch writes only the batch (no dirty-bucket
+read-merge-write), which is the mitigation the r15 run's append-epoch
+cost pointed at. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -39,7 +44,10 @@ from flink_tutorial_spark.operators.similarity import (  # noqa: E402
     lsh_topk_from_index,
 )
 from flink_tutorial_spark.session import get_spark  # noqa: E402
-from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink  # noqa: E402
+from flink_tutorial_spark.sinks.foreach import (  # noqa: E402
+    KeyedAppendSink,
+    KeyedUpsertSink,
+)
 from flink_tutorial_spark.streaming.run import run_fanout  # noqa: E402
 from tools.profile_onepass import Probe, drain  # noqa: E402
 
@@ -70,6 +78,8 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    channel = sys.argv[4] if len(sys.argv) > 4 else "overwrite"
+    sink_cls = {"overwrite": KeyedUpsertSink, "append": KeyedAppendSink}[channel]
     spark = get_spark("annprof", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     base = _scratch_dir()
     src = os.path.join(base, "src")
@@ -83,7 +93,7 @@ def main() -> None:
             .load(src)
         )
 
-    sink = KeyedUpsertSink(
+    sink = sink_cls(
         spark,
         os.path.join(base, "idx"),
         key_cols=["vec_id"],
@@ -127,7 +137,7 @@ def main() -> None:
 
     # the rebuild alternative the incremental epoch replaces: index the
     # FULL corpus again as one batch pass (write the same keyed table)
-    rebuild_sink = KeyedUpsertSink(
+    rebuild_sink = sink_cls(
         spark,
         os.path.join(base, "idx_rebuild"),
         key_cols=["vec_id"],
@@ -140,30 +150,43 @@ def main() -> None:
     rebuild_sink(lsh_index(corpus), 0)
     rebuild_s = time.perf_counter() - t0
 
+    # append channel only: the read-side rent and its paydown — probe
+    # the accumulated epoch dirs, compact, probe again
+    compact_s = pre_compact_probe_s = None
+    if channel == "append":
+        idx0 = sink.read().select("vec_id", "bucket", "embedding")
+        t0 = time.perf_counter()
+        lsh_topk_from_index(idx0, idx0.where("vec_id < 20"), k=3).count()
+        pre_compact_probe_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sink.compact()
+        compact_s = time.perf_counter() - t0
+
     # read side: top-3 for 20 queries from the converged index
     idx = sink.read().select("vec_id", "bucket", "embedding")
     t0 = time.perf_counter()
     got = lsh_topk_from_index(idx, idx.where("vec_id < 20"), k=3).count()
     probe_s = time.perf_counter() - t0
 
-    print(
-        json.dumps(
-            {
-                "n_vectors": n,
-                "dim": dim,
-                "n_files": n_files,
-                "streaming_queries": n_queries,
-                "rows_ingested": ingested,
-                "scan_multiple": round(ingested / n, 3),
-                "build_s": round(build_s, 2),
-                "append_1pct_s": round(update_s, 2),
-                "rebuild_full_s": round(rebuild_s, 2),
-                "index_rows": idx.count(),
-                "probe_topk_s": round(probe_s, 2),
-                "topk_rows": got,
-            }
-        )
-    )
+    out = {
+        "channel": channel,
+        "n_vectors": n,
+        "dim": dim,
+        "n_files": n_files,
+        "streaming_queries": n_queries,
+        "rows_ingested": ingested,
+        "scan_multiple": round(ingested / n, 3),
+        "build_s": round(build_s, 2),
+        "append_1pct_s": round(update_s, 2),
+        "rebuild_full_s": round(rebuild_s, 2),
+        "index_rows": idx.count(),
+        "probe_topk_s": round(probe_s, 2),
+        "topk_rows": got,
+    }
+    if channel == "append":
+        out["pre_compact_probe_s"] = round(pre_compact_probe_s, 2)
+        out["compact_s"] = round(compact_s, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
