@@ -379,6 +379,23 @@ class KeyedAppendSink(KeyedUpsertSink):
         import shutil
         import uuid
 
+        # lineage guard (the append twin of EpochLedgerMergeAggSink's):
+        # this channel is EPOCH-ID-SENSITIVE — max-epoch wins per key —
+        # and foreachBatch epoch ids only ever repeat-or-grow within one
+        # checkpoint lineage. An id BELOW the table's published max means
+        # a fresh checkpoint writing into a stale table: its rows would
+        # silently LOSE the dedup to old history. Cheap check: the max is
+        # parsed from the published dir names, no Spark job.
+        # (fanout_sink_root pairs checkpoint and sink lifetimes so this
+        # is unconstructible in idiomatic use.)
+        applied = self._max_published_epoch()
+        if applied is not None and epoch_id < applied:
+            raise RuntimeError(
+                f"epoch/table lineage mismatch at {self.path}: incoming "
+                f"epoch {epoch_id} < published max {applied} — a fresh "
+                "checkpoint must write to a fresh sink table (use "
+                "fanout_sink_root to pair their lifetimes)"
+            )
         new = (
             self._reduce_batch(batch_df)
             .withColumn("_bucket", self._bucket_expr())
@@ -397,6 +414,14 @@ class KeyedAppendSink(KeyedUpsertSink):
         )
         plan_capture.capture_df(new, f"sink:{os.path.basename(self.path)}")
         new.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+        if not any(s.startswith("_bucket=") for s in os.listdir(staging)):
+            # empty epoch: a data-less dir would break the readers'
+            # schema inference — skip the publish (free: layout check,
+            # no extra Spark job)
+            import shutil as _shutil
+
+            _shutil.rmtree(staging, ignore_errors=True)
+            return
         final = os.path.join(
             epochs_dir, f"e{epoch_id:012d}_{uuid.uuid4().hex[:8]}"
         )
@@ -411,6 +436,15 @@ class KeyedAppendSink(KeyedUpsertSink):
             for e in os.listdir(epochs_dir)
             if e.startswith("e") and os.path.isdir(os.path.join(epochs_dir, e))
         )
+
+    def _max_published_epoch(self) -> int | None:
+        """Max epoch id across published dirs, parsed from the names
+        (e{epoch:012d}_{suffix}) — metadata-only, no file read."""
+        ids = [
+            int(os.path.basename(d).split("_")[0][1:])
+            for d in self._epoch_dirs()
+        ]
+        return max(ids) if ids else None
 
     def _read_epochs(self, dirs: list[str]) -> DataFrame:
         """Union the epoch dirs READ SEPARATELY: each is its own
@@ -506,6 +540,51 @@ class KeyedAppendSink(KeyedUpsertSink):
         )
         os.rename(staging, final)
         for d in dirs:  # superseded (final is not in the pre-compact list)
+            shutil.rmtree(d, ignore_errors=True)
+
+    def rebucket(self, n_buckets: int) -> None:
+        """Append-channel re-shard: the parent's link-swap rebuild does
+        not apply here (no links — placement lives in each epoch dir's
+        `_bucket=` layout, and merely flipping n_buckets would make
+        point probes compute NEW-count bucket ids against OLD-count
+        directories: silently dropped candidates). A re-shard must
+        rewrite the epoch layout, so it IS a compaction under the new
+        count: fold history to the latest row per key, publish one
+        directory bucketed by the new expression, drop the old dirs.
+        Same no-concurrent-readers rule as compact()/parent rebucket."""
+        import shutil
+        import uuid
+
+        dirs = self._epoch_dirs()
+        old_n = self.n_buckets
+        self.n_buckets = n_buckets  # adopt first: _bucket_expr uses it
+        if not dirs:
+            return
+        staging = os.path.join(
+            self.path, f"_staging_rebucket_{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            df = self._read_epochs(dirs)
+            latest = self._latest_per_key(df)
+            max_epoch = df.agg(F.max("_epoch")).collect()[0][0]
+            folded = (
+                latest.withColumn("_bucket", self._bucket_expr())
+                .withColumn("_epoch", F.lit(max_epoch).cast("long"))
+            )
+            plan_capture.capture_df(
+                folded, f"rebucket:{os.path.basename(self.path)}"
+            )
+            folded.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+        except Exception:
+            # failed rewrite: the table layout is untouched — restore the
+            # count so placement stays consistent with the old dirs
+            self.n_buckets = old_n
+            raise
+        final = os.path.join(
+            self.path, "epochs", f"e{max_epoch:012d}_r{uuid.uuid4().hex[:8]}"
+        )
+        os.rename(staging, final)
+        for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
 
 

@@ -920,3 +920,103 @@ def test_rebucket_answers_identically(spark, tmp_path):
         1,
     )
     assert sink.read().count() == 210
+
+
+def test_append_rebucket_rewrites_layout_and_answers_identically(
+    spark, tmp_path
+):
+    """KeyedAppendSink.rebucket must REWRITE the epoch layout under the
+    new count (self-review r16: the parent's link-swap path would
+    silently flip n_buckets without touching the dirs, making point
+    probes compute new-count bucket ids against old-count directories —
+    dropped candidates), and answer identically after."""
+    import numpy as np
+
+    from flink_tutorial_spark.operators.similarity import (
+        lsh_index,
+        lsh_topk_from_index,
+    )
+    from flink_tutorial_spark.sinks.foreach import KeyedAppendSink
+
+    sink = KeyedAppendSink(
+        spark, str(tmp_path / "idx"), key_cols=["vec_id"], n_buckets=8,
+        bucket_cols=["bucket"], stable_value_buckets=True,
+    )
+    rng = np.random.default_rng(7)  # seed with known bucket collisions
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(64)])
+        for i in range(200)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sink(lsh_index(vecs.where("vec_id < 100")), 0)
+    sink(lsh_index(vecs.where("vec_id >= 100")), 1)
+    q = lsh_index(vecs.where("vec_id < 5"))
+
+    def answers():
+        idx = sink.read().select("vec_id", "bucket", "embedding")
+        topk = sorted(
+            tuple(r) for r in lsh_topk_from_index(idx, q, k=3).collect()
+        )
+        probe = sorted(
+            tuple(r)
+            for r in lsh_topk_from_index(
+                sink.read_buckets(q).select("vec_id", "bucket", "embedding"),
+                q,
+                k=3,
+            ).collect()
+        )
+        return topk, probe
+
+    before_topk, before_probe = answers()
+    assert before_topk == before_probe and before_topk
+
+    sink.rebucket(16)
+    assert sink.n_buckets == 16
+    # the layout was actually rewritten: one folded dir, new-count buckets
+    dirs = sink._epoch_dirs()
+    assert len(dirs) == 1
+    buckets_on_disk = {
+        int(s.split("=")[1])
+        for s in os.listdir(dirs[0])
+        if s.startswith("_bucket=")
+    }
+    assert buckets_on_disk <= set(range(16)) and max(buckets_on_disk) >= 8
+    after_topk, after_probe = answers()
+    assert after_topk == before_topk
+    assert after_probe == before_probe
+    # new epochs continue after the re-shard (ids resume past the fold)
+    sink(lsh_index(vecs.limit(0)), 2)  # empty epoch publishes fine
+    extra = [(1000, [1.0] * 64)]
+    sink(
+        lsh_index(
+            spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+        ),
+        3,
+    )
+    assert sink.read().count() == 201
+
+
+def test_append_sink_rejects_fresh_checkpoint_on_stale_table(
+    spark, tmp_path
+):
+    """The append channel is epoch-id-sensitive (max-epoch wins per
+    key), so a fresh checkpoint restarting epoch ids at 0 against a
+    table with published history would make NEW rows silently LOSE the
+    dedup — the sink refuses the decreasing id instead (the append twin
+    of the epoch-ledger lineage guard; fanout_sink_root makes the shape
+    unconstructible in idiomatic use)."""
+    from flink_tutorial_spark.sinks.foreach import KeyedAppendSink
+
+    sink = KeyedAppendSink(
+        spark, str(tmp_path / "t"), key_cols=["k"], n_buckets=4
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    sink(df([("a", 1)]), 5)
+    sink(df([("a", 2)]), 5)  # replay of the same epoch: allowed
+    sink(df([("a", 3)]), 7)  # progress: allowed
+    with pytest.raises(RuntimeError, match="lineage mismatch"):
+        sink(df([("a", 99)]), 0)  # fresh lineage on stale table: refused
+    assert sorted(tuple(r) for r in sink.read().collect()) == [("a", 3)]
