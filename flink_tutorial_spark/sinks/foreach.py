@@ -105,9 +105,83 @@ class KeyedUpsertSink:
                 "key's bucket value never changes across re-insertions."
             )
         os.makedirs(os.path.join(self.path, "links"), exist_ok=True)
+        self._recover_rebucket()
 
     def _link(self, bucket: int) -> str:
         return os.path.join(self.path, "links", f"b{bucket}")
+
+    @staticmethod
+    def _version_epoch(bucket_path: str) -> int:
+        """Epoch id encoded in a bucket's version-directory name
+        (``.../v{epoch}_{uuid}/_bucket={b}``) — the metadata the epoch
+        ledger rides (EpochLedgerMergeAggSink); -1 if unparsable."""
+        vdir = os.path.basename(os.path.dirname(bucket_path))
+        try:
+            return int(vdir.split("_", 1)[0][1:])
+        except (IndexError, ValueError):
+            return -1
+
+    def _rebucket_marker(self) -> str:
+        return os.path.join(self.path, "_rebucket_pending.json")
+
+    def _recover_rebucket(self) -> None:
+        """Finish an interrupted rebucket() (constructor hook): the
+        marker exists only between the new version's completed write and
+        the end of the link swap + prune, so completing the swap from it
+        is always safe — without this, a crash mid-swap would leave some
+        buckets unlinked and the NEXT epoch would silently drop their
+        rows (merged = new with no old side)."""
+        import json
+        import shutil
+
+        marker = self._rebucket_marker()
+        if not os.path.exists(marker):
+            return
+        with open(marker) as f:
+            pending = json.load(f)
+        if pending["n_buckets"] != self.n_buckets:
+            raise ValueError(
+                f"interrupted rebucket at {self.path} was re-sharding to "
+                f"{pending['n_buckets']} buckets; construct the sink with "
+                f"that count (got n_buckets={self.n_buckets}) so recovery "
+                "completes under the table's real placement"
+            )
+        self._swap_all_links(pending["version_dir"])
+        for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            if (
+                entry == "links"
+                or full == pending["version_dir"]
+                or not os.path.isdir(full)
+            ):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+        os.unlink(marker)
+
+    def _swap_all_links(self, version_dir: str) -> None:
+        """Point every bucket link at `version_dir`'s partitions and drop
+        links with no partition there. Each flip is atomic (tmp +
+        os.replace) and the whole pass is idempotent — crash-recovery
+        re-runs it verbatim."""
+        present = set()
+        for sub in os.listdir(version_dir):
+            if not sub.startswith("_bucket="):
+                continue
+            b = int(sub.split("=")[1])
+            present.add(b)
+            link = self._link(b)
+            tmp_link = link + ".tmp"
+            if os.path.lexists(tmp_link):
+                os.unlink(tmp_link)
+            os.symlink(os.path.join(version_dir, sub), tmp_link)
+            os.replace(tmp_link, link)
+        links_dir = os.path.join(self.path, "links")
+        for entry in list(os.listdir(links_dir)):
+            if entry.endswith(".tmp"):
+                os.unlink(os.path.join(links_dir, entry))
+                continue
+            if entry.startswith("b") and int(entry[1:]) not in present:
+                os.unlink(os.path.join(links_dir, entry))
 
     def _bucket_expr(self) -> F.Column:
         return F.pmod(F.hash(*self.bucket_cols), F.lit(self.n_buckets))
@@ -288,17 +362,28 @@ class KeyedUpsertSink:
         repoint all links — after which the sink (its placement
         expression now uses the new count) and any fresh read()/
         read_buckets() answer identically to before (tested against
-        the ANN oracle). Contract hooks are unaffected: placement is
-        consistent at ANY fixed count, and per-key/per-bucket contents
-        are a pure repartition of the same rows.
+        the ANN oracle). Per-key/per-bucket contents are a pure
+        repartition of the same rows.
 
-        Maintenance operation, NOT an epoch: it rewrites the whole
-        table (that is the point — amortize it; run it when per-bucket
-        size drifts past the constructor's sizing rule) and it DELETES
-        the superseded version dirs immediately, so lazy DataFrames
-        from earlier read() calls are invalidated — run it between
-        epochs with no concurrent readers, the same rule as a lakehouse
-        OPTIMIZE/rewrite."""
+        Maintenance operation, NOT an epoch — run it on a QUIESCED,
+        COMMITTED table (no uncommitted epoch in flight, no concurrent
+        readers or writers; the lakehouse OPTIMIZE rule): it rewrites
+        the whole table (that is the point — amortize it; run it when
+        per-bucket size drifts past the constructor's sizing rule) and
+        it DELETES the superseded version dirs, invalidating lazy
+        DataFrames from earlier read() calls.
+
+        Crash safety + the epoch ledger: the new version dir is named
+        ``v{L}_{uuid}`` where L is the MAX epoch recorded across the
+        old bucket dirs, so EpochLedgerMergeAggSink's name-encoded
+        per-bucket ledger survives a re-shard (committed epochs <= L
+        still skip on replay; the fresh-checkpoint lineage guard still
+        fires) — that collapse of per-bucket ledgers to their max is
+        exactly why the table must be quiesced first. A pending-marker
+        file brackets the link swap: a crash mid-swap is completed by
+        the next constructor (see _recover_rebucket), never left as
+        silently unlinked buckets."""
+        import json
         import shutil
         import uuid
 
@@ -307,13 +392,14 @@ class KeyedUpsertSink:
             # empty table: nothing to rewrite, just adopt the new count
             self.n_buckets = n_buckets
             return
+        ledger_max = max(self._version_epoch(p) for p in old_paths.values())
         df = self.spark.read.parquet(*old_paths.values())
         old_n = self.n_buckets
         self.n_buckets = n_buckets
         try:
             rebucketed = df.withColumn("_bucket", self._bucket_expr())
             version_dir = os.path.join(
-                self.path, f"rebucket{n_buckets}_{uuid.uuid4().hex[:8]}"
+                self.path, f"v{max(ledger_max, 0)}_{uuid.uuid4().hex[:8]}"
             )
             plan_capture.capture_df(
                 rebucketed, f"rebucket:{os.path.basename(self.path)}"
@@ -324,23 +410,20 @@ class KeyedUpsertSink:
         except Exception:
             self.n_buckets = old_n  # failed rewrite: table is untouched
             raise
-        links_dir = os.path.join(self.path, "links")
-        for entry in list(os.listdir(links_dir)):  # old-count links
-            os.unlink(os.path.join(links_dir, entry))
-        for b in range(n_buckets):
-            target = os.path.join(version_dir, f"_bucket={b}")
-            if not os.path.isdir(target):
-                continue
-            link = self._link(b)
-            os.symlink(target, link + ".tmp")
-            os.replace(link + ".tmp", link)
-        # superseded generations go now (see docstring: no concurrent
-        # readers during a rebuild); keep only the rebucketed version
+        # marker on, swap, prune, marker off — the swap flips each link
+        # atomically (old target -> new target, no unlink-first window)
+        marker = self._rebucket_marker()
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version_dir": version_dir, "n_buckets": n_buckets}, f)
+        os.replace(tmp, marker)
+        self._swap_all_links(version_dir)
         for entry in os.listdir(self.path):
             full = os.path.join(self.path, entry)
             if entry == "links" or full == version_dir or not os.path.isdir(full):
                 continue
             shutil.rmtree(full, ignore_errors=True)
+        os.unlink(marker)
 
 
 class KeyedAppendSink(KeyedUpsertSink):
@@ -418,9 +501,7 @@ class KeyedAppendSink(KeyedUpsertSink):
             # empty epoch: a data-less dir would break the readers'
             # schema inference — skip the publish (free: layout check,
             # no extra Spark job)
-            import shutil as _shutil
-
-            _shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)
             return
         final = os.path.join(
             epochs_dir, f"e{epoch_id:012d}_{uuid.uuid4().hex[:8]}"
@@ -503,44 +584,63 @@ class KeyedAppendSink(KeyedUpsertSink):
             return self.read().limit(0)
         # leaf-dir reads (files directly inside, no partition layer to
         # conflict) lose the _bucket partition column; _latest_per_key
-        # only needs keys + _epoch, both data columns
-        df = self.spark.read.parquet(*paths).withColumn(
-            "_bucket", F.lit(None).cast("int")
+        # needs only keys + _epoch (both data columns) — its drop of
+        # _bucket is a no-op on an absent column
+        return self._latest_per_key(self.spark.read.parquet(*paths))
+
+    def _fold_epochs(self, dirs: list[str], tag: str) -> None:
+        """Shared fold-publish for compact()/rebucket(): dedup the given
+        epoch dirs to the latest row per key, publish ONE directory
+        stamped with the max published epoch (metadata-only from the dir
+        names — rows are written with `_epoch` equal to their dir's id,
+        so no scan is needed; later epochs still win the dedup), then
+        remove the superseded dirs.
+
+        Interrupted-maintenance rule (a crash between the atomic publish
+        and the removals): a FULL read stays correct — every leftover
+        old row either loses the max-epoch dedup to the folded copy or
+        ties it byte-identically — but point probes (read_buckets) may
+        see stale co-residents from the leftover dirs until the next
+        fold clears them. Folds are idempotently re-runnable: re-run
+        compact()/rebucket() after an interruption before serving point
+        probes — the same re-run-after-failure rule as a lakehouse
+        OPTIMIZE."""
+        import shutil
+        import uuid
+
+        max_epoch = self._max_published_epoch()
+        latest = self._latest_per_key(self._read_epochs(dirs))
+        folded = (
+            latest.withColumn("_bucket", self._bucket_expr())
+            .withColumn("_epoch", F.lit(max_epoch).cast("long"))
         )
-        return self._latest_per_key(df)
+        staging = os.path.join(
+            self.path, f"_staging_{tag}_{uuid.uuid4().hex[:8]}"
+        )
+        plan_capture.capture_df(folded, f"{tag}:{os.path.basename(self.path)}")
+        folded.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+        final = os.path.join(
+            self.path,
+            "epochs",
+            f"e{max_epoch:012d}_{tag[0]}{uuid.uuid4().hex[:8]}",
+        )
+        os.rename(staging, final)
+        for d in dirs:  # superseded (final is not in the given list)
+            shutil.rmtree(d, ignore_errors=True)
 
     def compact(self) -> None:
         """Fold the accumulated epoch dirs into ONE (the keyed dedup runs
         once at compaction instead of on every read; dir count resets) —
         the periodic maintenance job of every append-channel store, run
         when reads slow or the dir count drifts (e.g. every N epochs).
-        Same publish discipline as an epoch (staging + atomic rename,
-        `_epoch` = the max epoch folded, so later epochs still win), then
-        the superseded epoch dirs are removed — which invalidates lazy
-        DataFrames from earlier read() calls: run it between epochs with
-        no concurrent readers, like rebucket()."""
-        import shutil
-        import uuid
-
+        Removes the superseded epoch dirs, which invalidates lazy
+        DataFrames from earlier read() calls: run it on a quiesced table
+        with no concurrent readers, like rebucket(); see _fold_epochs
+        for the interrupted-run rule."""
         dirs = self._epoch_dirs()
         if len(dirs) <= 1:
             return
-        df = self._read_epochs(dirs)
-        latest = self._latest_per_key(df)
-        max_epoch = df.agg(F.max("_epoch")).collect()[0][0]  # scalar read
-        folded = (
-            latest.withColumn("_bucket", self._bucket_expr())
-            .withColumn("_epoch", F.lit(max_epoch).cast("long"))
-        )
-        staging = os.path.join(self.path, f"_staging_compact_{uuid.uuid4().hex[:8]}")
-        plan_capture.capture_df(folded, f"compact:{os.path.basename(self.path)}")
-        folded.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
-        final = os.path.join(
-            self.path, "epochs", f"e{max_epoch:012d}_c{uuid.uuid4().hex[:8]}"
-        )
-        os.rename(staging, final)
-        for d in dirs:  # superseded (final is not in the pre-compact list)
-            shutil.rmtree(d, ignore_errors=True)
+        self._fold_epochs(dirs, "compact")
 
     def rebucket(self, n_buckets: int) -> None:
         """Append-channel re-shard: the parent's link-swap rebuild does
@@ -551,41 +651,20 @@ class KeyedAppendSink(KeyedUpsertSink):
         rewrite the epoch layout, so it IS a compaction under the new
         count: fold history to the latest row per key, publish one
         directory bucketed by the new expression, drop the old dirs.
-        Same no-concurrent-readers rule as compact()/parent rebucket."""
-        import shutil
-        import uuid
-
+        Same quiesced-table rule and interrupted-run story as compact()
+        (see _fold_epochs)."""
         dirs = self._epoch_dirs()
         old_n = self.n_buckets
         self.n_buckets = n_buckets  # adopt first: _bucket_expr uses it
         if not dirs:
             return
-        staging = os.path.join(
-            self.path, f"_staging_rebucket_{uuid.uuid4().hex[:8]}"
-        )
         try:
-            df = self._read_epochs(dirs)
-            latest = self._latest_per_key(df)
-            max_epoch = df.agg(F.max("_epoch")).collect()[0][0]
-            folded = (
-                latest.withColumn("_bucket", self._bucket_expr())
-                .withColumn("_epoch", F.lit(max_epoch).cast("long"))
-            )
-            plan_capture.capture_df(
-                folded, f"rebucket:{os.path.basename(self.path)}"
-            )
-            folded.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+            self._fold_epochs(dirs, "rebucket")
         except Exception:
             # failed rewrite: the table layout is untouched — restore the
             # count so placement stays consistent with the old dirs
             self.n_buckets = old_n
             raise
-        final = os.path.join(
-            self.path, "epochs", f"e{max_epoch:012d}_r{uuid.uuid4().hex[:8]}"
-        )
-        os.rename(staging, final)
-        for d in dirs:
-            shutil.rmtree(d, ignore_errors=True)
 
 
 #: process-wide idempotence-probe verdicts, keyed by the combine's
@@ -785,12 +864,11 @@ class EpochLedgerMergeAggSink(MergeAggSink):
     @staticmethod
     def _ledger_epoch(bucket_path: str) -> int:
         """Last-applied epoch of a live bucket, parsed from its version
-        directory (``.../v{epoch}_{uuid}/_bucket={b}``)."""
-        vdir = os.path.basename(os.path.dirname(bucket_path))
-        try:
-            return int(vdir.split("_", 1)[0][1:])
-        except (IndexError, ValueError):
-            return -1
+        directory (``.../v{epoch}_{uuid}/_bucket={b}``). rebucket()
+        preserves the scheme (its folded dir is ``v{max ledger}_*`` on a
+        quiesced table), so the ledger and its lineage guard survive a
+        re-shard."""
+        return KeyedUpsertSink._version_epoch(bucket_path)
 
     def _apply_buckets(
         self, dirty: list[int], live: dict[int, str], epoch_id: int

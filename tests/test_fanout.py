@@ -996,6 +996,78 @@ def test_append_rebucket_rewrites_layout_and_answers_identically(
     assert sink.read().count() == 201
 
 
+def test_rebucket_preserves_epoch_ledger_and_lineage_guard(spark, tmp_path):
+    """Review r16: the ledger sink's replay protection is ENCODED in the
+    version-directory name (v{epoch}_*), so rebucket must publish under
+    that scheme (v{max ledger}_*) — an unparsable name would read as
+    ledger -1 on every bucket, silently re-applying replayed additive
+    epochs (double-count) and disarming the fresh-checkpoint guard."""
+    sink = _sum_sink(spark, tmp_path / "t", n_buckets=4)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, c long")
+
+    sink(df([("a", 1), ("b", 2)]), 0)
+    sink(df([("a", 10)]), 1)
+    assert _counts(sink) == [("a", 11), ("b", 2)]
+
+    sink.rebucket(8)
+    assert _counts(sink) == [("a", 11), ("b", 2)]
+    # replay of the last epoch is STILL a no-op (ledger survived as
+    # v{max}=v1, not -1)
+    sink(df([("a", 10)]), 1)
+    assert _counts(sink) == [("a", 11), ("b", 2)]
+    # fresh-checkpoint lineage guard still fires (probe a key whose
+    # bucket is LIVE — the guard reads the ledger off live buckets)
+    with pytest.raises(ValueError, match="lineage mismatch"):
+        sink(df([("a", 99)]), 0)
+    # and progress still applies
+    sink(df([("b", 5)]), 2)
+    assert _counts(sink) == [("a", 11), ("b", 7)]
+
+
+def test_rebucket_crash_mid_swap_recovers_on_construction(spark, tmp_path):
+    """Review r16: rebucket's link swap is bracketed by a pending marker
+    so a crash mid-swap cannot leave buckets silently unlinked (the next
+    epoch would have dropped their rows). A constructor on the marked
+    table completes the swap; constructing with a different bucket count
+    than the interrupted re-shard refuses with guidance."""
+    import json
+
+    from flink_tutorial_spark.sinks.foreach import KeyedUpsertSink
+
+    path = str(tmp_path / "t")
+    sink = KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=4)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    sink(df([("a", 1), ("b", 2), ("c", 3), ("d", 4)]), 0)
+    sink.rebucket(8)
+    want = sorted(tuple(r) for r in sink.read().collect())
+
+    # recreate the mid-swap crash state: marker present, one live link
+    # missing (the swap died after relinking only part of the set)
+    live = sink._live_bucket_paths()
+    version_dir = os.path.dirname(next(iter(live.values())))
+    with open(sink._rebucket_marker(), "w") as f:
+        json.dump({"version_dir": version_dir, "n_buckets": 8}, f)
+    os.unlink(sink._link(next(iter(live))))
+
+    # wrong count: refused, marker intact
+    with pytest.raises(ValueError, match="interrupted rebucket"):
+        KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=4)
+    assert os.path.exists(sink._rebucket_marker())
+
+    # right count: recovery completes the swap and clears the marker
+    sink2 = KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=8)
+    assert not os.path.exists(sink2._rebucket_marker())
+    assert sorted(tuple(r) for r in sink2.read().collect()) == want
+    # and the table keeps working
+    sink2(df([("e", 5)]), 1)
+    assert sink2.read().count() == 5
+
+
 def test_append_sink_rejects_fresh_checkpoint_on_stale_table(
     spark, tmp_path
 ):

@@ -139,19 +139,26 @@ def main() -> None:
         out["staleness"] = base["staleness"]
     # fixture tagging (r15): recompute the subtotal from the MERGED mins
     # so the committed artifact carries it like a direct bench run does.
-    # ADVICE r15: union the fixture list across ALL merged runs (a
-    # pre-r15 base artifact carries no fixture_queries, which would
-    # silently drop the subtotal even though the merged times include
-    # fixture queries); fall back to the live REGISTRY tags when no run
-    # carries the list at all.
-    fixture_names = sorted(
-        {n for _, d in clean for n in d.get("fixture_queries", [])}
-    )
-    if not fixture_names:
+    # ADVICE r15: a pre-r15 base artifact carries no fixture_queries,
+    # which silently dropped the subtotal even though the merged times
+    # include fixture queries. The LIVE catalog tags are the truth at
+    # merge time (a union across runs would resurrect a tag a later
+    # round removed); fall back to the newest run carrying the field
+    # only if the package import fails.
+    try:
         from flink_tutorial_spark import plans  # noqa: E402
 
         fixture_names = sorted(
             n for n, s in plans.REGISTRY.items() if "fixture" in s.tags
+        )
+    except Exception:
+        fixture_names = next(
+            (
+                sorted(d["fixture_queries"])
+                for _, d in reversed(clean)
+                if "fixture_queries" in d
+            ),
+            [],
         )
     out["fixture_queries"] = fixture_names
     out["fixture_total_sec"] = round(

@@ -194,8 +194,12 @@ def _snapshot(listener) -> dict:
             return {r: frozenset(b) for r, b in list(listener.batches.items())}
         except RuntimeError:  # changed size during iteration — go again
             continue
+    try:
+        keys = list(listener.batches)  # can tear under the same mutation
+    except RuntimeError:
+        return {}  # fully torn — an empty copy just forces a re-tick
     out = {}
-    for r in list(listener.batches):
+    for r in keys:
         try:
             out[r] = frozenset(listener.batches.get(r, ()))
         except RuntimeError:  # this key torn too — empty forces a re-tick
