@@ -75,15 +75,57 @@ def _scratch_dir() -> str:
 
 
 def purge_scratch() -> None:
-    """Delete accumulated scratch subdirs (VERDICT r7 nit: a long-lived
+    """Release accumulated materializations (VERDICT r7 nit: a long-lived
     catalog session otherwise accumulates one signature checkpoint per
-    materializing query until exit). Safe ONLY between independent query
+    materializing query until exit): unpersist tracked cache entries and
+    delete scratch subdirs. Safe ONLY between independent query
     executions — DataFrames returned by earlier calls lazily re-read
-    their scratch parquet and would fail if re-executed after a purge.
-    bench.py calls this between timed queries."""
+    their scratch parquet and would fail if re-executed after a purge
+    (the persist path is gentler: re-execution just recomputes from
+    lineage). bench.py calls this between timed queries."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
     if _SCRATCH_ROOT is not None:
         for sub in os.listdir(_SCRATCH_ROOT):
             shutil.rmtree(os.path.join(_SCRATCH_ROOT, sub), ignore_errors=True)
+
+
+#: persist() handles issued by _materialize, released by purge_scratch
+_PERSISTED: list[DataFrame] = []
+
+
+def _materialize(df: DataFrame, label: str) -> DataFrame:
+    """Materialize a small derived table ONCE for its multiple downstream
+    plan branches (signature/fingerprint tables feed a band join plus
+    both sides of a verify join — unmaterialized, Spark recomputes the
+    shingle+hash pipeline per branch, measured 8x slower at sf0.1).
+
+    Default: persist(MEMORY_AND_DISK), tracked for purge_scratch().
+    Chosen over the r2–r16 scratch-parquet write+read after profiling
+    the bench variance (VERDICT r16 "What's wrong" #2): the synchronous
+    local-disk write made `dedup_minhash_lsh` IO-contention-sensitive —
+    1.385–6.348 s spread (4.6x) across one session, the catalog's
+    widest, and a 12.97 s driver outlier. The cache is released between
+    queries, so nothing pins executor storage for the session.
+
+    Set FTS_MATERIALIZE=parquet to restore the scratch-parquet path:
+    at 100 TB deployment that is the honest choice — a full-corpus
+    signature table belongs in an object-storage checkpoint, not in
+    executor block storage where it would displace the shuffle/cache
+    working set (and survive for downstream verify jobs)."""
+    plan_capture.capture_df(df, f"scratch:{label}")
+    if os.environ.get("FTS_MATERIALIZE", "persist") == "parquet":
+        scratch = f"{_scratch_dir()}/{label}"
+        df.write.mode("overwrite").parquet(scratch)
+        return df.sparkSession.read.parquet(scratch)
+    from pyspark import StorageLevel
+
+    handle = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(handle)
+    return handle
 
 
 def md5_long(col) -> F.Column:
@@ -249,20 +291,16 @@ def minhash_lsh_dedup(
     per-band collision threshold is unchanged while 8 chances replace
     4 — see the recall benchmark in tests/test_datapipe.py).
 
-    The signature table is materialized (written to scratch parquet and
-    re-read) before the self-joins — it feeds the band join and both
-    sides of the estimate join; without materialization Spark recomputes
-    the shingle+hash pipeline per branch (measured 8x slower at sf0.1),
-    and with persist() the cache entry would pin executor storage for
-    the session lifetime. At 100 TB this scratch write is the signature
-    checkpoint to object storage."""
+    The signature table is materialized ONCE via _materialize before
+    the self-joins — it feeds the band join and both sides of the
+    estimate join; without materialization Spark recomputes the
+    shingle+hash pipeline per branch (measured 8x slower at sf0.1).
+    See _materialize for the persist-vs-scratch-parquet trade (r16
+    variance profile) and the 100 TB deployment mode."""
     if k % bands:
         raise ValueError("k must divide evenly into bands")
     sig_raw = minhash_signatures(shingle_table(docs, id_col, text_col), id_col, k=k)
-    scratch = _scratch_dir() + "/sig"
-    plan_capture.capture_df(sig_raw, "scratch:minhash_sig")
-    sig_raw.write.mode("overwrite").parquet(scratch)
-    sig = docs.sparkSession.read.parquet(scratch)
+    sig = _materialize(sig_raw, "minhash_sig")
     cand = lsh_candidate_pairs(
         sig, id_col, bands=bands, rows=k // bands, max_band_freq=max_band_freq
     )
@@ -422,9 +460,9 @@ def ngram_jaccard_pairs(
     operator as the per-candidate verifier.
 
     The shingle table is hashed to 60-bit ints (8-byte join keys and
-    shuffle rows instead of ~20-char strings) and materialized to
-    scratch parquet ONCE — it feeds every downstream branch, which
-    would otherwise each recompute the split/transform/explode/distinct
+    shuffle rows instead of ~20-char strings) and materialized ONCE
+    (_materialize) — it feeds every downstream branch, which would
+    otherwise each recompute the split/transform/explode/distinct
     pipeline. The oracle hashes with the identical md5 prefix, so even
     a (≈2^-61) hash collision yields the same answer in both engines.
     The oracle is strategy-independent."""
@@ -435,10 +473,7 @@ def ngram_jaccard_pairs(
     sh_raw = shingle_table(docs, id_col, text_col).select(
         F.col(id_col), md5_long(F.col("shingle")).alias("sh")
     )
-    scratch = _scratch_dir() + "/sh"
-    plan_capture.capture_df(sh_raw, "scratch:simhash_sig")
-    sh_raw.write.mode("overwrite").parquet(scratch)
-    sh = docs.sparkSession.read.parquet(scratch)
+    sh = _materialize(sh_raw, "shingle_hash")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
@@ -564,16 +599,13 @@ def simhash_near_dup(
 
     Scale shape mirrors MinHash-LSH: candidates come from an equi-join
     on (band, slice-value) — never all pairs; the fingerprint table
-    (one small row per doc) is checkpointed once for its three plan
-    branches (band explode + both distance sides)."""
+    (one small row per doc) is materialized once (_materialize) for its
+    three plan branches (band explode + both distance sides)."""
     assert SIMHASH_BITS % bands == 0
     bits_per = SIMHASH_BITS // bands
     mask = (1 << bits_per) - 1
     fp_raw = simhash(docs, id_col, text_col)
-    scratch = _scratch_dir() + "/fp"
-    plan_capture.capture_df(fp_raw, "scratch:fingerprint")
-    fp_raw.write.mode("overwrite").parquet(scratch)
-    fp = docs.sparkSession.read.parquet(scratch)
+    fp = _materialize(fp_raw, "fingerprint")
     slices = F.array(
         *[F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask)) for b in range(bands)]
     )

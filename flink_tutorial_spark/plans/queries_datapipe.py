@@ -9,7 +9,6 @@ exact oracles.
 
 from __future__ import annotations
 
-from flink_tutorial_spark import plan_capture
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1655,7 +1654,7 @@ def datapipe_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lightly-edited copies.
 
     Scale shape: signatures are computed ONCE over the union (one
-    shingle pass, one groupBy) and materialized to scratch; the band
+    shingle pass, one groupBy) and materialized (D._materialize); the band
     join is batch-side x corpus-side on (band, band-hash) — candidates
     only, never batch x corpus; the verify join re-reads the
     materialized signature table. The hot-band guard
@@ -1665,10 +1664,7 @@ def datapipe_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingle_table(docs)
     sig_raw = D.minhash_signatures(sh)
-    scratch = D._scratch_dir() + "/ndi_sig"
-    plan_capture.capture_df(sig_raw, "scratch:datapipe_sig")
-    sig_raw.write.mode("overwrite").parquet(scratch)
-    sig = spark.read.parquet(scratch)
+    sig = D._materialize(sig_raw, "datapipe_sig")
 
     rows = D.N_MINHASH // D.N_BANDS
     band_cols = [
