@@ -107,9 +107,37 @@ def main() -> None:
     tick_canary()
     from flink_tutorial_spark.operators.dedup import purge_scratch
 
+    # Retry-on-outlier (VERDICT r16 #2): a single contended run of one
+    # heavy headliner can dominate the headline total (r16: a 12.97 s
+    # dedup_minhash_lsh outlier was 37% of the driver's noisy 34.8 s
+    # total). If BOTH best-of-2 samples of a headliner exceed 3x its
+    # committed min (prior BENCH_FULL_local.json), re-time it ONCE and
+    # keep all samples in `runs` plus the name in `retried` — honest
+    # best-of-3 on flagged outliers only, mirroring the r1 baseline
+    # protocol's best-of-2. No committed artifact -> no retries.
+    committed_min: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL_local.json")) as f:
+            prior = json.load(f).get("runs", {})
+        committed_min = {
+            n: min(v) for n, v in prior.items()
+            if isinstance(v, list) and v and all(isinstance(x, (int, float)) for x in v)
+        }
+    except Exception:
+        pass
+    retried: list[str] = []
+
     for i, name in enumerate(catalog):
         runs = 2 if name in HEADLINE else 1
         raw = [round(run_once(name), 3) for _ in range(runs)]
+        if (
+            name in HEADLINE
+            and name in committed_min
+            and min(raw) > 3 * committed_min[name]
+        ):
+            retried.append(name)
+            raw.append(round(run_once(name), 3))
         raw_runs[name] = raw
         times[name] = min(raw)
         # bound scratch disk across the long sweep (safe between fully
@@ -160,6 +188,7 @@ def main() -> None:
         "n_queries": len(times),
         "sf": float(sf),
         "runs": raw_runs,
+        "retried": retried,
         "canary": {
             "query": CANARY,
             "times": canary_times,

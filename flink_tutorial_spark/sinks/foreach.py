@@ -106,9 +106,52 @@ class KeyedUpsertSink:
             )
         os.makedirs(os.path.join(self.path, "links"), exist_ok=True)
         self._recover_rebucket()
+        self._check_meta()
 
     def _link(self, bucket: int) -> str:
         return os.path.join(self.path, "links", f"b{bucket}")
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_table_meta.json")
+
+    def _write_meta(self) -> None:
+        import json
+
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+        os.replace(tmp, self._meta_path())
+
+    def _check_meta(self) -> None:
+        """Bucket-count guard (ADVICE r16): the count is placement — a
+        sink reconstructed with a stale count after a completed
+        rebucket() would silently corrupt (overwrite channel: read()
+        scans range(n), dropping the buckets a GROW added; append
+        channel: point probes compute bucket ids under the wrong
+        modulus and miss candidates). The count is persisted in a small
+        table-meta file written on first use and by rebucket(); a
+        mismatch at construction raises instead, mirroring the
+        interrupted-rebucket marker's count check. Pre-meta tables
+        (none in-repo) adopt the constructor's count on first
+        reconstruction."""
+        import json
+
+        meta = self._meta_path()
+        if os.path.exists(meta):
+            with open(meta) as f:
+                recorded = json.load(f)["n_buckets"]
+            if recorded != self.n_buckets:
+                raise ValueError(
+                    f"bucket-count mismatch at {self.path}: table meta "
+                    f"records n_buckets={recorded} but the sink was "
+                    f"constructed with {self.n_buckets}. The count is "
+                    "placement — reading or writing under the wrong one "
+                    "silently drops buckets / strands keys. Construct "
+                    f"with n_buckets={recorded}, or rebucket() to the "
+                    "new count from a correctly-constructed sink."
+                )
+        else:
+            self._write_meta()
 
     @staticmethod
     def _version_epoch(bucket_path: str) -> int:
@@ -156,6 +199,9 @@ class KeyedUpsertSink:
             ):
                 continue
             shutil.rmtree(full, ignore_errors=True)
+        # the meta write rides the marker bracket (see rebucket): recovery
+        # re-runs it so the recorded count can never lag a completed swap
+        self._write_meta()
         os.unlink(marker)
 
     def _swap_all_links(self, version_dir: str) -> None:
@@ -391,15 +437,30 @@ class KeyedUpsertSink:
         if not old_paths:
             # empty table: nothing to rewrite, just adopt the new count
             self.n_buckets = n_buckets
+            self._write_meta()
             return
         ledger_max = max(self._version_epoch(p) for p in old_paths.values())
+        if ledger_max < 0:
+            # every version dir this class writes is v{epoch}_{uuid}; an
+            # unparsable name means the name-encoded replay-protection
+            # metadata (epoch ledger + lineage guard) is already damaged
+            # — fail before rewriting the whole table on top of it
+            # (ADVICE r16: the old max(ledger_max, 0) clamp silently
+            # fabricated ledger epoch 0, double-counting replays on
+            # ledger-bearing subclasses)
+            raise ValueError(
+                f"rebucket at {self.path}: no live bucket has a parsable "
+                "v{{epoch}}_* version-dir name — the name-encoded epoch "
+                "ledger is unreliable; repair the table (or rebuild it "
+                "from source) before re-sharding"
+            )
         df = self.spark.read.parquet(*old_paths.values())
         old_n = self.n_buckets
         self.n_buckets = n_buckets
         try:
             rebucketed = df.withColumn("_bucket", self._bucket_expr())
             version_dir = os.path.join(
-                self.path, f"v{max(ledger_max, 0)}_{uuid.uuid4().hex[:8]}"
+                self.path, f"v{ledger_max}_{uuid.uuid4().hex[:8]}"
             )
             plan_capture.capture_df(
                 rebucketed, f"rebucket:{os.path.basename(self.path)}"
@@ -417,6 +478,11 @@ class KeyedUpsertSink:
         with open(tmp, "w") as f:
             json.dump({"version_dir": version_dir, "n_buckets": n_buckets}, f)
         os.replace(tmp, marker)
+        # meta rides the marker bracket: on then meta then swap, so a
+        # crash anywhere leaves either (marker present -> recovery
+        # re-writes meta) or (marker gone -> meta already new); the
+        # recorded count can never silently lag a completed swap
+        self._write_meta()
         self._swap_all_links(version_dir)
         for entry in os.listdir(self.path):
             full = os.path.join(self.path, entry)
@@ -458,6 +524,89 @@ class KeyedAppendSink(KeyedUpsertSink):
     buckets, where a moved key's stale row would win unchallenged — so
     the opt-in asserts the same never-moves rule."""
 
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        order_col: str | None = None,
+        n_buckets: int = 16,
+        bucket_cols: list[str] | None = None,
+        stable_value_buckets: bool = False,
+        compact_every_n_epochs: int | None = None,
+    ):
+        """`compact_every_n_epochs` (VERDICT r16 #3) is the
+        auto-compaction policy: when set, __call__ folds the table back
+        to one directory whenever the published-epoch-dir count reaches
+        the threshold, bounding the read-side rent (dedup window legs +
+        dir stitching) without an operator remembering to call
+        compact(). Safe mid-stream because the sink is the table's only
+        writer between epochs (foreachBatch sinks run sequentially on
+        the driver) — but the standing reader rule applies: lazy
+        DataFrames from earlier read() calls must not be held across
+        epochs, since the fold removes the dirs they reference. None
+        (default) keeps compaction manual — the lakehouse
+        INSERT INTO + scheduled OPTIMIZE split."""
+        if compact_every_n_epochs is not None and compact_every_n_epochs < 1:
+            raise ValueError("compact_every_n_epochs must be >= 1 (or None)")
+        self.compact_every_n_epochs = compact_every_n_epochs
+        super().__init__(
+            spark,
+            path,
+            key_cols,
+            order_col=order_col,
+            n_buckets=n_buckets,
+            bucket_cols=bucket_cols,
+            stable_value_buckets=stable_value_buckets,
+        )
+
+    def _recover_rebucket(self) -> None:
+        # the parent's link-swap marker never exists on this channel
+        # (no links), but running its recovery is a free no-op; the
+        # append channel's own interrupted-maintenance marker is the
+        # fold marker — both complete BEFORE the constructor's meta
+        # check so a recovered count is checked, not the stale one
+        super()._recover_rebucket()
+        self._recover_fold()
+
+    def _fold_marker(self) -> str:
+        return os.path.join(self.path, "_fold_pending.json")
+
+    def _recover_fold(self) -> None:
+        """Finish an interrupted _fold_epochs (constructor hook, the
+        append twin of _recover_rebucket; ADVICE r16): the marker exists
+        from just before the fold's atomic publish until after the
+        superseded-dir removals, so recovery is either a no-op (publish
+        never happened — drop the marker, the staging sweep clears the
+        leftovers) or a re-run of the removals + meta write. Without
+        this, a crash between publish and removals left mixed-layout
+        epoch dirs that read_buckets would silently probe stale until
+        an operator remembered to re-run the fold."""
+        import json
+        import shutil
+
+        marker = self._fold_marker()
+        if not os.path.exists(marker):
+            return
+        with open(marker) as f:
+            pending = json.load(f)
+        if not os.path.isdir(pending["final"]):
+            # crashed before the atomic publish: the fold never took
+            # effect and the old dirs are intact — nothing to complete
+            os.unlink(marker)
+            return
+        if pending["n_buckets"] != self.n_buckets:
+            raise ValueError(
+                f"interrupted fold at {self.path} was publishing under "
+                f"{pending['n_buckets']} buckets; construct the sink "
+                f"with that count (got n_buckets={self.n_buckets}) so "
+                "recovery completes under the table's real placement"
+            )
+        for d in pending["superseded"]:
+            shutil.rmtree(d, ignore_errors=True)
+        self._write_meta()
+        os.unlink(marker)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         import shutil
         import uuid
@@ -471,6 +620,16 @@ class KeyedAppendSink(KeyedUpsertSink):
         # parsed from the published dir names, no Spark job.
         # (fanout_sink_root pairs checkpoint and sink lifetimes so this
         # is unconstructible in idiomatic use.)
+        # Known edge (ADVICE r16): equality passes as a replay, so a
+        # fresh checkpoint's epoch 0 landing on a ONE-epoch table (max
+        # published == 0) is indistinguishable from a replay of that
+        # epoch and appends different-content rows at the same _epoch —
+        # the max-epoch dedup then picks arbitrary winners. Dir-name
+        # metadata cannot tell the two apart (same id by construction);
+        # content fingerprints could, but would charge every legitimate
+        # replay a full old-epoch read to guard a state only reachable
+        # by already violating the fresh-checkpoint/fresh-table rule
+        # that fanout_sink_root enforces. Documented, not paid for.
         applied = self._max_published_epoch()
         if applied is not None and epoch_id < applied:
             raise RuntimeError(
@@ -507,6 +666,14 @@ class KeyedAppendSink(KeyedUpsertSink):
             epochs_dir, f"e{epoch_id:012d}_{uuid.uuid4().hex[:8]}"
         )
         os.rename(staging, final)  # atomic publish
+        if (
+            self.compact_every_n_epochs is not None
+            and len(self._epoch_dirs()) >= self.compact_every_n_epochs
+        ):
+            # auto-compaction (VERDICT r16 #3): fold inside the epoch,
+            # after the publish — the sink is the only writer here, and
+            # an interrupted fold is marker-recovered like any other
+            self.compact()
 
     def _epoch_dirs(self) -> list[str]:
         epochs_dir = os.path.join(self.path, "epochs")
@@ -596,15 +763,16 @@ class KeyedAppendSink(KeyedUpsertSink):
         so no scan is needed; later epochs still win the dedup), then
         remove the superseded dirs.
 
-        Interrupted-maintenance rule (a crash between the atomic publish
-        and the removals): a FULL read stays correct — every leftover
-        old row either loses the max-epoch dedup to the folded copy or
-        ties it byte-identically — but point probes (read_buckets) may
-        see stale co-residents from the leftover dirs until the next
-        fold clears them. Folds are idempotently re-runnable: re-run
-        compact()/rebucket() after an interruption before serving point
-        probes — the same re-run-after-failure rule as a lakehouse
-        OPTIMIZE."""
+        Interrupted-maintenance story (ADVICE r16): the crash window
+        between the atomic publish and the removals is bracketed by a
+        pending-marker file, completed by the next constructor
+        (_recover_fold) — a FULL read is correct either way (every
+        leftover old row loses the max-epoch dedup to the folded copy
+        or ties it byte-identically), but point probes (read_buckets)
+        would silently see stale co-residents from the leftover dirs;
+        the marker turns that into mechanical recovery instead of an
+        operator remembering to re-run the fold."""
+        import json
         import shutil
         import uuid
 
@@ -624,9 +792,23 @@ class KeyedAppendSink(KeyedUpsertSink):
             "epochs",
             f"e{max_epoch:012d}_{tag[0]}{uuid.uuid4().hex[:8]}",
         )
+        # marker on -> publish -> removals -> meta -> marker off: a crash
+        # anywhere is completed (or discarded, pre-publish) by
+        # _recover_fold; the meta write inside the bracket means a
+        # rebucket-fold's new count can never silently lag the layout
+        marker = self._fold_marker()
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"final": final, "superseded": dirs, "n_buckets": self.n_buckets},
+                f,
+            )
+        os.replace(tmp, marker)
         os.rename(staging, final)
         for d in dirs:  # superseded (final is not in the given list)
             shutil.rmtree(d, ignore_errors=True)
+        self._write_meta()
+        os.unlink(marker)
 
     def compact(self) -> None:
         """Fold the accumulated epoch dirs into ONE (the keyed dedup runs
@@ -657,6 +839,7 @@ class KeyedAppendSink(KeyedUpsertSink):
         old_n = self.n_buckets
         self.n_buckets = n_buckets  # adopt first: _bucket_expr uses it
         if not dirs:
+            self._write_meta()
             return
         try:
             self._fold_epochs(dirs, "rebucket")

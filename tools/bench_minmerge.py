@@ -134,6 +134,10 @@ def main() -> None:
             ),
         },
         "n_headline_queries": len(HEADLINE),
+        # union of per-run retry-on-outlier flags (bench.py `retried`,
+        # VERDICT r16 #2): which headliners took a best-of-3 in any
+        # merged run — the extra samples are already in `runs`
+        "retried": sorted({n for _, d in clean for n in d.get("retried", [])}),
     }
     if "staleness" in base:
         out["staleness"] = base["staleness"]
