@@ -151,7 +151,32 @@ class KeyedUpsertSink:
                     "new count from a correctly-constructed sink."
                 )
         else:
+            # pre-meta adoption (legacy tables only — every table this
+            # code creates gets meta at first construction): a bucket id
+            # on disk >= the constructor's count proves the count wrong
+            # BEFORE it is institutionalized in meta; a too-large count
+            # is undetectable from layout alone (all ids < n)
+            observed = self._max_layout_bucket()
+            if observed is not None and observed >= self.n_buckets:
+                raise ValueError(
+                    f"bucket-count mismatch at {self.path}: the layout "
+                    f"holds bucket id {observed} but the sink was "
+                    f"constructed with n_buckets={self.n_buckets}; "
+                    "construct with the table's real count"
+                )
             self._write_meta()
+
+    def _max_layout_bucket(self) -> int | None:
+        """Largest bucket id present in the on-disk layout (links dir
+        here; epoch dirs on the append channel), for the pre-meta
+        adoption guard. None on an empty table."""
+        links = os.path.join(self.path, "links")
+        ids = [
+            int(e[1:])
+            for e in os.listdir(links)
+            if e.startswith("b") and e[1:].isdigit()
+        ]
+        return max(ids) if ids else None
 
     @staticmethod
     def _version_epoch(bucket_path: str) -> int:
@@ -572,6 +597,15 @@ class KeyedAppendSink(KeyedUpsertSink):
     def _fold_marker(self) -> str:
         return os.path.join(self.path, "_fold_pending.json")
 
+    def _max_layout_bucket(self) -> int | None:
+        ids = [
+            int(s.split("=")[1])
+            for d in self._epoch_dirs()
+            for s in os.listdir(d)
+            if s.startswith("_bucket=")
+        ]
+        return max(ids) if ids else None
+
     def _recover_fold(self) -> None:
         """Finish an interrupted _fold_epochs (constructor hook, the
         append twin of _recover_rebucket; ADVICE r16): the marker exists
@@ -592,7 +626,15 @@ class KeyedAppendSink(KeyedUpsertSink):
             pending = json.load(f)
         if not os.path.isdir(pending["final"]):
             # crashed before the atomic publish: the fold never took
-            # effect and the old dirs are intact — nothing to complete
+            # effect and the old dirs are intact — discard the marker
+            # and sweep the staged copy here too (a read-only table may
+            # never run __call__'s staging sweep, and the staged fold is
+            # a full deduped copy of the table)
+            for entry in os.listdir(self.path):
+                if entry.startswith("_staging_"):
+                    shutil.rmtree(
+                        os.path.join(self.path, entry), ignore_errors=True
+                    )
             os.unlink(marker)
             return
         if pending["n_buckets"] != self.n_buckets:
@@ -844,9 +886,27 @@ class KeyedAppendSink(KeyedUpsertSink):
         try:
             self._fold_epochs(dirs, "rebucket")
         except Exception:
-            # failed rewrite: the table layout is untouched — restore the
-            # count so placement stays consistent with the old dirs
-            self.n_buckets = old_n
+            # Restore the old count ONLY if the fold never published —
+            # _fold_epochs can fail AFTER its atomic publish (removals /
+            # meta / marker unlink), where the layout already IS the new
+            # count and restoring old_n would make this live sink probe
+            # and place under the wrong modulus. Publish state is in the
+            # marker; _recover_fold then completes-or-discards in-process
+            # (it matches on the marker's count, which is the current
+            # self.n_buckets by construction).
+            import json
+
+            published = False
+            marker = self._fold_marker()
+            if os.path.exists(marker):
+                try:
+                    with open(marker) as f:
+                        published = os.path.isdir(json.load(f)["final"])
+                except (OSError, ValueError, KeyError):
+                    pass
+                self._recover_fold()
+            if not published:
+                self.n_buckets = old_n
             raise
 
 

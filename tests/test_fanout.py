@@ -1281,3 +1281,68 @@ def test_rebucket_refuses_unparsable_ledger_names(spark, tmp_path):
                     os.symlink(os.path.join(bad, sub), link)
     with pytest.raises(ValueError, match="unreliable"):
         sink.rebucket(8)
+
+
+def test_pre_meta_table_wrong_count_detected_from_layout(spark, tmp_path):
+    """Pre-meta adoption guard (review r17): reconstructing a legacy
+    (meta-less) table with a too-small count is caught from the layout
+    (a bucket id on disk >= the count) instead of institutionalizing
+    the wrong count in the new meta file."""
+    from flink_tutorial_spark.sinks.foreach import KeyedAppendSink
+
+    path = str(tmp_path / "t")
+    sink = KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=8)
+    rows = [(f"k{i}", i) for i in range(64)]
+    sink(spark.createDataFrame(rows, "k string, v long"), 0)
+    os.unlink(sink._meta_path())  # simulate a pre-meta legacy table
+
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=4)
+
+    # the true count adopts and re-records
+    sink2 = KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=8)
+    assert os.path.exists(sink2._meta_path())
+    assert sink2.read().count() == 64
+
+
+def test_append_rebucket_post_publish_failure_keeps_new_count(
+    spark, tmp_path, monkeypatch
+):
+    """Review r17: if the re-shard fold fails AFTER its atomic publish
+    (e.g. the meta write), the table layout already IS the new count —
+    the live sink must keep it (restoring the old count would probe the
+    wrong modulus) and complete the fold bookkeeping in-process."""
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    path = str(tmp_path / "t")
+    sink = fx.KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=4)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    sink(df([(f"k{i}", i) for i in range(32)]), 0)
+    sink(df([("k0", 100)]), 1)
+
+    calls = {"n": 0}
+    real = fx.KeyedAppendSink._write_meta
+
+    def boom(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("disk full")
+        real(self)
+
+    monkeypatch.setattr(fx.KeyedAppendSink, "_write_meta", boom)
+    with pytest.raises(OSError, match="disk full"):
+        sink.rebucket(8)
+
+    # published fold: new count kept, bookkeeping completed in-process
+    assert sink.n_buckets == 8
+    assert not os.path.exists(sink._fold_marker())
+    assert len(sink._epoch_dirs()) == 1
+    got = {(r["k"], r["v"]) for r in sink.read().collect()}
+    assert ("k0", 100) in got and len(got) == 32
+    # and a reconstruction under the new count passes the meta check
+    monkeypatch.setattr(fx.KeyedAppendSink, "_write_meta", real)
+    sink2 = fx.KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=8)
+    assert sink2.read().count() == 32

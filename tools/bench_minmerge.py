@@ -135,9 +135,19 @@ def main() -> None:
         },
         "n_headline_queries": len(HEADLINE),
         # union of per-run retry-on-outlier flags (bench.py `retried`,
-        # VERDICT r16 #2): which headliners took a best-of-3 in any
-        # merged run — the extra samples are already in `runs`
-        "retried": sorted({n for _, d in clean for n in d.get("retried", [])}),
+        # VERDICT r16 #2): which headliners took a best-of-3 in a merged
+        # run WHOSE SAMPLES this artifact kept — a --restrict that
+        # excludes the retrying run must also drop its retry flag, or
+        # the artifact would list a retry with no third sample in `runs`
+        "retried": sorted(
+            {
+                n
+                for p, d in clean
+                for n in d.get("retried", [])
+                if not restrict.get(n)
+                or any(s in os.path.basename(p) for s in restrict[n])
+            }
+        ),
     }
     if "staleness" in base:
         out["staleness"] = base["staleness"]
