@@ -63,7 +63,7 @@ MINHASH_B = [
 _SCRATCH_ROOT: str | None = None
 
 
-def _scratch_dir() -> str:
+def scratch_dir() -> str:
     """Session-scoped scratch root, removed at interpreter exit — repeated
     minhash runs (bench warm-ups, oracle passes) reuse one root instead of
     leaking a mkdtemp per call for the life of the machine."""
@@ -96,10 +96,10 @@ def purge_scratch() -> None:
             shutil.rmtree(os.path.join(_SCRATCH_ROOT, sub), ignore_errors=True)
 
 
-#: persist() handles issued by _materialize, released by purge_scratch
+#: persist() handles issued by materialize, released by purge_scratch
 _PERSISTED: list[DataFrame] = []
 
-#: FIFO bound on live _materialize caches for sessions that never call
+#: FIFO bound on live materialize caches for sessions that never call
 #: purge_scratch (e.g. a full-catalog correctness pass): a query stages
 #: at most two materializations, so 4 keeps the current query's tables
 #: hot while older queries' tables are evicted instead of pinning
@@ -107,7 +107,7 @@ _PERSISTED: list[DataFrame] = []
 _PERSIST_CAP = 4
 
 
-def _materialize(df: DataFrame, label: str) -> DataFrame:
+def materialize(df: DataFrame, label: str) -> DataFrame:
     """Materialize a small derived table ONCE for its multiple downstream
     plan branches (signature/fingerprint tables feed a band join plus
     both sides of a verify join — unmaterialized, Spark recomputes the
@@ -131,7 +131,7 @@ def _materialize(df: DataFrame, label: str) -> DataFrame:
     working set (and survive for downstream verify jobs)."""
     plan_capture.capture_df(df, f"scratch:{label}")
     if os.environ.get("FTS_MATERIALIZE", "persist") == "parquet":
-        scratch = f"{_scratch_dir()}/{label}"
+        scratch = f"{scratch_dir()}/{label}"
         df.write.mode("overwrite").parquet(scratch)
         return df.sparkSession.read.parquet(scratch)
     from pyspark import StorageLevel
@@ -309,16 +309,16 @@ def minhash_lsh_dedup(
     per-band collision threshold is unchanged while 8 chances replace
     4 — see the recall benchmark in tests/test_datapipe.py).
 
-    The signature table is materialized ONCE via _materialize before
+    The signature table is materialized ONCE via materialize before
     the self-joins — it feeds the band join and both sides of the
     estimate join; without materialization Spark recomputes the
     shingle+hash pipeline per branch (measured 8x slower at sf0.1).
-    See _materialize for the persist-vs-scratch-parquet trade (r16
+    See materialize for the persist-vs-scratch-parquet trade (r16
     variance profile) and the 100 TB deployment mode."""
     if k % bands:
         raise ValueError("k must divide evenly into bands")
     sig_raw = minhash_signatures(shingle_table(docs, id_col, text_col), id_col, k=k)
-    sig = _materialize(sig_raw, "minhash_sig")
+    sig = materialize(sig_raw, "minhash_sig")
     cand = lsh_candidate_pairs(
         sig, id_col, bands=bands, rows=k // bands, max_band_freq=max_band_freq
     )
@@ -479,7 +479,7 @@ def ngram_jaccard_pairs(
 
     The shingle table is hashed to 60-bit ints (8-byte join keys and
     shuffle rows instead of ~20-char strings) and materialized ONCE
-    (_materialize) — it feeds every downstream branch, which would
+    (materialize) — it feeds every downstream branch, which would
     otherwise each recompute the split/transform/explode/distinct
     pipeline. The oracle hashes with the identical md5 prefix, so even
     a (≈2^-61) hash collision yields the same answer in both engines.
@@ -491,7 +491,7 @@ def ngram_jaccard_pairs(
     sh_raw = shingle_table(docs, id_col, text_col).select(
         F.col(id_col), md5_long(F.col("shingle")).alias("sh")
     )
-    sh = _materialize(sh_raw, "shingle_hash")
+    sh = materialize(sh_raw, "shingle_hash")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
@@ -617,13 +617,13 @@ def simhash_near_dup(
 
     Scale shape mirrors MinHash-LSH: candidates come from an equi-join
     on (band, slice-value) — never all pairs; the fingerprint table
-    (one small row per doc) is materialized once (_materialize) for its
+    (one small row per doc) is materialized once (materialize) for its
     three plan branches (band explode + both distance sides)."""
     assert SIMHASH_BITS % bands == 0
     bits_per = SIMHASH_BITS // bands
     mask = (1 << bits_per) - 1
     fp_raw = simhash(docs, id_col, text_col)
-    fp = _materialize(fp_raw, "fingerprint")
+    fp = materialize(fp_raw, "fingerprint")
     slices = F.array(
         *[F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask)) for b in range(bands)]
     )
@@ -718,7 +718,7 @@ def dedup_components(
     new-vs-old — at corpus scale that's a checkpoint-file scan, not a
     second shuffle."""
     spark = pairs.sparkSession
-    root = _scratch_dir()
+    root = scratch_dir()
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges_raw = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -1654,7 +1654,7 @@ def datapipe_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lightly-edited copies.
 
     Scale shape: signatures are computed ONCE over the union (one
-    shingle pass, one groupBy) and materialized (D._materialize); the band
+    shingle pass, one groupBy) and materialized (D.materialize); the band
     join is batch-side x corpus-side on (band, band-hash) — candidates
     only, never batch x corpus; the verify join re-reads the
     materialized signature table. The hot-band guard
@@ -1664,7 +1664,7 @@ def datapipe_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingle_table(docs)
     sig_raw = D.minhash_signatures(sh)
-    sig = D._materialize(sig_raw, "datapipe_sig")
+    sig = D.materialize(sig_raw, "datapipe_sig")
 
     rows = D.N_MINHASH // D.N_BANDS
     band_cols = [

@@ -569,7 +569,7 @@ def streaming_late_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import os
 
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.session import load_table
     from flink_tutorial_spark.streaming.lateness import (
         LateTopNSink,
@@ -579,7 +579,7 @@ def streaming_late_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("ts", "event_type")
     cutoff = _ts_midpoint(spark, sf_dir, events)
 
-    root = _scratch_dir()
+    root = scratch_dir()
     src = os.path.join(root, "src")
     os.makedirs(src, exist_ok=True)
     # two single-file batches, written in arrival order (file source
@@ -1168,7 +1168,7 @@ def streaming_adclick_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful-filter pass, epoch cost ∝ dirty hour-buckets; state
     bounded as in blacklist_filter (~2 days of active (user, ad)
     pairs)."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.sinks.foreach import (
         EpochLedgerMergeAggSink,
         EventTimeHighWatermark,
@@ -1186,7 +1186,7 @@ def streaming_adclick_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = blacklist_filter(clicks, "user_id", "item_id", "ts", "day", MAX_CLICKS)
 
-    base = _scratch_dir()
+    base = scratch_dir()
     warn_dir = os.path.join(base, "warn")
     cnt_sink = EpochLedgerMergeAggSink(
         spark,
@@ -2016,7 +2016,7 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         TimestampType,
     )
 
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.streaming.stateful import rolling_zscore
 
     events = stream_table(spark, sf_dir, "events")
@@ -2026,7 +2026,7 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("v"))
         .select("event_type", F.col("w.start").alias("h"), "v")
     )
-    handoff = f"{_scratch_dir()}/anomaly_handoff_{_uuid.uuid4().hex[:8]}"
+    handoff = f"{scratch_dir()}/anomaly_handoff_{_uuid.uuid4().hex[:8]}"
     run_to_parquet(buckets, handoff)
     schema = StructType(
         [
@@ -2144,7 +2144,7 @@ def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         TimestampType,
     )
 
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.streaming.stateful import gap_fill_stream
 
     events = stream_table(spark, sf_dir, "events")
@@ -2157,7 +2157,7 @@ def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.col("w.start").alias("h"), "n", "v_fp")
     )
-    handoff = f"{_scratch_dir()}/gapfill_handoff_{_uuid.uuid4().hex[:8]}"
+    handoff = f"{scratch_dir()}/gapfill_handoff_{_uuid.uuid4().hex[:8]}"
     run_to_parquet(buckets, handoff)
     schema = StructType(
         [
@@ -2360,7 +2360,7 @@ def streaming_freq_cm_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source is scanned once per batch (listener-pinned vs the
     two-pipeline twin's 2x in tests/test_fanout.py); the ledger adds
     zero writes — it rides the existing bucket-swap atomicity."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.sinks.foreach import EpochLedgerMergeAggSink
     from flink_tutorial_spark.streaming.run import run_fanout
 
@@ -2370,7 +2370,7 @@ def streaming_freq_cm_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("item").isNotNull())
 
     rows_df = spark.range(4).select(F.col("id").cast("int").alias("row_i"))
-    base = _scratch_dir()
+    base = scratch_dir()
     cells_sink = EpochLedgerMergeAggSink(
         spark,
         os.path.join(base, "cells"),
@@ -2478,14 +2478,14 @@ def streaming_quantile_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the lakehouse row for continuous percentile serving: MERGE
     INTO cells USING batch ... UPDATE SET c = t.c + s.c, with the
     batch id ledger standing in for the engine's state-store WAL."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.sinks.foreach import EpochLedgerMergeAggSink
     from flink_tutorial_spark.streaming.run import run_fanout
 
     events = stream_table(spark, sf_dir, "events")
     sink = EpochLedgerMergeAggSink(
         spark,
-        os.path.join(_scratch_dir(), "qcells"),
+        os.path.join(scratch_dir(), "qcells"),
         key_cols=["event_type", "e", "m"],
         agg_exprs=[F.sum("c").cast("long").alias("c")],
     )
@@ -2886,7 +2886,7 @@ def _kmv_onepass_tables(spark: SparkSession, sf_dir: str):
     MERGE / calibration pairs / persisted high watermark), converged
     tables restricted to CLOSED days and shard cells merge-truncated
     per day. See streaming_uv_kmv_onepass for the full contract."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir, md5_long
+    from flink_tutorial_spark.operators.dedup import scratch_dir, md5_long
     from flink_tutorial_spark.sinks.foreach import (
         EventTimeHighWatermark,
         MergeAggSink,
@@ -2902,7 +2902,7 @@ def _kmv_onepass_tables(spark: SparkSession, sf_dir: str):
         .withColumn("shard", F.pmod("hv", F.lit(S)))
         .withColumn("day", F.date_trunc("day", "ts"))
     )
-    base = _scratch_dir()
+    base = scratch_dir()
     pairs_dir = os.path.join(base, "pairs")
     cells_sink = MergeAggSink(
         spark,
@@ -3050,14 +3050,14 @@ def streaming_dedup_registry_onepass(
     output has, but built once and kept current; epoch cost is
     proportional to the batch's dirty buckets, never the corpus. The
     stream never rescans, never all-pairs."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.sinks.foreach import MergeAggSink
     from flink_tutorial_spark.streaming.run import run_fanout
 
     docs = stream_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("fingerprint")
     )
-    base = _scratch_dir()
+    base = scratch_dir()
     meta_dir = os.path.join(base, "meta")
     registry = MergeAggSink(
         spark,
@@ -3120,7 +3120,7 @@ def streaming_uv_hll_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, shard, reg) cells — the read-side grid fill (_hll_report)
     supplies rank 0 for absent registers, so the two representations
     state identical reports (hash-exactness proves it)."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir, md5_long
+    from flink_tutorial_spark.operators.dedup import scratch_dir, md5_long
     from flink_tutorial_spark.plans.queries_patterns import (
         _hll_report,
         hll_rank,
@@ -3148,7 +3148,7 @@ def streaming_uv_hll_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
             hll_shard().alias("shard"),
         )
     )
-    base = _scratch_dir()
+    base = scratch_dir()
     pairs_dir = os.path.join(base, "pairs")
     reg_sink = MergeAggSink(
         spark,
@@ -3334,7 +3334,7 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index; this extends its keyed-state-on-ingest pattern
     (day07 state demos) to the LLM-pipeline brief's similarity
     surface."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.operators.similarity import (
         lsh_index,
         lsh_topk_from_index,
@@ -3345,7 +3345,7 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = stream_table(spark, sf_dir, "embeddings")
     index = KeyedUpsertSink(
         spark,
-        os.path.join(_scratch_dir(), "lsh_index"),
+        os.path.join(scratch_dir(), "lsh_index"),
         key_cols=["vec_id"],
         n_buckets=16,
         bucket_cols=["bucket"],  # co-locate same-LSH-bucket vectors
@@ -3405,7 +3405,7 @@ def streaming_ann_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast). Reference analog: none (the reference keeps no ANN
     index); this is the brief's similarity surface on the reference's
     keyed-ingest pattern (day07 state demos)."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
     from flink_tutorial_spark.operators.similarity import (
         lsh_index,
         lsh_topk_from_index,
@@ -3416,7 +3416,7 @@ def streaming_ann_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = stream_table(spark, sf_dir, "embeddings")
     index = KeyedAppendSink(
         spark,
-        os.path.join(_scratch_dir(), "lsh_index_append"),
+        os.path.join(scratch_dir(), "lsh_index_append"),
         key_cols=["vec_id"],
         n_buckets=16,
         bucket_cols=["bucket"],

@@ -65,7 +65,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     express the same semantics; Spark would also accept the
     sequence+explode grid at billions of buckets since it's generated
     distributed, keyed by the grid key."""
-    from flink_tutorial_spark.operators.dedup import _scratch_dir
+    from flink_tutorial_spark.operators.dedup import scratch_dir
 
     ev = load_table(spark, sf_dir, "events")
     b = ev.groupBy(
@@ -79,7 +79,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark re-reads + re-aggregates events THREE times — the scratch
     # checkpoint makes the events scan the single data-sized pass (same
     # rationale as the minhash signature checkpoint, dedup.py:252)
-    scratch = _scratch_dir() + "/gapfill_b"
+    scratch = scratch_dir() + "/gapfill_b"
     plan_capture.capture_df(b, "scratch:ts_buckets")
     b.write.mode("overwrite").parquet(scratch)
     b = spark.read.parquet(scratch)

@@ -500,21 +500,47 @@ class KeyedUpsertSink:
         # atomically (old target -> new target, no unlink-first window)
         marker = self._rebucket_marker()
         tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version_dir": version_dir, "n_buckets": n_buckets}, f)
-        os.replace(tmp, marker)
-        # meta rides the marker bracket: on then meta then swap, so a
-        # crash anywhere leaves either (marker present -> recovery
-        # re-writes meta) or (marker gone -> meta already new); the
-        # recorded count can never silently lag a completed swap
-        self._write_meta()
-        self._swap_all_links(version_dir)
-        for entry in os.listdir(self.path):
-            full = os.path.join(self.path, entry)
-            if entry == "links" or full == version_dir or not os.path.isdir(full):
-                continue
-            shutil.rmtree(full, ignore_errors=True)
-        os.unlink(marker)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"version_dir": version_dir, "n_buckets": n_buckets}, f
+                )
+            os.replace(tmp, marker)
+        except Exception:
+            # marker never landed: nothing published, links + meta still
+            # the old layout — the live instance must match them
+            self.n_buckets = old_n
+            raise
+        try:
+            # meta rides the marker bracket: on then meta then swap, so a
+            # crash anywhere leaves either (marker present -> recovery
+            # re-writes meta) or (marker gone -> meta already new); the
+            # recorded count can never silently lag a completed swap
+            self._write_meta()
+            self._swap_all_links(version_dir)
+            for entry in os.listdir(self.path):
+                full = os.path.join(self.path, entry)
+                if (
+                    entry == "links"
+                    or full == version_dir
+                    or not os.path.isdir(full)
+                ):
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+            os.unlink(marker)
+        except Exception:
+            # Post-publish failure (ADVICE r17): the marker is the publish
+            # point — recovery always completes the swap from it — so the
+            # new count is the table's committed layout and must stay on
+            # the live instance. But a caller that catches this error and
+            # keeps using the instance would otherwise probe new-count ids
+            # against old links; mirror the append channel and recover
+            # in-process. If recovery itself fails (likely the same cause,
+            # e.g. disk-full under _write_meta), the marker is intact so
+            # the next constructor retries, and the chained traceback
+            # carries both errors.
+            self._recover_rebucket()
+            raise
 
 
 class KeyedAppendSink(KeyedUpsertSink):
@@ -896,17 +922,36 @@ class KeyedAppendSink(KeyedUpsertSink):
             # self.n_buckets by construction).
             import json
 
-            published = False
             marker = self._fold_marker()
-            if os.path.exists(marker):
-                try:
-                    with open(marker) as f:
-                        published = os.path.isdir(json.load(f)["final"])
-                except (OSError, ValueError, KeyError):
-                    pass
-                self._recover_fold()
-            if not published:
+            if not os.path.exists(marker):
+                # failed before the marker landed: nothing publishable
+                # was staged, the old layout is intact
                 self.n_buckets = old_n
+                raise
+            try:
+                with open(marker) as f:
+                    published = os.path.isdir(json.load(f)["final"])
+            except (OSError, ValueError, KeyError) as marker_err:
+                # Unreadable marker = UNKNOWN publish state (ADVICE r17):
+                # the fold may well have published, so restoring old_n
+                # could put this live sink on the wrong modulus — keep
+                # the new count and surface both errors (the fold error
+                # rides as __context__); the next constructor re-attempts
+                # recovery once the marker is repaired or removed.
+                raise RuntimeError(
+                    f"rebucket at {self.path} failed and its fold marker "
+                    f"is unreadable ({marker_err!r}): publish state "
+                    "unknown — keeping the new bucket count; repair or "
+                    f"remove {marker} and reconstruct the sink"
+                ) from marker_err
+            # recovery completes-or-discards in-process; a failure inside
+            # it chains onto the fold error rather than masking it, and
+            # the count restore still happens for an unpublished fold
+            try:
+                self._recover_fold()
+            finally:
+                if not published:
+                    self.n_buckets = old_n
             raise
 
 

@@ -1346,3 +1346,133 @@ def test_append_rebucket_post_publish_failure_keeps_new_count(
     monkeypatch.setattr(fx.KeyedAppendSink, "_write_meta", real)
     sink2 = fx.KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=8)
     assert sink2.read().count() == 32
+
+
+def test_upsert_rebucket_post_publish_failure_recovers_in_process(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r17: on the keyed-overwrite channel a rebucket failure
+    AFTER the marker write (the publish point — recovery always
+    completes the swap from it) must not leave the live instance
+    probing new-count bucket ids against old-count links: the handler
+    recovers in-process, mirroring the append channel."""
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    path = str(tmp_path / "t")
+    sink = fx.KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=4)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    sink(df([(f"k{i}", i) for i in range(32)]), 0)
+    sink(df([("k0", 100)]), 1)
+    before = {(r["k"], r["v"]) for r in sink.read().collect()}
+
+    calls = {"n": 0}
+    real = fx.KeyedUpsertSink._write_meta
+
+    def boom(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("disk full")
+        real(self)
+
+    monkeypatch.setattr(fx.KeyedUpsertSink, "_write_meta", boom)
+    with pytest.raises(OSError, match="disk full"):
+        sink.rebucket(8)
+
+    # marker was the publish point: new count kept, swap + prune + meta
+    # completed in-process by _recover_rebucket, marker gone
+    assert sink.n_buckets == 8
+    assert not os.path.exists(sink._rebucket_marker())
+    live = sink._live_bucket_paths()
+    assert live and set(live) <= set(range(8))
+    assert {(r["k"], r["v"]) for r in sink.read().collect()} == before
+    # a fresh constructor under the new count passes the meta check and
+    # the sink keeps working (placement matches the recovered layout)
+    monkeypatch.setattr(fx.KeyedUpsertSink, "_write_meta", real)
+    sink2 = fx.KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=8)
+    assert sink2.read().count() == 32
+    sink(df([("k1", 200)]), 2)
+    got = {(r["k"], r["v"]) for r in sink.read().collect()}
+    assert ("k1", 200) in got and len(got) == 32
+
+
+def test_upsert_rebucket_marker_write_failure_restores_old_count(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r17 twin: if the marker itself never lands, nothing
+    published — links and meta still hold the old layout, so the live
+    instance must restore the old count (keeping the new one would
+    probe new-count ids against old links)."""
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    path = str(tmp_path / "t")
+    sink = fx.KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=4)
+    rows = [(f"k{i}", i) for i in range(32)]
+    sink(spark.createDataFrame(rows, "k string, v long"), 0)
+    before = {(r["k"], r["v"]) for r in sink.read().collect()}
+
+    monkeypatch.setattr(
+        fx.KeyedUpsertSink,
+        "_rebucket_marker",
+        lambda self: str(tmp_path / "nosuchdir" / "marker.json"),
+    )
+    with pytest.raises(FileNotFoundError):
+        sink.rebucket(8)
+    monkeypatch.undo()
+
+    assert sink.n_buckets == 4
+    assert {(r["k"], r["v"]) for r in sink.read().collect()} == before
+    # and the table is still fully operational: the interrupted re-shard
+    # can simply be re-run
+    sink.rebucket(8)
+    assert sink.n_buckets == 8
+    assert {(r["k"], r["v"]) for r in sink.read().collect()} == before
+
+
+def test_append_rebucket_unreadable_marker_keeps_new_count(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r17: an unreadable fold marker during rebucket failure
+    handling is UNKNOWN publish state — the fold may have published, so
+    restoring the old count could put the live sink on the wrong
+    modulus. The handler must keep the new count and surface both
+    errors instead of silently defaulting to restore."""
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    path = str(tmp_path / "t")
+    sink = fx.KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=4)
+    sink(
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(32)], "k string, v long"
+        ),
+        0,
+    )
+
+    real = fx.KeyedAppendSink._write_meta
+
+    def boom(self):
+        # simulate a crash that also mangles the marker: the fold has
+        # already published (rename + removals ran before _write_meta)
+        with open(self._fold_marker(), "w") as f:
+            f.write("{not json")
+        raise OSError("disk full")
+
+    monkeypatch.setattr(fx.KeyedAppendSink, "_write_meta", boom)
+    with pytest.raises(RuntimeError, match="publish state unknown"):
+        sink.rebucket(8)
+    monkeypatch.setattr(fx.KeyedAppendSink, "_write_meta", real)
+
+    # unknown publish state: the new count is kept (the fold DID
+    # publish here), the marker is left for repair
+    assert sink.n_buckets == 8
+    assert os.path.exists(sink._fold_marker())
+    assert len(sink._epoch_dirs()) == 1
+    assert sink.read().count() == 32
+    # operator repairs by removing the corrupt marker; reconstruction
+    # under the published count then works after re-recording meta
+    os.unlink(sink._fold_marker())
+    sink._write_meta()
+    sink2 = fx.KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=8)
+    assert sink2.read().count() == 32

@@ -135,10 +135,11 @@ def main() -> None:
         },
         "n_headline_queries": len(HEADLINE),
         # union of per-run retry-on-outlier flags (bench.py `retried`,
-        # VERDICT r16 #2): which headliners took a best-of-3 in a merged
+        # VERDICT r16 #2 / ADVICE r17): which headliners had a
+        # contaminated pair replaced by a fresh best-of-2 in a merged
         # run WHOSE SAMPLES this artifact kept — a --restrict that
         # excludes the retrying run must also drop its retry flag, or
-        # the artifact would list a retry with no third sample in `runs`
+        # the artifact would list a retry whose samples aren't in `runs`
         "retried": sorted(
             {
                 n

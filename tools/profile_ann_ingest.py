@@ -42,7 +42,7 @@ import numpy as np  # noqa: E402
 import pyarrow as pa  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
-from flink_tutorial_spark.operators.dedup import _scratch_dir  # noqa: E402
+from flink_tutorial_spark.operators.dedup import scratch_dir  # noqa: E402
 from flink_tutorial_spark.operators.similarity import (  # noqa: E402
     lsh_index,
     lsh_topk_from_index,
@@ -92,7 +92,7 @@ def main() -> None:
         {"compact_every_n_epochs": 4} if channel == "append-auto" else {}
     )
     spark = get_spark("annprof", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
-    base = _scratch_dir()
+    base = scratch_dir()
     src = os.path.join(base, "src")
     synth(src, n, dim, n_files)
 
