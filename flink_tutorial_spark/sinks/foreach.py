@@ -205,8 +205,21 @@ class KeyedUpsertSink:
         marker = self._rebucket_marker()
         if not os.path.exists(marker):
             return
-        with open(marker) as f:
-            pending = json.load(f)
+        try:
+            with open(marker) as f:
+                pending = json.load(f)
+            pending["version_dir"], pending["n_buckets"]
+        except (OSError, ValueError, KeyError) as e:
+            # same class as the append channel's unreadable-marker rule:
+            # the marker exists, so a swap may be half-done — recovery
+            # cannot proceed mechanically, and silently ignoring the
+            # marker would leave point reads on a half-swapped layout
+            raise RuntimeError(
+                f"interrupted rebucket at {self.path}: pending marker "
+                f"{marker} is unreadable ({e!r}) — inspect the version "
+                "dirs and links, then repair or remove the marker before "
+                "reconstructing the sink"
+            ) from e
         if pending["n_buckets"] != self.n_buckets:
             raise ValueError(
                 f"interrupted rebucket at {self.path} was re-sharding to "
@@ -648,8 +661,22 @@ class KeyedAppendSink(KeyedUpsertSink):
         marker = self._fold_marker()
         if not os.path.exists(marker):
             return
-        with open(marker) as f:
-            pending = json.load(f)
+        try:
+            with open(marker) as f:
+                pending = json.load(f)
+            pending["final"], pending["superseded"], pending["n_buckets"]
+        except (OSError, ValueError, KeyError) as e:
+            # unreadable marker at construction = unknown publish state
+            # (the in-flight rebucket handler's rule, applied here): a
+            # fold may be half-done, so neither completing nor discarding
+            # is mechanically safe — surface it instead of crashing with
+            # a bare json error
+            raise RuntimeError(
+                f"interrupted fold at {self.path}: pending marker "
+                f"{marker} is unreadable ({e!r}) — inspect the epoch "
+                "dirs, then repair or remove the marker before "
+                "reconstructing the sink"
+            ) from e
         if not os.path.isdir(pending["final"]):
             # crashed before the atomic publish: the fold never took
             # effect and the old dirs are intact — discard the marker

@@ -1476,3 +1476,33 @@ def test_append_rebucket_unreadable_marker_keeps_new_count(
     sink._write_meta()
     sink2 = fx.KeyedAppendSink(spark, path, key_cols=["k"], n_buckets=8)
     assert sink2.read().count() == 32
+
+
+def test_constructor_surfaces_unreadable_markers(spark, tmp_path):
+    """Symmetric hardening of the ADVICE r17 unreadable-marker rule: a
+    corrupt pending marker at CONSTRUCTION time (rebucket marker on the
+    overwrite channel, fold marker on the append channel) must raise an
+    actionable repair error, not a bare json decode error — and removing
+    the marker must make construction work again."""
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    up = str(tmp_path / "up")
+    sink = fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4)
+    sink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    with open(sink._rebucket_marker(), "w") as f:
+        f.write("{not json")
+    with pytest.raises(RuntimeError, match="marker.*is unreadable"):
+        fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4)
+    os.unlink(sink._rebucket_marker())
+    assert fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4).read().count() == 1
+
+    ap = str(tmp_path / "ap")
+    asink = fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+    asink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    # a marker missing required keys is as unreadable as bad json
+    with open(asink._fold_marker(), "w") as f:
+        f.write('{"final": "/nowhere"}')
+    with pytest.raises(RuntimeError, match="marker.*is unreadable"):
+        fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+    os.unlink(asink._fold_marker())
+    assert fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4).read().count() == 1
