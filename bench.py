@@ -126,18 +126,34 @@ def main() -> None:
     # to the on-disk file only when git is unavailable (exported tree).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prior: dict = {}
+    in_repo = False
     try:
         import subprocess
 
-        blob = subprocess.run(
-            ["git", "-C", repo_dir, "show", "HEAD:BENCH_FULL_local.json"],
-            capture_output=True, text=True, timeout=10,
-        )
-        if blob.returncode == 0:
-            prior = json.loads(blob.stdout).get("runs", {})
+        in_repo = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "--verify", "HEAD"],
+            capture_output=True, timeout=10,
+        ).returncode == 0
+        if in_repo:
+            blob = subprocess.run(
+                ["git", "-C", repo_dir, "show", "HEAD:BENCH_FULL_local.json"],
+                capture_output=True, text=True, timeout=10,
+            )
+            if blob.returncode == 0:
+                try:
+                    prior = json.loads(blob.stdout).get("runs", {})
+                except ValueError:
+                    # committed artifact corrupt: treat as NO committed
+                    # artifact (no retries) — falling back to the
+                    # on-disk file here would reintroduce the mid-series
+                    # threshold drift this path exists to prevent
+                    prior = {}
     except Exception:
-        pass
-    if not prior:
+        in_repo = False
+    if not in_repo:
+        # on-disk fallback ONLY outside a git checkout (exported tree):
+        # inside one, an absent/corrupt committed artifact means no
+        # thresholds, never the previous run's clobber
         try:
             with open(os.path.join(repo_dir, "BENCH_FULL_local.json")) as f:
                 prior = json.load(f).get("runs", {})

@@ -17,12 +17,35 @@ sketched behind an import guard (no DB in this container).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_tutorial_spark import plan_capture
+
+
+def _load_marker(path: str, required: dict[str, type]) -> dict:
+    """Read a pending-marker json and validate its SHAPE, not just its
+    parsability (review r18): a marker the operator 'repaired' to valid
+    json of the wrong shape previously slipped past the unreadable-marker
+    guards — worst case a string `superseded` iterating per-character
+    into shutil.rmtree("/"). Any structural problem raises ValueError so
+    callers treat unparsable and wrong-shape markers uniformly."""
+    with open(path) as f:
+        pending = json.load(f)
+    if not isinstance(pending, dict):
+        raise ValueError(f"marker is not a json object: {pending!r}")
+    for k, t in required.items():
+        if k not in pending or not isinstance(pending[k], t):
+            raise ValueError(
+                f"marker field {k!r} missing or not a {t.__name__}: "
+                f"{pending.get(k)!r}"
+            )
+        if t is list and not all(isinstance(x, str) for x in pending[k]):
+            raise ValueError(f"marker field {k!r} has non-string entries")
+    return pending
 
 
 class KeyedUpsertSink:
@@ -115,7 +138,6 @@ class KeyedUpsertSink:
         return os.path.join(self.path, "_table_meta.json")
 
     def _write_meta(self) -> None:
-        import json
 
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -134,7 +156,6 @@ class KeyedUpsertSink:
         interrupted-rebucket marker's count check. Pre-meta tables
         (none in-repo) adopt the constructor's count on first
         reconstruction."""
-        import json
 
         meta = self._meta_path()
         if os.path.exists(meta):
@@ -199,17 +220,16 @@ class KeyedUpsertSink:
         is always safe — without this, a crash mid-swap would leave some
         buckets unlinked and the NEXT epoch would silently drop their
         rows (merged = new with no old side)."""
-        import json
         import shutil
 
         marker = self._rebucket_marker()
         if not os.path.exists(marker):
             return
         try:
-            with open(marker) as f:
-                pending = json.load(f)
-            pending["version_dir"], pending["n_buckets"]
-        except (OSError, ValueError, KeyError) as e:
+            pending = _load_marker(
+                marker, {"version_dir": str, "n_buckets": int}
+            )
+        except (OSError, ValueError) as e:
             # same class as the append channel's unreadable-marker rule:
             # the marker exists, so a swap may be half-done — recovery
             # cannot proceed mechanically, and silently ignoring the
@@ -467,15 +487,22 @@ class KeyedUpsertSink:
         file brackets the link swap: a crash mid-swap is completed by
         the next constructor (see _recover_rebucket), never left as
         silently unlinked buckets."""
-        import json
         import shutil
         import uuid
 
         old_paths = self._live_bucket_paths()
         if not old_paths:
             # empty table: nothing to rewrite, just adopt the new count
+            # (restore on a failed meta write — the write is atomic, so
+            # a raise means disk meta still records the old count and
+            # the live instance must keep matching it; review r18)
+            old_n = self.n_buckets
             self.n_buckets = n_buckets
-            self._write_meta()
+            try:
+                self._write_meta()
+            except Exception:
+                self.n_buckets = old_n
+                raise
             return
         ledger_max = max(self._version_epoch(p) for p in old_paths.values())
         if ledger_max < 0:
@@ -509,8 +536,15 @@ class KeyedUpsertSink:
         except Exception:
             self.n_buckets = old_n  # failed rewrite: table is untouched
             raise
-        # marker on, swap, prune, marker off — the swap flips each link
-        # atomically (old target -> new target, no unlink-first window)
+        # marker on, then the commit sequence — which is _recover_rebucket
+        # ITSELF (review r18: the swap/prune/meta/unlink steps used to be
+        # duplicated here verbatim; one tested code path now serves both
+        # the live rebucket and crash recovery, so they cannot drift).
+        # The marker is the publish point: once it lands, the new count
+        # is the table's committed layout — a failure inside the commit
+        # sequence leaves the marker intact (the next constructor, or a
+        # direct _recover_rebucket call, retries) with the live instance
+        # consistent for probing (links swap before the meta write).
         marker = self._rebucket_marker()
         tmp = marker + ".tmp"
         try:
@@ -521,39 +555,13 @@ class KeyedUpsertSink:
             os.replace(tmp, marker)
         except Exception:
             # marker never landed: nothing published, links + meta still
-            # the old layout — the live instance must match them
+            # the old layout — the live instance must match them, and the
+            # orphaned full-table rewrite must not leak (epoch-level
+            # pruning never empties a dir with bucket ids >= old_n)
+            shutil.rmtree(version_dir, ignore_errors=True)
             self.n_buckets = old_n
             raise
-        try:
-            # meta rides the marker bracket: on then meta then swap, so a
-            # crash anywhere leaves either (marker present -> recovery
-            # re-writes meta) or (marker gone -> meta already new); the
-            # recorded count can never silently lag a completed swap
-            self._write_meta()
-            self._swap_all_links(version_dir)
-            for entry in os.listdir(self.path):
-                full = os.path.join(self.path, entry)
-                if (
-                    entry == "links"
-                    or full == version_dir
-                    or not os.path.isdir(full)
-                ):
-                    continue
-                shutil.rmtree(full, ignore_errors=True)
-            os.unlink(marker)
-        except Exception:
-            # Post-publish failure (ADVICE r17): the marker is the publish
-            # point — recovery always completes the swap from it — so the
-            # new count is the table's committed layout and must stay on
-            # the live instance. But a caller that catches this error and
-            # keeps using the instance would otherwise probe new-count ids
-            # against old links; mirror the append channel and recover
-            # in-process. If recovery itself fails (likely the same cause,
-            # e.g. disk-full under _write_meta), the marker is intact so
-            # the next constructor retries, and the chained traceback
-            # carries both errors.
-            self._recover_rebucket()
-            raise
+        self._recover_rebucket()
 
 
 class KeyedAppendSink(KeyedUpsertSink):
@@ -655,17 +663,17 @@ class KeyedAppendSink(KeyedUpsertSink):
         this, a crash between publish and removals left mixed-layout
         epoch dirs that read_buckets would silently probe stale until
         an operator remembered to re-run the fold."""
-        import json
         import shutil
 
         marker = self._fold_marker()
         if not os.path.exists(marker):
             return
         try:
-            with open(marker) as f:
-                pending = json.load(f)
-            pending["final"], pending["superseded"], pending["n_buckets"]
-        except (OSError, ValueError, KeyError) as e:
+            pending = _load_marker(
+                marker,
+                {"final": str, "superseded": list, "n_buckets": int},
+            )
+        except (OSError, ValueError) as e:
             # unreadable marker at construction = unknown publish state
             # (the in-flight rebucket handler's rule, applied here): a
             # fold may be half-done, so neither completing nor discarding
@@ -867,7 +875,6 @@ class KeyedAppendSink(KeyedUpsertSink):
         would silently see stale co-residents from the leftover dirs;
         the marker turns that into mechanical recovery instead of an
         operator remembering to re-run the fold."""
-        import json
         import shutil
         import uuid
 
@@ -934,7 +941,13 @@ class KeyedAppendSink(KeyedUpsertSink):
         old_n = self.n_buckets
         self.n_buckets = n_buckets  # adopt first: _bucket_expr uses it
         if not dirs:
-            self._write_meta()
+            # empty table: restore on a failed meta write (atomic, so a
+            # raise means disk meta still records old_n; review r18)
+            try:
+                self._write_meta()
+            except Exception:
+                self.n_buckets = old_n
+                raise
             return
         try:
             self._fold_epochs(dirs, "rebucket")
@@ -947,8 +960,6 @@ class KeyedAppendSink(KeyedUpsertSink):
             # marker; _recover_fold then completes-or-discards in-process
             # (it matches on the marker's count, which is the current
             # self.n_buckets by construction).
-            import json
-
             marker = self._fold_marker()
             if not os.path.exists(marker):
                 # failed before the marker landed: nothing publishable
@@ -956,9 +967,13 @@ class KeyedAppendSink(KeyedUpsertSink):
                 self.n_buckets = old_n
                 raise
             try:
-                with open(marker) as f:
-                    published = os.path.isdir(json.load(f)["final"])
-            except (OSError, ValueError, KeyError) as marker_err:
+                published = os.path.isdir(
+                    _load_marker(
+                        marker,
+                        {"final": str, "superseded": list, "n_buckets": int},
+                    )["final"]
+                )
+            except (OSError, ValueError) as marker_err:
                 # Unreadable marker = UNKNOWN publish state (ADVICE r17):
                 # the fold may well have published, so restoring old_n
                 # could put this live sink on the wrong modulus — keep

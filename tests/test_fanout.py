@@ -1351,11 +1351,13 @@ def test_append_rebucket_post_publish_failure_keeps_new_count(
 def test_upsert_rebucket_post_publish_failure_recovers_in_process(
     spark, tmp_path, monkeypatch
 ):
-    """ADVICE r17: on the keyed-overwrite channel a rebucket failure
-    AFTER the marker write (the publish point — recovery always
-    completes the swap from it) must not leave the live instance
-    probing new-count bucket ids against old-count links: the handler
-    recovers in-process, mirroring the append channel."""
+    """ADVICE r17 + review r18: on the keyed-overwrite channel the
+    post-marker commit sequence IS _recover_rebucket (one code path for
+    live rebucket and crash recovery). A failure after the marker write
+    (the publish point) must leave the live instance consistent for
+    probing — count new, links already swapped (the swap precedes the
+    meta write) — with the marker intact so the next constructor (or a
+    retry) completes the bookkeeping."""
     from flink_tutorial_spark.sinks import foreach as fx
 
     path = str(tmp_path / "t")
@@ -1381,17 +1383,18 @@ def test_upsert_rebucket_post_publish_failure_recovers_in_process(
     with pytest.raises(OSError, match="disk full"):
         sink.rebucket(8)
 
-    # marker was the publish point: new count kept, swap + prune + meta
-    # completed in-process by _recover_rebucket, marker gone
+    # marker was the publish point: new count kept, links swapped, reads
+    # correct; the marker survives the failed meta write for the retry
     assert sink.n_buckets == 8
-    assert not os.path.exists(sink._rebucket_marker())
+    assert os.path.exists(sink._rebucket_marker())
     live = sink._live_bucket_paths()
     assert live and set(live) <= set(range(8))
     assert {(r["k"], r["v"]) for r in sink.read().collect()} == before
-    # a fresh constructor under the new count passes the meta check and
-    # the sink keeps working (placement matches the recovered layout)
+    # a fresh constructor under the new count completes the recovery
+    # (meta written, marker gone) and the sink keeps working
     monkeypatch.setattr(fx.KeyedUpsertSink, "_write_meta", real)
     sink2 = fx.KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=8)
+    assert not os.path.exists(sink2._rebucket_marker())
     assert sink2.read().count() == 32
     sink(df([("k1", 200)]), 2)
     got = {(r["k"], r["v"]) for r in sink.read().collect()}
@@ -1418,11 +1421,16 @@ def test_upsert_rebucket_marker_write_failure_restores_old_count(
         "_rebucket_marker",
         lambda self: str(tmp_path / "nosuchdir" / "marker.json"),
     )
+    n_dirs_before = len(os.listdir(path))
     with pytest.raises(FileNotFoundError):
         sink.rebucket(8)
     monkeypatch.undo()
 
     assert sink.n_buckets == 4
+    # the orphaned new-count rewrite is cleaned up, not leaked (review
+    # r18: epoch-level pruning could never empty a dir whose bucket ids
+    # exceed the old count)
+    assert len(os.listdir(path)) == n_dirs_before
     assert {(r["k"], r["v"]) for r in sink.read().collect()} == before
     # and the table is still fully operational: the interrupted re-shard
     # can simply be re-run
@@ -1506,3 +1514,43 @@ def test_constructor_surfaces_unreadable_markers(spark, tmp_path):
         fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
     os.unlink(asink._fold_marker())
     assert fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4).read().count() == 1
+
+
+def test_wrong_shape_marker_is_unreadable_not_executed(spark, tmp_path):
+    """Review r18: a pending marker 'repaired' to VALID json of the
+    wrong shape must hit the same unreadable-marker repair error as bad
+    json — never be executed. The nightmare case is a string
+    `superseded` (iterating it per-character would rmtree '/'); non-dict
+    payloads and wrong-typed fields are the same class."""
+    import json as _json
+
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    ap = str(tmp_path / "ap")
+    asink = fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+    asink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    final = asink._epoch_dirs()[0]
+    for bad in (
+        {"final": final, "superseded": "/definitely/not/a/list", "n_buckets": 4},
+        {"final": final, "superseded": ["ok", 7], "n_buckets": 4},
+        {"final": 3, "superseded": [], "n_buckets": 4},
+        ["not", "a", "dict"],
+        None,
+    ):
+        with open(asink._fold_marker(), "w") as f:
+            _json.dump(bad, f)
+        with pytest.raises(RuntimeError, match="marker.*is unreadable"):
+            fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+    os.unlink(asink._fold_marker())
+    assert fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4).read().count() == 1
+
+    up = str(tmp_path / "up")
+    usink = fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4)
+    usink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    for bad in ({"version_dir": 9, "n_buckets": 4}, {"n_buckets": 4}, 42):
+        with open(usink._rebucket_marker(), "w") as f:
+            _json.dump(bad, f)
+        with pytest.raises(RuntimeError, match="marker.*is unreadable"):
+            fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4)
+    os.unlink(usink._rebucket_marker())
+    assert fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4).read().count() == 1
