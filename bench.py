@@ -134,22 +134,27 @@ def main() -> None:
             ["git", "-C", repo_dir, "rev-parse", "--verify", "HEAD"],
             capture_output=True, timeout=10,
         ).returncode == 0
-        if in_repo:
+    except Exception:
+        # only the rev-parse PROBE may flip to the on-disk fallback
+        # (ADVICE r18): once we know we're inside a checkout, any later
+        # failure means no thresholds, never the previous run's clobber
+        in_repo = False
+    if in_repo:
+        try:
             blob = subprocess.run(
                 ["git", "-C", repo_dir, "show", "HEAD:BENCH_FULL_local.json"],
                 capture_output=True, text=True, timeout=10,
             )
             if blob.returncode == 0:
-                try:
-                    prior = json.loads(blob.stdout).get("runs", {})
-                except ValueError:
-                    # committed artifact corrupt: treat as NO committed
-                    # artifact (no retries) — falling back to the
-                    # on-disk file here would reintroduce the mid-series
-                    # threshold drift this path exists to prevent
-                    prior = {}
-    except Exception:
-        in_repo = False
+                runs_field = json.loads(blob.stdout).get("runs", {})
+                prior = runs_field if isinstance(runs_field, dict) else {}
+        except Exception:
+            # committed artifact unreadable (corrupt json, non-object
+            # payload, git timeout): treat as NO committed artifact
+            # (no retries) — falling back to the on-disk file here would
+            # reintroduce the mid-series threshold drift this path
+            # exists to prevent
+            prior = {}
     if not in_repo:
         # on-disk fallback ONLY outside a git checkout (exported tree):
         # inside one, an absent/corrupt committed artifact means no

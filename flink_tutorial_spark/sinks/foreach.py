@@ -26,25 +26,52 @@ from pyspark.sql import functions as F
 from flink_tutorial_spark import plan_capture
 
 
-def _load_marker(path: str, required: dict[str, type]) -> dict:
+def _contained(root: str, p: str) -> bool:
+    """True iff `p` resolves STRICTLY inside `root` — neither the root
+    itself nor anywhere outside it. The guard that keeps recovery's
+    rmtree from ever leaving the table, whatever a repaired marker says."""
+    rroot = os.path.realpath(root)
+    rp = os.path.realpath(p)
+    return rp != rroot and os.path.commonpath([rroot, rp]) == rroot
+
+
+def _load_marker(
+    path: str, required: dict[str, type], root: str | None = None
+) -> dict:
     """Read a pending-marker json and validate its SHAPE, not just its
     parsability (review r18): a marker the operator 'repaired' to valid
     json of the wrong shape previously slipped past the unreadable-marker
     guards — worst case a string `superseded` iterating per-character
     into shutil.rmtree("/"). Any structural problem raises ValueError so
-    callers treat unparsable and wrong-shape markers uniformly."""
+    callers treat unparsable and wrong-shape markers uniformly.
+
+    Semantic rules (ADVICE r18): int fields are bucket counts — bools
+    (which isinstance as int) and counts < 1 are rejected here rather
+    than surfacing later as a confusing count-mismatch; with `root`,
+    every str field and list entry is a path that must resolve strictly
+    inside it — shape-valid markers naming "/", the table root, or any
+    outside path (the rmtree targets of recovery) fail as unreadable."""
     with open(path) as f:
         pending = json.load(f)
     if not isinstance(pending, dict):
         raise ValueError(f"marker is not a json object: {pending!r}")
     for k, t in required.items():
-        if k not in pending or not isinstance(pending[k], t):
+        v = pending.get(k)
+        if k not in pending or not isinstance(v, t) or isinstance(v, bool):
             raise ValueError(
-                f"marker field {k!r} missing or not a {t.__name__}: "
-                f"{pending.get(k)!r}"
+                f"marker field {k!r} missing or not a {t.__name__}: {v!r}"
             )
-        if t is list and not all(isinstance(x, str) for x in pending[k]):
+        if t is int and v < 1:
+            raise ValueError(f"marker field {k!r} must be >= 1: {v!r}")
+        if t is list and not all(isinstance(x, str) for x in v):
             raise ValueError(f"marker field {k!r} has non-string entries")
+        if root is not None and t in (str, list):
+            for p in v if t is list else [v]:
+                if not _contained(root, p):
+                    raise ValueError(
+                        f"marker field {k!r} path {p!r} does not resolve "
+                        f"strictly inside the table root {root!r}"
+                    )
     return pending
 
 
@@ -227,7 +254,7 @@ class KeyedUpsertSink:
             return
         try:
             pending = _load_marker(
-                marker, {"version_dir": str, "n_buckets": int}
+                marker, {"version_dir": str, "n_buckets": int}, root=self.path
             )
         except (OSError, ValueError) as e:
             # same class as the append channel's unreadable-marker rule:
@@ -248,11 +275,16 @@ class KeyedUpsertSink:
                 "completes under the table's real placement"
             )
         self._swap_all_links(pending["version_dir"])
+        # realpath on both sides (ADVICE r18): a recovering constructor
+        # that spells self.path differently from the crashed writer
+        # (relative vs absolute, trailing slash) must not prune the very
+        # version dir the links were just swapped to
+        keep_dir = os.path.realpath(pending["version_dir"])
         for entry in os.listdir(self.path):
             full = os.path.join(self.path, entry)
             if (
                 entry == "links"
-                or full == pending["version_dir"]
+                or os.path.realpath(full) == keep_dir
                 or not os.path.isdir(full)
             ):
                 continue
@@ -557,8 +589,14 @@ class KeyedUpsertSink:
             # marker never landed: nothing published, links + meta still
             # the old layout — the live instance must match them, and the
             # orphaned full-table rewrite must not leak (epoch-level
-            # pruning never empties a dir with bucket ids >= old_n)
+            # pruning never empties a dir with bucket ids >= old_n);
+            # nor the staged .tmp marker (ADVICE r18: a failure between
+            # tmp creation and os.replace left it in the table root)
             shutil.rmtree(version_dir, ignore_errors=True)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             self.n_buckets = old_n
             raise
         self._recover_rebucket()
@@ -672,6 +710,7 @@ class KeyedAppendSink(KeyedUpsertSink):
             pending = _load_marker(
                 marker,
                 {"final": str, "superseded": list, "n_buckets": int},
+                root=self.path,
             )
         except (OSError, ValueError) as e:
             # unreadable marker at construction = unknown publish state
@@ -900,12 +939,22 @@ class KeyedAppendSink(KeyedUpsertSink):
         # rebucket-fold's new count can never silently lag the layout
         marker = self._fold_marker()
         tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"final": final, "superseded": dirs, "n_buckets": self.n_buckets},
-                f,
-            )
-        os.replace(tmp, marker)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"final": final, "superseded": dirs, "n_buckets": self.n_buckets},
+                    f,
+                )
+            os.replace(tmp, marker)
+        except Exception:
+            # same .tmp-leak rule as the overwrite channel's rebucket
+            # (ADVICE r18); the staged fold copy is swept by the next
+            # __call__/_recover_fold's _staging_ sweep
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         os.rename(staging, final)
         for d in dirs:  # superseded (final is not in the given list)
             shutil.rmtree(d, ignore_errors=True)
@@ -971,6 +1020,7 @@ class KeyedAppendSink(KeyedUpsertSink):
                     _load_marker(
                         marker,
                         {"final": str, "superseded": list, "n_buckets": int},
+                        root=self.path,
                     )["final"]
                 )
             except (OSError, ValueError) as marker_err:

@@ -1554,3 +1554,172 @@ def test_wrong_shape_marker_is_unreadable_not_executed(spark, tmp_path):
             fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4)
     os.unlink(usink._rebucket_marker())
     assert fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4).read().count() == 1
+
+
+def test_marker_paths_must_resolve_inside_table_root(spark, tmp_path):
+    """ADVICE r18 (medium): shape-valid markers whose PATHS escape the
+    table root — '/', an absolute path elsewhere, or the table root
+    itself — must raise the unreadable-marker repair error, never reach
+    recovery's rmtree. Covers `superseded` and `final` on the append
+    channel and `version_dir` on the overwrite channel."""
+    import json as _json
+
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    outside = str(tmp_path / "innocent_bystander")
+    os.makedirs(outside)
+    with open(os.path.join(outside, "data.txt"), "w") as f:
+        f.write("precious")
+
+    ap = str(tmp_path / "ap")
+    asink = fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+    asink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    final = asink._epoch_dirs()[0]
+    for bad in (
+        {"final": final, "superseded": ["/"], "n_buckets": 4},
+        {"final": final, "superseded": [outside], "n_buckets": 4},
+        {"final": final, "superseded": [ap], "n_buckets": 4},
+        {"final": "/", "superseded": [], "n_buckets": 4},
+        {"final": outside, "superseded": [], "n_buckets": 4},
+        # traversal that escapes via a relative segment
+        {"final": final, "superseded": [ap + "/../innocent_bystander"], "n_buckets": 4},
+    ):
+        with open(asink._fold_marker(), "w") as f:
+            _json.dump(bad, f)
+        with pytest.raises(RuntimeError, match="marker.*is unreadable"):
+            fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+        assert os.path.exists(os.path.join(outside, "data.txt"))
+    os.unlink(asink._fold_marker())
+    assert fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4).read().count() == 1
+
+    up = str(tmp_path / "up")
+    usink = fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4)
+    usink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    for bad in (
+        {"version_dir": "/", "n_buckets": 4},
+        {"version_dir": outside, "n_buckets": 4},
+        {"version_dir": up, "n_buckets": 4},
+    ):
+        with open(usink._rebucket_marker(), "w") as f:
+            _json.dump(bad, f)
+        with pytest.raises(RuntimeError, match="marker.*is unreadable"):
+            fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4)
+        assert os.path.exists(os.path.join(outside, "data.txt"))
+    os.unlink(usink._rebucket_marker())
+    assert fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4).read().count() == 1
+
+
+def test_marker_bool_and_nonpositive_counts_are_unreadable(spark, tmp_path):
+    """ADVICE r18 (low): isinstance(True, int) is True, so `n_buckets:
+    true` (or 0 / -1) used to pass shape validation and surface later as
+    a confusing count-mismatch — they must fail AT the marker read."""
+    import json as _json
+
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    ap = str(tmp_path / "ap")
+    asink = fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+    asink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    final = asink._epoch_dirs()[0]
+    for n in (True, False, 0, -1):
+        with open(asink._fold_marker(), "w") as f:
+            _json.dump({"final": final, "superseded": [], "n_buckets": n}, f)
+        with pytest.raises(RuntimeError, match="marker.*is unreadable"):
+            fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+    os.unlink(asink._fold_marker())
+    assert fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4).read().count() == 1
+
+
+def test_recover_rebucket_prune_compares_realpaths(spark, tmp_path, monkeypatch):
+    """ADVICE r18 (low): _recover_rebucket used raw string equality to
+    decide which version dir survives the prune, so a recovering
+    constructor spelling self.path differently from the crashed writer
+    (e.g. a `/./` segment) would rmtree the dir the links were just
+    swapped to, leaving every bucket link dangling."""
+    import json
+
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    path = str(tmp_path / "t")
+    sink = fx.KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=4)
+    sink(
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(32)], "k string, v long"
+        ),
+        0,
+    )
+    # crash immediately after the marker lands: the commit sequence
+    # (recovery itself) never runs
+    monkeypatch.setattr(
+        fx.KeyedUpsertSink,
+        "_recover_rebucket",
+        lambda self: (_ for _ in ()).throw(OSError("crash mid-commit")),
+    )
+    with pytest.raises(OSError, match="crash mid-commit"):
+        sink.rebucket(8)
+    monkeypatch.undo()
+    assert os.path.exists(sink._rebucket_marker())
+    # rewrite the marker's version_dir under an equivalent-but-different
+    # spelling of the table root (realpath-identical)
+    with open(sink._rebucket_marker()) as f:
+        pending = json.load(f)
+    variant = os.path.join(str(tmp_path), ".", "t")
+    pending["version_dir"] = os.path.join(
+        variant, os.path.basename(pending["version_dir"])
+    )
+    with open(sink._rebucket_marker(), "w") as f:
+        json.dump(pending, f)
+    # recovery under the ORIGINAL spelling must keep the swapped-to dir
+    sink2 = fx.KeyedUpsertSink(spark, path, key_cols=["k"], n_buckets=8)
+    assert not os.path.exists(sink2._rebucket_marker())
+    assert sink2.read().count() == 32
+
+
+def test_rebucket_marker_write_failure_leaves_no_tmp(spark, tmp_path, monkeypatch):
+    """ADVICE r18 (low): a failure between the tmp marker's creation and
+    os.replace must clean the stray .tmp out of the table root on BOTH
+    channels (alongside the existing version-dir / count restores)."""
+    from flink_tutorial_spark.sinks import foreach as fx
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if dst.endswith("_pending.json"):
+            raise OSError("disk full on replace")
+        return real_replace(src, dst)
+
+    up = str(tmp_path / "up")
+    usink = fx.KeyedUpsertSink(spark, up, key_cols=["k"], n_buckets=4)
+    usink(
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(32)], "k string, v long"
+        ),
+        0,
+    )
+    monkeypatch.setattr(fx.os, "replace", boom)
+    with pytest.raises(OSError, match="disk full"):
+        usink.rebucket(8)
+    monkeypatch.undo()
+    assert usink.n_buckets == 4
+    assert not any(e.endswith(".tmp") for e in os.listdir(up))
+    assert usink.read().count() == 32
+
+    ap = str(tmp_path / "ap")
+    asink = fx.KeyedAppendSink(spark, ap, key_cols=["k"], n_buckets=4)
+    asink(
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(32)], "k string, v long"
+        ),
+        0,
+    )
+    asink(
+        spark.createDataFrame([("k0", 99)], "k string, v long"),
+        1,
+    )
+    monkeypatch.setattr(fx.os, "replace", boom)
+    with pytest.raises(OSError, match="disk full"):
+        asink.compact()
+    monkeypatch.undo()
+    assert not any(e.endswith(".tmp") for e in os.listdir(ap))
+    assert len(asink._epoch_dirs()) == 2  # fold never published
+    assert asink.read().count() == 32
