@@ -664,7 +664,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     (A 3-counters-per-int64 packed-field variant was measured ~10%
     SLOWER warm than these 60 plain codegen'd sums — the per-row
     packing arithmetic costs more than the extra aggregate slots save —
-    so the simple formulation stays.)"""
+    so the simple formulation stays.)
+
+    r19: the per-bit accumulator is the raw BIT sum plus one shared
+    count, not the ±1 vote sum — algebraically identical (the ±1 sum
+    is 2*bits - n, so ±1-sum > 0 ⟺ 2*bits > n) but each of the 60
+    aggregate update expressions drops the compare-and-branch:
+    shiftright+and+sum instead of shiftright+and+eq+branch+sum
+    (guide §1.2 "per-task work"; measured on this data below)."""
     words = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
@@ -674,17 +681,17 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     words = words.select(id_col, md5_long(F.col("word")).alias("h"))
     h = F.col("h")
     votes = words.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
+            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"s{i}")
             for i in range(SIMHASH_BITS)
-        ]
+        ],
     )
     fp = reduce(
         lambda x, y: x + y,
         [
-            F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"s{i}") * 2 > F.col("_n"), F.lit(1 << i))
+            .otherwise(F.lit(0).cast("long"))
             for i in range(SIMHASH_BITS)
         ],
     )

