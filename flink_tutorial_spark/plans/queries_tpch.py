@@ -5,9 +5,13 @@ selective multi-join (Q3 shape), and a 6-table join (Q5 shape). The
 reference has no TPC queries — these exercise the same relational
 surface (§2.5 agg, §2.7 joins) at benchmarkable scan sizes.
 
-Float determinism: money sums are aggregated as DECIMAL(18,4) (exact,
-order-independent — identical in Spark and DuckDB regardless of
-partial-agg order) and cast to DOUBLE at the end.
+Float determinism: money sums aggregate EXACT integer cents/scaled
+longs (the q1 split-accumulator pattern, generalized in r19 — see
+_c100/_split_sum/_recombine), recombined and rounded in the decimal
+domain on the aggregated groups only, so Spark and the DuckDB oracle
+round the identical exact value regardless of partial-agg order.
+Columns outside the cents contract (q22's signed c_acctbal) still
+aggregate as DECIMAL directly.
 """
 
 from __future__ import annotations
@@ -20,6 +24,9 @@ from flink_tutorial_spark.session import load_table
 
 
 def _dec(col):
+    """Exact DECIMAL(18,4) element cast — the pre-r19 money pattern,
+    kept for the measured exceptions to the cents-long conversion
+    (tpch_q14's tiny post-filter aggregate; see _c100)."""
     return F.col(col).cast("decimal(18,4)")
 
 
@@ -415,22 +422,19 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
     )
-    # r19: revenue pre-projected as one scaled long (see _c100/tpch_q3)
-    li = li.select(
-        "l_partkey",
-        (_c100("l_extendedprice") * (F.lit(100) - _c100("l_discount"))).alias("_rev4"),
-    )
-    promo = F.when(F.col("p_type").like("PROMO%"), F.col("_rev4")).otherwise(
-        F.lit(0).cast("long")
-    )
+    # r19: measured EXCEPTION to the cents-long conversion — the
+    # one-month shipdate filter leaves so few agg input rows that the
+    # extra projection stage outweighed the Decimal cost (interleaved
+    # A/B: converted form 1.12x SLOWER at sf0.1), so this query keeps
+    # the decimal formulation (OPTIMIZATION_r19.md "tpch_q14")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("_rev4"), promo.alias("_promo4"))
-        .agg(*_split_sum("_promo4", 10000, "_p"), *_split_sum("_rev4", 10000, "_r"))
-        .select(
+        .agg(
             (
-                (F.lit(100.0) * _recombine("_p_hi", "_p_lo", "0.0001", 5, 4))
-                / _recombine("_r_hi", "_r_lo", "0.0001", 5, 4)
+                (F.lit(100.0) * F.round(F.sum(promo), 2).cast("double"))
+                / F.round(F.sum(rev), 2).cast("double")
             ).alias("promo_revenue_pct")
         )
     )
