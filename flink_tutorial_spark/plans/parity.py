@@ -19,6 +19,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+#: columns proven non-negative and exactly-2dp in the testdata (pinned
+#: by tests/test_money_sums.py, incl. the decimal(18,2) round-trip
+#: check). The cents fast path is restricted BY CONSTRUCTION to these
+#: (ADVICE r19): a new caller must either extend the allowlist (and the
+#: test matrix) or use a DECIMAL(18,6) sum.
+CENTS_SAFE_COLS = frozenset({"value", "l_quantity"})
+
+
 def _cents_sum(col: str) -> F.Column:
     """Exact sum of a 2dp column as integer cents (one long aggregate).
 
@@ -31,7 +39,15 @@ def _cents_sum(col: str) -> F.Column:
     plain codegen long instead of a per-row Decimal op. Overflow bound:
     value <= ~1e4 -> cents <= 1e6; 6e11 rows at 100 TB -> 6e17 << 2^63.
     A column that can be negative or carry >2dp must use the decimal
-    path instead — this helper's callers are the contract."""
+    path instead — enforced at plan-construction time below (zero
+    per-row cost)."""
+    if col not in CENTS_SAFE_COLS:
+        raise ValueError(
+            f"dec_sum/dec_avg cents fast path is only proven for "
+            f"{sorted(CENTS_SAFE_COLS)} (non-negative, exact 2dp); "
+            f"{col!r} must use a DECIMAL(18,6) sum or be added to "
+            f"CENTS_SAFE_COLS with a test_money_sums row."
+        )
     return F.sum((F.col(col) * 100 + F.lit(0.5)).cast("long"))
 
 

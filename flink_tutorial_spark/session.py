@@ -10,14 +10,18 @@ and skew joins at runtime, shuffle partition count should be raised to
 from __future__ import annotations
 
 import os
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
 #: sessions whose runtime confs were already ensured (weak: a stopped
 #: session must not be pinned alive by this cache, and a NEW session
-#: object — e.g. spark.newSession() — gets its own pass)
+#: object — e.g. spark.newSession() — gets its own pass). Guarded by
+#: _CONFS_LOCK: WeakSet is not thread-safe and queries may be driven
+#: from several driver threads (ADVICE r19).
 _CONFS_ENSURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+_CONFS_LOCK = threading.Lock()
 
 TABLES = (
     "region",
@@ -92,19 +96,27 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     nano-timestamp parquet reads and UTC timestamp semantics are
     required for correct results regardless of who built the session.
 
-    Memoized per session (r19, guide §1.2): this runs inside every
-    load_table/stream_table/normalize_event_time call — i.e. inside
-    every TIMED query region, several times per query — and each
-    conf.set is a py4j round-trip. After the first pass the session is
-    ours and the confs stay; re-applying them per table load is pure
-    driver overhead. (Callers that deliberately pin a different
-    shuffle-partition count mid-session — the streaming runners — do so
-    AFTER this ran once and restore it themselves; the ==200 guard
-    below only targets never-touched external sessions.)"""
-    if spark in _CONFS_ENSURED:
-        return
+    The PERF-HYGIENE confs are memoized per session (r19, guide §1.2):
+    this runs inside every load_table/stream_table/normalize_event_time
+    call — i.e. inside every TIMED query region, several times per
+    query — and each conf.set is a py4j round-trip. After the first
+    pass the session is ours and those confs stay; re-applying them per
+    table load is pure driver overhead. (Callers that deliberately pin
+    a different shuffle-partition count mid-session — the streaming
+    runners — do so AFTER this ran once and restore it themselves; the
+    ==200 guard below only targets never-touched external sessions.)
+
+    The two CORRECTNESS confs (UTC timezone, nanosAsLong) are
+    re-asserted on EVERY call (ADVICE r19): if external code mutates
+    either after our first pass, queries silently produce wrong
+    timestamps — two idempotent conf.sets per call is cheap insurance
+    against a wrong answer."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with _CONFS_LOCK:
+        if spark in _CONFS_ENSURED:
+            return
+        _CONFS_ENSURED.add(spark)
     # perf hygiene for externally-built sessions (all runtime-settable):
     # AQE coalesces the default 200 shuffle partitions and splits skew
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -112,7 +124,6 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 32))
-    _CONFS_ENSURED.add(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

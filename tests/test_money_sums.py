@@ -43,6 +43,25 @@ def test_c100_equals_rounded_cents_on_testdata(spark, sf_dir, table, col):
     assert bad == 0
     neg = df.where(F.col(col) < 0).count()
     assert neg == 0, f"{table}.{col} has negatives — outside _c100's contract"
+    # The exact-2dp precondition itself (ADVICE r19): both forms above
+    # agree even on >2dp values (x=1.005 -> 100 both ways), so check
+    # representability directly — a value is exactly 2dp iff the
+    # double->DECIMAL(18,2)->double round-trip is the identity.
+    not_2dp = df.where(
+        F.col(col).isNotNull()
+        & (F.col(col) != F.col(col).cast("decimal(18,2)").cast("double"))
+    ).count()
+    assert not_2dp == 0, f"{table}.{col} has >2dp values — outside _c100's contract"
+
+
+def test_cents_sum_rejects_unlisted_columns():
+    """dec_sum/dec_avg are restricted by construction (ADVICE r19): a
+    column outside the proven allowlist fails at plan build, not as a
+    silent truncation-toward-zero wrong answer."""
+    with pytest.raises(ValueError, match="cents fast path"):
+        dec_sum("c_acctbal")
+    with pytest.raises(ValueError, match="cents fast path"):
+        dec_avg("c_acctbal")
 
 
 def test_split_sum_recombine_identity_including_negatives(spark):
