@@ -29,7 +29,7 @@ import uuid
 from functools import reduce
 
 from flink_tutorial_spark import plan_capture
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 N_MINHASH = 8
@@ -718,12 +718,13 @@ def dedup_components(
     materialized exactly once). The driver sees one scalar (changed
     count) per round, same contract as operators/iterate.py.
 
-    Per-round cost is ONE join+agg+write job plus a scan-count of the
-    just-written labels: each node's previous label rides through the
-    aggregation in a `self` column (exactly one non-null per node), so
-    convergence detection reads the new parquet instead of re-joining
-    new-vs-old — at corpus scale that's a checkpoint-file scan, not a
-    second shuffle."""
+    Per-round cost is ONE join+agg+write job: each node's previous
+    label rides through the aggregation in a `self` column (exactly one
+    non-null per node), and the changed-label count is collected as an
+    Observation metric ON the checkpoint write itself (r20, guide §1.2
+    — the r19 shape re-scanned the just-written parquet for the count,
+    a second job per round; the observed sum is the identical quantity
+    at zero extra passes, at any scale)."""
     spark = pairs.sparkSession
     root = scratch_dir()
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -753,10 +754,15 @@ def dedup_components(
             .agg(F.min("label").alias("label"), F.max("self").alias("old"))
         )
         plan_capture.capture_df(new_labels, "scratch:cc_labels")
-        new_labels.write.mode("overwrite").parquet(f"{root}/l{it}")
-        new_labels = spark.read.parquet(f"{root}/l{it}")
-        changed = new_labels.where(F.col("label") != F.col("old")).count()
-        labels = new_labels.select("node", "label")
+        # `old` is never null (every node has exactly one `mine` row),
+        # so sum-of-flags == the former where(label != old).count()
+        obs = Observation()
+        observed = new_labels.observe(
+            obs, F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed")
+        )
+        observed.write.mode("overwrite").parquet(f"{root}/l{it}")
+        changed = obs.get["changed"] or 0  # None on an empty write
+        labels = spark.read.parquet(f"{root}/l{it}").select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))

@@ -284,6 +284,7 @@ BLACKLIST_OUT = StructType(
 )
 _BLACKLIST_STATE = StructType(
     [
+        StructField("users", ArrayType(LongType())),
         StructField("items", ArrayType(LongType())),
         StructField("days", ArrayType(LongType())),
         StructField("cnts", ArrayType(LongType())),
@@ -299,6 +300,7 @@ def blacklist_filter(
     day_col: str,
     max_count: int,
     order_col: str = "event_id",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Ad-click blacklist filter — AdClickAnalysis.scala:85-123
     (FliterBlackListUserResult): per (user, ad) the first `max_count`
@@ -310,21 +312,26 @@ def blacklist_filter(
     so the daily reset is by construction — deterministic, and the
     idiomatic shape for event-time replay.
 
-    The STREAM key is the user alone — the reference keys by
-    (user, ad), but nearly every (user, ad, day) triple is a tiny
-    group, and applyInPandasWithState pays a per-key Python dispatch:
-    keying the operator at ~17k near-singleton keys measured 51s at
-    sf0.1 where ~1.5k user keys run the identical logic in ~3s per
-    pipeline (r7: the full two-pipeline catalog query dropped 51s ->
-    6.5s warm).
-    So the fn receives one frame per USER and ranks its (ad, day)
-    sub-groups vectorized (merge carried counts + groupby.cumcount);
-    state is three parallel arrays (items, days, counts) of that
-    user's ACTIVE (ad, day) counters. An EventTimeTimeout a day after
-    the user's newest active day GCs the entry, so state stays ~2 days
-    of active (user, ad) pairs at any scale — same bound as before,
-    dispatch cost 10x lower. On a cluster, per-user frames also give
-    executors Arrow batches worth vectorizing over.
+    KEYED BY HASH BUCKET (r20) — the same key-cardinality lesson the
+    transition/SCD2 operators already apply: applyInPandasWithState
+    pays a per-key Python dispatch, so the key should be a bounded
+    bucket, not an entity. This operator's history IS the measurement:
+    (user, ad, day) keying = ~17k near-singleton dispatches = 51 s at
+    sf0.1 (r7); per-user keying = ~1.5k dispatches = ~3 s per pipeline;
+    ``n_buckets`` hash buckets = 64 dispatches of pure vectorized
+    pandas (one frame per bucket, ranks via groupby([user, ad, day])
+    .cumcount()). State per bucket: four parallel arrays (users, items,
+    days, counts) of the bucket's ACTIVE (user, ad, day) counters.
+
+    GC moves from per-user timers to per-entry watermark pruning: a
+    (user, ad, day) counter is dead once the watermark passes
+    day + 2 days — with the stream's 0-second watermark delay no
+    on-time row for that day can still arrive (any surviving row has
+    ts >= watermark > day-end + 1 day), so pruning is output-identical
+    and state stays ~2 days of active (user, ad) pairs at any scale,
+    the same bound as before. A bucket idle past its newest active
+    day + 2 days clears wholesale via EventTimeTimeout (every entry is
+    provably stale by then, same argument).
 
     Deterministic given per-batch event-time ordering (single-batch on
     bounded runs; an unbounded deployment inherits arrival order
@@ -332,28 +339,32 @@ def blacklist_filter(
     sensitivity)."""
     import numpy as np
 
+    DAY2_US = 2 * 86_400_000_000
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
+            # timer was set at (newest active day + 2 days): every entry
+            # in the bucket is at least a day past its late horizon
             state.remove()
             return
-        items, days, cnts = state.get if state.exists else ([], [], [])
+        users, items, days, cnts = state.get if state.exists else ([], [], [], [])
         carried = (
-            pd.DataFrame({"_it": items, "_dy": days, "_base": cnts})
-            if len(items)
+            pd.DataFrame({"_us": users, "_it": items, "_dy": days, "_base": cnts})
+            if len(users)
             else None
         )
-        max_day = int(max(days)) if len(days) else None
         pdf = one_frame(pdfs)
         if pdf is not None:
             merged = pdf.sort_values([ts_col, order_col], kind="mergesort").assign(
+                _us=pdf[user_col].astype("int64"),
                 _it=pdf[ad_col].astype("int64"),
                 _dy=ts_us(pdf[day_col]),
             )
-            grp = merged.groupby(["_it", "_dy"], sort=False)
+            grp = merged.groupby(["_us", "_it", "_dy"], sort=False)
             if carried is not None:  # splice counts carried across batches
-                merged = merged.merge(carried, on=["_it", "_dy"], how="left")
+                merged = merged.merge(carried, on=["_us", "_it", "_dy"], how="left")
                 base = merged["_base"].fillna(0).to_numpy(dtype="int64")
-            else:  # fast path: no prior state for this user
+            else:  # fast path: no prior state for this bucket
                 base = 0
             rank = base + grp.cumcount().to_numpy() + 1
             main = merged.iloc[np.flatnonzero(rank <= max_count)]
@@ -361,7 +372,7 @@ def blacklist_filter(
             out = pd.DataFrame(
                 {
                     "user_id": np.concatenate(
-                        [main[user_col].to_numpy(), warn[user_col].to_numpy()]
+                        [main["_us"].to_numpy(), warn["_us"].to_numpy()]
                     ),
                     "item_id": np.concatenate(
                         [main["_it"].to_numpy(), warn["_it"].to_numpy()]
@@ -376,28 +387,48 @@ def blacklist_filter(
                 yield out
             totals = grp.size().reset_index(name="_n")
             if carried is not None:
-                totals = totals.merge(carried, on=["_it", "_dy"], how="outer")
+                totals = totals.merge(carried, on=["_us", "_it", "_dy"], how="outer")
                 totals["_n"] = (
                     totals["_n"].fillna(0) + totals["_base"].fillna(0)
                 ).astype("int64")
-            carried = totals[["_it", "_dy", "_n"]].rename(columns={"_n": "_base"})
-            d = int(merged["_dy"].max())
-            max_day = d if max_day is None else max(max_day, d)
-        if carried is not None:
-            state.update(
-                (
-                    carried["_it"].tolist(),
-                    carried["_dy"].tolist(),
-                    carried["_base"].tolist(),
-                )
+            carried = totals[["_us", "_it", "_dy", "_n"]].rename(
+                columns={"_n": "_base"}
             )
-        if max_day is not None:
-            # GC: fire one day after the user's newest active day ends
-            state.setTimeoutTimestamp((max_day + 2 * 86_400_000_000) // 1_000)
+        if carried is not None:
+            # per-entry watermark GC (see docstring: output-identical)
+            wm_us = state.getCurrentWatermarkMs() * 1_000
+            if wm_us > 0:
+                live = carried["_dy"] + DAY2_US > wm_us
+                if not live.all():
+                    carried = carried[live]
+            if len(carried):
+                state.update(
+                    (
+                        carried["_us"].tolist(),
+                        carried["_it"].tolist(),
+                        carried["_dy"].tolist(),
+                        carried["_base"].tolist(),
+                    )
+                )
+                # idle-bucket GC: fire one day after the bucket's newest
+                # active day ends
+                state.setTimeoutTimestamp(
+                    (int(carried["_dy"].max()) + DAY2_US) // 1_000
+                )
+            elif state.exists:
+                state.remove()
 
+    # project to exactly the columns fn touches BEFORE the Python
+    # boundary (guide §4.1): groupBy+applyInPandasWithState is opaque to
+    # column pruning, so without this every input column (incl. the raw
+    # props json) crosses Arrow per row
+    bucketed = df.select(user_col, ad_col, ts_col, day_col, order_col).withColumn(
+        "_bucket",
+        F.pmod(F.col(user_col).cast("long"), F.lit(n_buckets)).cast("long"),
+    )
     return keyed_process(
-        df,
-        [user_col],
+        bucketed,
+        ["_bucket"],
         fn,
         BLACKLIST_OUT,
         _BLACKLIST_STATE,

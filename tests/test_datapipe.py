@@ -221,6 +221,16 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 30: 20}
 
 
+def test_connected_components_empty_pairs(spark):
+    # r20 observe-based convergence: an empty pair graph must terminate
+    # on round 1 (the observed changed-count is NULL on an empty write)
+    # and return zero components, not loop or raise
+    from flink_tutorial_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_components(pairs).count() == 0
+
+
 def test_ngram_decontaminate_edges(spark):
     # overlap counts are exact; docs below the threshold or sharing
     # nothing with the benchmark never emit; short docs contribute no

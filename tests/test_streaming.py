@@ -825,6 +825,57 @@ def test_blacklist_filter_daily_reset_and_side_output(spark, tmp_path):
     )
 
 
+def test_blacklist_filter_shared_bucket_isolates_users(spark, tmp_path):
+    """r20 bucket keying: with n_buckets=1 EVERY user lands in one state
+    bucket — per-user counters must still rank independently (within
+    batch and carried across batches), byte-identical to per-user
+    keying. Pins the vectorized 3-key cumcount + the shared-state carry
+    merge."""
+    from flink_tutorial_spark.streaming.stateful import blacklist_filter
+
+    src = str(tmp_path / "src")
+    write_batches(
+        src,
+        [
+            [
+                _row(10, user=1, value=5.0),
+                _row(11, user=2, value=5.0),
+                _row(20, user=1, value=5.0),  # u1 crossing -> warning
+                _row(21, user=2, value=5.0),  # u2 crossing -> warning
+                _row(30, user=3, value=5.0),
+            ],
+            [
+                _row(40, user=1, value=5.0),  # carried -> suppressed
+                _row(41, user=3, value=5.0),  # u3 crossing via carry
+            ],
+        ],
+    )
+
+    def q(stream):
+        clicks = (
+            stream.withColumn("ad", F.col("value").cast("long"))
+            .withColumn("day", F.date_trunc("day", F.col("ts")))
+            .withWatermark("ts", "0 seconds")
+        )
+        return blacklist_filter(
+            clicks, "user", "ad", "ts", "day", 1, order_col="value", n_buckets=1
+        )
+
+    rows = run_stream(spark, src, q, "append").collect()
+    base = int(T0.timestamp())
+    got = sorted((r.channel, r.user_id, int(r.ts.timestamp()) - base) for r in rows)
+    assert got == sorted(
+        [
+            ("main", 1, 10),
+            ("main", 2, 11),
+            ("warning", 1, 20),
+            ("warning", 2, 21),
+            ("main", 3, 30),
+            ("warning", 3, 41),
+        ]
+    )
+
+
 def test_transition_pairs_cross_batch_state(spark, tmp_path):
     """The last-item state slot carries across micro-batches: a
     transition whose endpoints arrive in different batches still emits,
