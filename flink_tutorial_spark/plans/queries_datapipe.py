@@ -2616,11 +2616,31 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def top_share(arr):
-        return F.array_max(
-            F.transform(
-                F.array_distinct(arr),
-                lambda w: F.size(F.filter(arr, lambda x: x == w)),
-            )
+        # r20 (guide §1.2 per-task work): max element frequency == max
+        # run length in the SORTED array — one O(n log n) sort + one
+        # O(n) fold instead of the O(n_distinct * n) distinct+filter
+        # scan (verified row-for-row equal on the full corpus; min 2.35
+        # -> 1.55 s at sf0.1). `prev` starts NULL so a leading "" run
+        # counts from 1 (x == NULL is never true). The DuckDB oracle
+        # keeps the straightforward O(n*d) list-lambda formulation —
+        # same value, and only the Spark side is benched.
+        srt = F.array_sort(arr)
+        return F.aggregate(
+            srt,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
         )
 
     m = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
