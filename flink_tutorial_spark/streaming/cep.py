@@ -11,6 +11,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -31,7 +32,29 @@ SEQ_OUT = StructType(
         StructField("n_matched", LongType()),
     ]
 )
-_SEQ_STATE = StructType([StructField("recent", ArrayType(LongType()))])
+_SEQ_STATE = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("recent", ArrayType(LongType())),
+    ]
+)
+
+
+def _bucket_segments(pdf: pd.DataFrame, key_col: str):
+    """Yield (entity, row-position array) per entity of a bucket frame —
+    the shared inner-dispatch loop of the r20 bucket-keyed CEP ops. A
+    stable argsort keeps each entity's rows in frame order, so kernels
+    that sort by ts themselves see exactly the rows their per-key form
+    received."""
+    import numpy as np
+
+    u_all = pdf[key_col].to_numpy(dtype="int64")
+    order = np.argsort(u_all, kind="stable")
+    u_sorted = u_all[order]
+    bounds = np.flatnonzero(np.concatenate(([True], u_sorted[1:] != u_sorted[:-1])))
+    for seg_i, lo in enumerate(bounds):
+        hi = bounds[seg_i + 1] if seg_i + 1 < len(bounds) else len(order)
+        yield int(u_sorted[lo]), order[lo:hi]
 
 
 def _consecutive_advance_batch(
@@ -95,6 +118,7 @@ def detect_consecutive(
     n: int,
     within_seconds: int,
     n_max: int | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Strict-contiguity CEP: n consecutive flagged events within T —
     LoginFailWithCep.scala:38-67 (Pattern.begin.next....within) and the
@@ -112,10 +136,15 @@ def detect_consecutive(
     every streak length m in [n, n_max] emits its own match rows with
     n_matched = m — the NFA's branch-per-count behavior.
 
-    Output first_ts/last_ts are epoch MICROS. State per key: the
-    trailing <=n_max-1 flagged timestamps of the current run.
-    Vectorized: runs fall out of cumsum(~flag); match positions are
-    one shifted subtraction per run per count — no per-row Python.
+    Output first_ts/last_ts are epoch MICROS. Vectorized: runs fall out
+    of cumsum(~flag); match positions are one shifted subtraction per
+    run per count — no per-row Python.
+
+    KEYED BY HASH BUCKET (r20, the key-cardinality rule): one Python
+    dispatch per bucket per batch; entity sequences advance through the
+    SAME _consecutive_advance_batch kernel in an in-process loop. State
+    per bucket: the trailing <= n_max-1 flagged run timestamps of every
+    active entity, flattened as (users, recent) parallel arrays.
 
     Input must arrive time-ordered per key (watermarked upstream, same
     as Flink with out-of-orderness 0)."""
@@ -124,18 +153,40 @@ def detect_consecutive(
         raise ValueError("n_max must be >= n")
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        carry = list(state.get[0]) if state.exists else []
-        out = []
+        users, recents = state.get if state.exists else ([], [])
+        carry: dict[int, list[int]] = {}
+        for u, t in zip(users, recents):
+            carry.setdefault(int(u), []).append(int(t))
+        out: list = []
         pdf = one_frame(pdfs)
         if pdf is not None:
-            out, carry = _consecutive_advance_batch(
-                key[0], pdf, carry, n, hi, ts_col, flag_col, within_seconds
-            )
-        state.update((carry,))
+            for u, seg in _bucket_segments(pdf, key_col):
+                rows, c = _consecutive_advance_batch(
+                    u, pdf.iloc[seg], carry.get(u, []), n, hi,
+                    ts_col, flag_col, within_seconds,
+                )
+                out.extend(rows)
+                if c:
+                    carry[u] = c
+                else:
+                    carry.pop(u, None)
+        if carry:
+            us: list[int] = []
+            ts_flat: list[int] = []
+            for u, lst in carry.items():
+                us.extend([u] * len(lst))
+                ts_flat.extend(lst)
+            state.update((us, ts_flat))
+        elif state.exists:
+            state.remove()
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQ_OUT.fields])
 
-    return df.groupBy(key_col).applyInPandasWithState(
+    bucketed = df.select(key_col, ts_col, flag_col).withColumn(
+        "_bucket",
+        F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets)).cast("long"),
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, SEQ_OUT, _SEQ_STATE, "append", GroupStateTimeout.NoTimeout
     )
 
@@ -149,11 +200,16 @@ SEQUENCE_OUT = StructType(
 )
 _SEQUENCE_STATE = StructType(
     [
+        # in-flight branches, flattened with a per-branch entity tag
+        StructField("users", ArrayType(LongType())),
         StructField("firsts", ArrayType(LongType())),
         StructField("progress", ArrayType(LongType())),
         StructField("lasts", ArrayType(LongType())),
-        StructField("vetoes", ArrayType(LongType())),
         StructField("var_ids", ArrayType(LongType())),
+        # veto timestamps are ragged independently of branches, so they
+        # carry their own entity tag
+        StructField("veto_users", ArrayType(LongType())),
+        StructField("vetoes", ArrayType(LongType())),
     ]
 )
 
@@ -281,6 +337,7 @@ def detect_sequence(
     within_seconds: int,
     veto_col: str | None = None,
     optional: list[bool] | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Generalized CEP sequence detection, relaxed contiguity (Flink's
     `followedBy` chain, LoginFailWithCep.scala/OrderTimeoutWithCEP.scala
@@ -345,19 +402,54 @@ def detect_sequence(
     ]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        st = tuple(state.get) if state.exists else None
-        out = []
+        # unflatten the bucket state into per-entity kernel tuples
+        # (firsts, progress, lasts, vetoes, var_ids)
+        per: dict[int, tuple] = {}
+        if state.exists:
+            b_us, b_f, b_p, b_l, b_v, v_us, v_ts = state.get
+            for u, f0, p0, l0, vid in zip(b_us, b_f, b_p, b_l, b_v):
+                per.setdefault(int(u), ([], [], [], [], []))
+                t = per[int(u)]
+                t[0].append(int(f0)); t[1].append(int(p0))
+                t[2].append(int(l0)); t[4].append(int(vid))
+            for u, vt in zip(v_us, v_ts):
+                per.setdefault(int(u), ([], [], [], [], []))
+                per[int(u)][3].append(int(vt))
+        out: list = []
         pdf = one_frame(pdfs)
         if pdf is not None:
-            rows, st = _sequence_advance_batch(
-                key[0], pdf, st, chains, step_cols, ts_col, veto_col, within_us
-            )
-            out.extend(rows)
-        state.update(st if st is not None else ([], [], [], [], []))
+            for u, seg in _bucket_segments(pdf, key_col):
+                rows, st = _sequence_advance_batch(
+                    u, pdf.iloc[seg], per.get(u), chains, step_cols,
+                    ts_col, veto_col, within_us,
+                )
+                out.extend(rows)
+                if st is not None and (len(st[0]) or len(st[3])):
+                    per[u] = st
+                else:
+                    per.pop(u, None)
+        if per:
+            b_us, b_f, b_p, b_l, b_v, v_us, v_ts = [], [], [], [], [], [], []
+            for u, (f0, p0, l0, vt, vid) in per.items():
+                b_us.extend([u] * len(f0))
+                b_f.extend(int(x) for x in f0)
+                b_p.extend(int(x) for x in p0)
+                b_l.extend(int(x) for x in l0)
+                b_v.extend(int(x) for x in vid)
+                v_us.extend([u] * len(vt))
+                v_ts.extend(int(x) for x in vt)
+            state.update((b_us, b_f, b_p, b_l, b_v, v_us, v_ts))
+        elif state.exists:
+            state.remove()
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SEQUENCE_OUT.fields])
 
-    return df.groupBy(key_col).applyInPandasWithState(
+    cols = [key_col, ts_col, *step_cols] + ([veto_col] if veto_col else [])
+    bucketed = df.select(*cols).withColumn(
+        "_bucket",
+        F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets)).cast("long"),
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, SEQUENCE_OUT, _SEQUENCE_STATE, "append", GroupStateTimeout.NoTimeout
     )
 
@@ -431,7 +523,11 @@ TIMEOUT_OUT = StructType(
     ]
 )
 _TIMEOUT_STATE = StructType(
-    [StructField("start_ts", LongType()), StructField("start_value", DoubleType())]
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("start_ts", ArrayType(LongType())),
+        StructField("start_values", ArrayType(DoubleType())),
+    ]
 )
 
 
@@ -514,6 +610,7 @@ def match_or_timeout(
     start_kind: str,
     end_kind: str,
     within_seconds: int,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Match-or-timeout — OrderTimeoutWithCEP.scala:38-71 / OrderTimeout.
     scala:50-127: a start event must be followed by an end event within
@@ -524,6 +621,27 @@ def match_or_timeout(
     passes start_ts + T, exactly like onTimer. Requires withWatermark
     on the input stream.
 
+    KEYED BY HASH BUCKET (r20, the blacklist/transition key-cardinality
+    rule): per-entity keying paid one Python dispatch per entity per
+    batch PLUS one per expired timer in the trailing no-data batch.
+    The bucket holds the pending (start_ts, value) per entity in
+    parallel arrays; per-entity sequences run through the SAME
+    _match_advance_batch kernel in an in-process loop. Timer parity
+    with the per-key form, batch by batch:
+      * data batch — entities WITH data decide their pendings from
+        events alone (their per-key timers would not fire in a batch
+        where they have data); entities WITHOUT data emit iff
+        deadline_ms < watermark, exactly the per-key fire rule
+        evaluated in the same micro-batch their own timers would fire;
+      * no-data batch — the bucket timer sits at the MIN pending
+        deadline, so it fires iff at least one per-key timer would;
+        the sweep emits exactly the expired subset and re-arms at the
+        next min. Re-arming clamps to watermark+1 ms (Spark rejects
+        timers <= watermark); the clamp can only engage when a kept
+        pending's deadline EQUALS the current watermark, and it never
+        changes which rows are emitted or their content — only, in
+        that 1 ms corner, which later micro-batch commits the row.
+
     Output timestamps are int64 MICROSECONDS. The converged output is
     deterministic (batching-independent) — see _match_advance_batch —
     so a bounded run admits an exact relational oracle: per start, the
@@ -531,39 +649,83 @@ def match_or_timeout(
     overwritten; otherwise timeout, emitted iff (start+T) in ms floors
     strictly below the achieved watermark (Spark fires event-time
     timers on `timeoutTimestamp < watermark`, both ms-floored)."""
+    import numpy as np
+
     within_us = within_seconds * 1_000_000
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        users, sts, svs = state.get if state.exists else ([], [], [])
+        pend = {int(u): (int(st), float(sv)) for u, st, sv in zip(users, sts, svs)}
         out = []
+        wm_ms = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            start_ts, start_value = state.get
-            out.append((key[0], start_ts, start_ts + within_us, "timeout", start_value))
-            state.remove()
+            for u, (st, sv) in list(pend.items()):
+                if (st + within_us) // 1_000 < wm_ms:
+                    out.append((u, st, st + within_us, "timeout", sv))
+                    del pend[u]
         else:
-            start_ts, start_value = state.get if state.exists else (0, 0.0)
             pdf = one_frame(pdfs)
+            seen: set = set()
             if pdf is not None:
                 # deterministic order: ts, then kind ascending (stable
                 # mergesort) so equal-ts start/end pairs always process
-                # end-first, mirroring the oracle's ORDER BY ts, kind
+                # end-first, mirroring the oracle's ORDER BY ts, kind;
+                # then a stable grouping sort by entity, which keeps the
+                # (ts, kind) order inside each entity's segment
                 pdf = pdf.sort_values([ts_col, kind_col], kind="mergesort")
-                ts_arr = ts_us(pdf[ts_col]).to_numpy()
-                kind_arr = pdf[kind_col].to_numpy()
-                val_arr = pdf["value"].to_numpy(dtype="float64")
-                rows, (start_ts, start_value) = _match_advance_batch(
-                    ts_arr, kind_arr, val_arr,
-                    start_kind, end_kind, within_us,
-                    start_ts, start_value,
+                ts_all = ts_us(pdf[ts_col]).to_numpy()
+                kind_all = pdf[kind_col].to_numpy()
+                val_all = pdf["value"].to_numpy(dtype="float64")
+                u_all = pdf[key_col].to_numpy(dtype="int64")
+                order = np.argsort(u_all, kind="stable")
+                u_sorted = u_all[order]
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], u_sorted[1:] != u_sorted[:-1]))
                 )
-                out.extend((key[0], a, b, s, v) for a, b, s, v in rows)
-            if start_ts > 0:
-                state.update((start_ts, start_value))
-                state.setTimeoutTimestamp((start_ts + within_us) // 1000)
-            else:
-                state.remove() if state.exists else None
+                for seg_i, lo in enumerate(bounds):
+                    hi = bounds[seg_i + 1] if seg_i + 1 < len(bounds) else len(order)
+                    seg = order[lo:hi]
+                    u = int(u_sorted[lo])
+                    seen.add(u)
+                    st0, sv0 = pend.get(u, (0, 0.0))
+                    rows, (st, sv) = _match_advance_batch(
+                        ts_all[seg], kind_all[seg], val_all[seg],
+                        start_kind, end_kind, within_us, st0, sv0,
+                    )
+                    out.extend((u, a, b, s, v) for a, b, s, v in rows)
+                    if st > 0:
+                        pend[u] = (st, sv)
+                    else:
+                        pend.pop(u, None)
+            # entities without data this batch: their per-key timers
+            # would fire in this same micro-batch — apply the identical
+            # deadline_ms < watermark rule here
+            if wm_ms > 0:
+                for u, (st, sv) in list(pend.items()):
+                    if u not in seen and (st + within_us) // 1_000 < wm_ms:
+                        out.append((u, st, st + within_us, "timeout", sv))
+                        del pend[u]
+        if pend:
+            state.update(
+                (
+                    list(pend.keys()),
+                    [st for st, _ in pend.values()],
+                    [sv for _, sv in pend.values()],
+                )
+            )
+            min_dl = min((st + within_us) // 1_000 for st, _ in pend.values())
+            state.setTimeoutTimestamp(max(min_dl, wm_ms + 1))
+        elif state.exists:
+            state.remove()
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in TIMEOUT_OUT.fields])
 
-    return df.groupBy(key_col).applyInPandasWithState(
+    # project to exactly the columns fn reads before the Python boundary
+    # (guide §4.1), then bucket the entity key
+    bucketed = df.select(key_col, ts_col, kind_col, "value").withColumn(
+        "_bucket",
+        F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets)).cast("long"),
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
         fn, TIMEOUT_OUT, _TIMEOUT_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
