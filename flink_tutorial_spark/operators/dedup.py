@@ -309,32 +309,58 @@ def minhash_lsh_dedup(
     per-band collision threshold is unchanged while 8 chances replace
     4 — see the recall benchmark in tests/test_datapipe.py).
 
-    The signature table is materialized ONCE via materialize before
-    the self-joins — it feeds the band join and both sides of the
-    estimate join; without materialization Spark recomputes the
-    shingle+hash pipeline per branch (measured 8x slower at sf0.1).
-    See materialize for the persist-vs-scratch-parquet trade (r16
-    variance profile) and the 100 TB deployment mode."""
+    The signature table is materialized ONCE via materialize — it
+    feeds the hot-band count pass and the band self-join; without
+    materialization Spark recomputes the shingle+hash pipeline per
+    branch (measured 8x slower at sf0.1 in the r2 3-branch shape, and
+    still ~4% slower in this 2-branch shape). See materialize for the
+    persist-vs-scratch-parquet trade (r16 variance profile) and the
+    100 TB deployment mode.
+
+    r20 (guide §2.4): the signature columns ride THROUGH the band
+    table, so the matching-minhash estimate is computed directly on
+    the band self-join's output — the two signature re-joins the
+    r2–r19 shape ran after candidate distinct are gone (3 joins -> 1;
+    interleaved A/B at sf0.1: med 1.667 -> 1.543, min 1.558 -> 1.414;
+    output verified row-identical). The band exchange widens by the k
+    longs per row, which at scale replaces two full re-shuffles of the
+    signature table against the candidate set."""
     if k % bands:
         raise ValueError("k must divide evenly into bands")
+    rows = k // bands
     sig_raw = minhash_signatures(shingle_table(docs, id_col, text_col), id_col, k=k)
     sig = materialize(sig_raw, "minhash_sig")
-    cand = lsh_candidate_pairs(
-        sig, id_col, bands=bands, rows=k // bands, max_band_freq=max_band_freq
+    band_cols = [
+        F.md5(F.concat_ws(":", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    bt = sig.select(
+        F.col(id_col),
+        *[F.col(f"m{i}") for i in range(k)],
+        F.posexplode(F.array(*band_cols)).alias("band", "bh"),
     )
-    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
-    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    bt = _drop_hot_buckets(bt, "bh", max_band_freq)
+    a, b = bt.alias("a"), bt.alias("b")
     matches = reduce(
         lambda x, y: x + y,
         [
-            F.when(F.col(f"a_m{s}") == F.col(f"b_m{s}"), 1).otherwise(0)
+            F.when(F.col(f"a.m{s}") == F.col(f"b.m{s}"), 1).otherwise(0)
             for s in range(k)
         ],
     )
     return (
-        cand.join(sa, cand.doc_a == F.col(f"a_{id_col}"))
-        .join(sb, cand.doc_b == F.col(f"b_{id_col}"))
-        .select("doc_a", "doc_b", (matches / float(k)).alias("est_jaccard"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            (matches / float(k)).alias("est_jaccard"),
+        )
+        .distinct()
         .where(F.col("est_jaccard") >= threshold)
     )
 
