@@ -644,7 +644,15 @@ def simhash_near_dup(
     Scale shape mirrors MinHash-LSH: candidates come from an equi-join
     on (band, slice-value) — never all pairs; the fingerprint table
     (one small row per doc) is materialized once (materialize) for its
-    three plan branches (band explode + both distance sides)."""
+    two plan branches (hot-band count + band self-join).
+
+    r20 (guide §2.4, the minhash_lsh_dedup pattern): the fingerprint
+    rides THROUGH the band table, so the exact hamming distance is
+    computed directly on the band self-join's output — the two
+    fingerprint re-joins after candidate distinct are gone (3 joins ->
+    1; the band exchange widens by one long per row, replacing two full
+    fingerprint re-shuffles against the candidate set at scale).
+    Output verified oracle-exact."""
     assert SIMHASH_BITS % bands == 0
     bits_per = SIMHASH_BITS // bands
     mask = (1 << bits_per) - 1
@@ -653,31 +661,26 @@ def simhash_near_dup(
     slices = F.array(
         *[F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask)) for b in range(bands)]
     )
-    bt = fp.select(F.col(id_col), F.posexplode(slices).alias("band", "bv"))
+    bt = fp.select(F.col(id_col), F.col("simhash"), F.posexplode(slices).alias("band", "bv"))
     # same hot-band guard as lsh_candidate_pairs: a degenerate
     # bit-slice bucket would pair quadratically
     bt = _drop_hot_buckets(bt, "bv", max_band_freq)
     a, b = bt.alias("a"), bt.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
-    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"))
-    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"))
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int").alias("hamming"),
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
+        .distinct()
         .where(F.col("hamming") <= max_dist)
     )
 
