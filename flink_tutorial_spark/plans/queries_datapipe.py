@@ -1673,30 +1673,39 @@ def datapipe_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(D.N_BANDS)
     ]
+    # r20 (guide §2.4, the minhash_lsh_dedup pattern): signatures ride
+    # through the band table, so the >=k/2-members verify runs directly
+    # on the band join's output — no signature re-joins after distinct
     bt = sig.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bh")
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(D.N_MINHASH)],
+        F.posexplode(F.array(*band_cols)).alias("band", "bh"),
     )
     is_batch = F.col("doc_id") % 10 == 9
-    cand = (
-        bt.where(is_batch)
-        .select(F.col("doc_id").alias("bdoc"), "band", "bh")
-        .join(
-            bt.where(~is_batch).select(
-                F.col("doc_id").alias("cdoc"), "band", "bh"
-            ),
-            ["band", "bh"],
-        )
-        .select("bdoc", "cdoc")
-        .distinct()
-    )
     matches = sum(
-        F.when(F.col(f"sa.m{s}") == F.col(f"sb.m{s}"), 1).otherwise(0)
+        F.when(F.col(f"am{s}") == F.col(f"bm{s}"), 1).otherwise(0)
         for s in range(D.N_MINHASH)
     )
     ver = (
-        cand.join(sig.alias("sa"), F.col("bdoc") == F.col("sa.doc_id"))
-        .join(sig.alias("sb"), F.col("cdoc") == F.col("sb.doc_id"))
+        bt.where(is_batch)
+        .select(
+            F.col("doc_id").alias("bdoc"),
+            *[F.col(f"m{i}").alias(f"am{i}") for i in range(D.N_MINHASH)],
+            "band",
+            "bh",
+        )
+        .join(
+            bt.where(~is_batch).select(
+                F.col("doc_id").alias("cdoc"),
+                *[F.col(f"m{i}").alias(f"bm{i}") for i in range(D.N_MINHASH)],
+                "band",
+                "bh",
+            ),
+            ["band", "bh"],
+        )
         .where(matches >= D.N_MINHASH // 2)
+        .select("bdoc", "cdoc")
+        .distinct()
         .groupBy("bdoc")
         .agg(F.count("*").alias("n"))
     )
