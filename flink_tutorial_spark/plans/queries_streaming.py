@@ -2805,10 +2805,11 @@ def streaming_uv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # reg/rank/shard from the SAME column builders as the batch family
     # (hll_reg/hll_rank/hll_shard) — the decomposition cannot drift
+    # hv is consumed by the reg/rank/shard builders here and not kept:
+    # the fold reads only (ts, day, reg, rank, shard) — guide §4.1
     ranked = stream.select(
         "ts",
         "day",
-        "hv",
         hll_reg().alias("reg"),
         hll_rank().alias("rank"),
         hll_shard().alias("shard"),
@@ -3245,6 +3246,9 @@ def streaming_quantile_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("idx", F.col("e") * 32 + F.col("m"))
         .withWatermark("ts", "0 seconds")
+        # project to exactly what the fold reads before the Arrow
+        # boundary (guide §4.1): e/m are folded into idx already
+        .select("ts", "day", "event_type", "shard", "idx")
     )
     folded = quantile_day_fold(rows, "day", "event_type", "shard", "idx")
     cells_tbl = plan_capture.checkpoint(run_to_memory(folded, "append"), "ckpt:quantile_fold")

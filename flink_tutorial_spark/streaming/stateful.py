@@ -1125,7 +1125,30 @@ KMV_FOLD_OUT = StructType(
         StructField("kmins", ArrayType(LongType())),
     ]
 )
-_KMV_FOLD_STATE = StructType([StructField("kmins", ArrayType(LongType()))])
+_KMV_FOLD_STATE = StructType(
+    [
+        StructField("days", ArrayType(LongType())),  # us, one per kept hash
+        StructField("kmins", ArrayType(LongType())),  # parallel to days
+    ]
+)
+
+#: shared closed-day emission rule for the bucketed day-folds below —
+#: identical to the per-key EventTimeTimeout contract it replaces:
+#: Spark fires event-time timers on `timeoutTimestamp < watermark`
+#: (both ms-floored), and the per-key folds set theirs at
+#: day_end_ms - 1, so a day's cell emits iff day_end_ms - 1 < wm_ms
+#: iff max_ts >= day_end — the oracles' `day + INTERVAL 1 DAY <=
+#: max(ts)` predicate exactly. Bucketed folds apply the SAME predicate
+#: directly against state.getCurrentWatermarkMs() on every invocation
+#: (data or timeout), so a day emits in the same micro-batch its
+#: per-key timer would have fired in: timers fire for every timed-out
+#: key of a batch regardless of which keys got data, and both forms
+#: see the same batch watermark.
+_DAY_US = 86_400_000_000
+
+
+def _day_end_ms(day_us):
+    return day_us // 1_000 + 86_400_000
 
 
 def kmv_day_fold(
@@ -1136,50 +1159,80 @@ def kmv_day_fold(
     reference's UV bitmap/state pattern (UniqueVisitorWithBloom.scala:76-120)
     keyed by window, re-expressed as a FIXED-STATE k-min fold.
 
-    State per key is ONE sorted array of at most k longs — the k
-    smallest DISTINCT hashes seen so far. A KMV insert is duplicate-
-    idempotent (merging the same hash twice changes nothing), so no
-    dedup stage is needed upstream and state is k longs per (day,
-    shard) regardless of |distinct users| — unlike a
-    groupBy(day, shard, hv) dedup whose state is O(distinct/day).
+    KEYED BY SHARD (r20, second pass) — the key-cardinality lesson the
+    blacklist/CEP operators learned this round applies here too:
+    applyInPandasWithState pays a per-key Python dispatch per
+    micro-batch, and keying by (day, shard) is days x shards
+    near-singleton dispatches (480 at sf0.1 — bounded, but 30x the
+    shard count) where keying by shard alone is |shards| dispatches of
+    the same vectorized work. The shard is already a hash of the value
+    space, so the state-partition spread is unchanged. State per
+    bucket: two parallel arrays (days, kmins) holding, for each OPEN
+    day, the k smallest DISTINCT hashes seen so far — a KMV insert is
+    duplicate-idempotent, so no dedup stage is needed upstream and
+    state is <= k longs per open day however many distinct users
+    arrive. The fold is one lexsort + run-length dedup + per-day
+    rank-truncate over (state + batch) per bucket per batch.
 
-    Emission is the closed-day contract shared with append-mode window
-    eviction: the cell emits ONCE, when the watermark passes the day
-    end. EventTimeTimeout at day_end_ms - 1: Spark fires event-time
-    timers on `timeoutTimestamp < watermark` (both ms-floored), so the
-    cell emits iff floor_ms(max_ts) >= day_end_ms iff max_ts >=
-    day_end — the oracle's `day + INTERVAL 1 DAY <= max(ts)`
-    predicate exactly. Setting the timeout is always legal: a row of
-    day d reaches the fold only if ts >= watermark (late filter), and
-    ts < day_end, so day_end_ms - 1 >= watermark_ms. After the day
-    closes, any further row of it is < watermark and dropped by the
-    same late filter — a closed cell can never reopen.
-
-    The fold itself is one np.union1d (sort-merge of <= k state longs
-    with the batch's hashes) + truncate per key per batch."""
+    Emission is the closed-day contract (see _DAY_US note): a day's
+    cell emits once, in the first micro-batch whose watermark passes
+    the day end — checked per entry against getCurrentWatermarkMs()
+    on every invocation, with one EventTimeTimeout per bucket at the
+    MIN open day end (clamped > wm; the clamp can only engage when a
+    kept day's end equals the watermark, where the per-key timer would
+    not have fired either) so buckets without data still emit in the
+    trailing no-data batch. After a day closes, any further row of it
+    is < watermark and dropped by the late filter — a closed cell can
+    never reopen."""
     import numpy as np
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            (kmins,) = state.get
-            state.remove()
+        days, kmins = state.get if state.exists else ([], [])
+        d = np.asarray(days, dtype="int64")
+        h = np.asarray(kmins, dtype="int64")
+        if not state.hasTimedOut:
+            pdf = one_frame(pdfs)
+            if pdf is not None:
+                d = np.concatenate([d, ts_us(pdf[day_col]).to_numpy()])
+                h = np.concatenate([h, pdf[hv_col].to_numpy(dtype="int64")])
+                order = np.lexsort((h, d))
+                d, h = d[order], h[order]
+                keep = np.ones(len(d), dtype=bool)  # distinct (day, hv)
+                keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+                d, h = d[keep], h[keep]
+                # rank within day (ascending hv): keep the k smallest
+                pos = np.arange(len(d), dtype="int64")
+                day_start = np.ones(len(d), dtype=bool)
+                day_start[1:] = d[1:] != d[:-1]
+                rank = pos - np.maximum.accumulate(np.where(day_start, pos, 0))
+                d, h = d[rank < k], h[rank < k]
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = _day_end_ms(d) - 1 < wm_ms
+        if closed.any():
+            cd, ch = d[closed], h[closed]
+            starts = np.flatnonzero(
+                np.concatenate([[True], cd[1:] != cd[:-1]])
+            )
+            bounds = np.append(starts, len(cd))
             yield pd.DataFrame(
-                {"day": [key[0]], "shard": [key[1]], "kmins": [list(kmins)]}
+                {
+                    "day": pd.to_datetime(cd[starts], unit="us"),
+                    "shard": key[0],
+                    "kmins": [
+                        ch[a:b].tolist() for a, b in zip(bounds[:-1], bounds[1:])
+                    ],
+                }
             )
-            return
-        (kmins,) = state.get if state.exists else ([],)
-        pdf = one_frame(pdfs)
-        if pdf is not None:
-            merged = np.union1d(
-                np.asarray(kmins, dtype="int64"),
-                pdf[hv_col].to_numpy(dtype="int64"),
+            d, h = d[~closed], h[~closed]
+        if len(d):
+            state.update((d.tolist(), h.tolist()))
+            state.setTimeoutTimestamp(
+                max(_day_end_ms(int(d.min())) - 1, wm_ms + 1)
             )
-            kmins = [int(v) for v in merged[:k]]
-        state.update((kmins,))
-        day_end_ms = pd.Timestamp(key[0]).value // 1_000_000 + 86_400_000
-        state.setTimeoutTimestamp(day_end_ms - 1)
+        elif state.exists:
+            state.remove()
 
-    return df.groupBy(day_col, shard_col).applyInPandasWithState(
+    return df.groupBy(shard_col).applyInPandasWithState(
         fn, KMV_FOLD_OUT, _KMV_FOLD_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
 
@@ -1195,6 +1248,8 @@ QUANTILE_FOLD_OUT = StructType(
 )
 _QUANTILE_FOLD_STATE = StructType(
     [
+        StructField("days", ArrayType(LongType())),  # us, one per cell
+        StructField("types", ArrayType(StringType())),  # parallel
         StructField("idxs", ArrayType(LongType())),
         StructField("counts", ArrayType(LongType())),
     ]
@@ -1204,65 +1259,105 @@ _QUANTILE_FOLD_STATE = StructType(
 def quantile_day_fold(
     df: DataFrame, day_col: str, type_col: str, shard_col: str, idx_col: str
 ) -> DataFrame:
-    """Live HDR-histogram fold per (day, event_type, shard) — the
-    quantile member of the fixed-state fold family (VERDICT r12 #4),
-    completing the kmv_day_fold / hll_day_fold pattern for all three
-    mergeable sketch types. The reference's keyed windowed-state
-    pattern (UniqueVisitorWithBloom.scala:76-120) at the quantile sketch's
+    """Live HDR-histogram fold, bucketed by shard — the quantile member
+    of the fixed-state fold family (VERDICT r12 #4), completing the
+    kmv_day_fold / hll_day_fold pattern for all three mergeable sketch
+    types. The reference's keyed windowed-state pattern
+    (UniqueVisitorWithBloom.scala:76-120) at the quantile sketch's
     footprint.
 
-    State per key is ONE sparse cell vector — parallel sorted arrays
-    (idxs, counts) where idx = e * 32 + m is the octave/sub-bucket
-    coordinate from the shared row-level builder
-    (plans.queries_patterns.qsketch_rows, so the bucketing rule cannot
-    drift from the batch family). The vector is bounded by
-    32 * octaves (~512 for the value domain) however many EVENTS a day
-    has: counts grow but cells do not — the same genuinely-fixed-state
-    argument as the KMV/HLL folds, with addition instead of union/max.
-    Unlike those two the merge is NOT idempotent (sum double-counts on
-    replay), which is exactly why this operator lives in the ENGINE's
-    state store (checkpointed exactly-once) rather than a foreachBatch
-    MERGE sink — the one-pass fan-out twins document that boundary.
+    KEYED BY SHARD (r20, second pass): keying by (day, event_type,
+    shard) was days x types x shards near-singleton Python dispatches
+    per micro-batch (2400 at sf0.1 — the largest dispatch grid in the
+    engine) for work that vectorizes identically per shard. State per
+    bucket is the same sparse cells, flattened into four parallel
+    entry-tagged arrays (days, types, idxs, counts) — one element per
+    OPEN (day, type, idx) cell, each day bounded by 32 * octaves
+    (~512) cells however many EVENTS it has: counts grow but cells do
+    not, the same genuinely-fixed-state argument as the KMV/HLL folds,
+    with addition instead of union/max. idx = e * 32 + m comes from
+    the shared row-level builder (plans.queries_patterns.qsketch_rows),
+    so the bucketing rule cannot drift from the batch family. Unlike
+    KMV/HLL the merge is NOT idempotent (sum double-counts on replay),
+    which is exactly why this operator lives in the ENGINE's state
+    store (checkpointed exactly-once) rather than a foreachBatch MERGE
+    sink — the one-pass fan-out twins document that boundary.
 
-    Emission is the shared closed-day contract: EventTimeTimeout at
-    day_end_ms - 1 fires iff max_ts >= day_end (ms-floor proof in
-    kmv_day_fold); a closed cell can never reopen. The per-batch fold
-    is one np.unique + two np.add.at over <= 512 cells per key."""
+    Emission is the closed-day contract (ms-floor proof in
+    kmv_day_fold; bucketed form in the _DAY_US note): each (day, type)
+    vector emits once, in the first micro-batch whose watermark passes
+    the day end, checked per cell against getCurrentWatermarkMs() with
+    one per-bucket EventTimeTimeout at the MIN open day end. The
+    per-batch fold is one pandas groupby-sum over (state cells +
+    batch rows) per bucket."""
     import numpy as np
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            idxs, counts = state.get
-            state.remove()
+        days, types, idxs, counts = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        cells = pd.DataFrame(
+            {
+                "_d": np.asarray(days, dtype="int64"),
+                "_t": np.asarray(types, dtype=object),
+                "_i": np.asarray(idxs, dtype="int64"),
+                "_c": np.asarray(counts, dtype="int64"),
+            }
+        )
+        if not state.hasTimedOut:
+            pdf = one_frame(pdfs)
+            if pdf is not None:
+                batch = pd.DataFrame(
+                    {
+                        "_d": ts_us(pdf[day_col]),
+                        "_t": pdf[type_col],
+                        "_i": pdf[idx_col].to_numpy(dtype="int64"),
+                        "_c": np.ones(len(pdf), dtype="int64"),
+                    }
+                )
+                cells = (
+                    pd.concat([cells, batch], ignore_index=True)
+                    .groupby(["_d", "_t", "_i"], sort=True, as_index=False)["_c"]
+                    .sum()
+                )
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = (_day_end_ms(cells["_d"].to_numpy()) - 1 < wm_ms) if len(cells) else None
+        if closed is not None and closed.any():
+            out_d, out_t, out_i, out_c = [], [], [], []
+            # state/fold output is (day, type, idx)-sorted, so each
+            # (day, type) group's idxs come out ascending — the same
+            # order the per-key np.union1d fold emitted
+            for (dd, tt), sub in cells[closed].groupby(["_d", "_t"], sort=True):
+                out_d.append(dd)
+                out_t.append(tt)
+                out_i.append(sub["_i"].tolist())
+                out_c.append(sub["_c"].tolist())
             yield pd.DataFrame(
                 {
-                    "day": [key[0]],
-                    "event_type": [key[1]],
-                    "shard": [key[2]],
-                    "idxs": [list(idxs)],
-                    "counts": [list(counts)],
+                    "day": pd.to_datetime(out_d, unit="us"),
+                    "event_type": out_t,
+                    "shard": key[0],
+                    "idxs": out_i,
+                    "counts": out_c,
                 }
             )
-            return
-        idxs, counts = state.get if state.exists else ([], [])
-        pdf = one_frame(pdfs)
-        if pdf is not None:
-            b_idx, b_cnt = np.unique(
-                pdf[idx_col].to_numpy(dtype="int64"), return_counts=True
+            cells = cells[~closed]
+        if len(cells):
+            state.update(
+                (
+                    cells["_d"].tolist(),
+                    cells["_t"].tolist(),
+                    cells["_i"].tolist(),
+                    cells["_c"].tolist(),
+                )
             )
-            merged = np.union1d(np.asarray(idxs, dtype="int64"), b_idx)
-            acc = np.zeros(len(merged), dtype="int64")
-            acc[np.searchsorted(merged, np.asarray(idxs, dtype="int64"))] += (
-                np.asarray(counts, dtype="int64")
+            state.setTimeoutTimestamp(
+                max(_day_end_ms(int(cells["_d"].min())) - 1, wm_ms + 1)
             )
-            acc[np.searchsorted(merged, b_idx)] += b_cnt
-            idxs = [int(v) for v in merged]
-            counts = [int(v) for v in acc]
-        state.update((idxs, counts))
-        day_end_ms = pd.Timestamp(key[0]).value // 1_000_000 + 86_400_000
-        state.setTimeoutTimestamp(day_end_ms - 1)
+        elif state.exists:
+            state.remove()
 
-    return df.groupBy(day_col, type_col, shard_col).applyInPandasWithState(
+    return df.groupBy(shard_col).applyInPandasWithState(
         fn,
         QUANTILE_FOLD_OUT,
         _QUANTILE_FOLD_STATE,
@@ -1278,7 +1373,12 @@ HLL_FOLD_OUT = StructType(
         StructField("regs", ArrayType(LongType())),
     ]
 )
-_HLL_FOLD_STATE = StructType([StructField("regs", ArrayType(LongType()))])
+_HLL_FOLD_STATE = StructType(
+    [
+        StructField("days", ArrayType(LongType())),  # us, one per open day
+        StructField("regs", ArrayType(LongType())),  # flattened, stride m
+    ]
+)
 
 
 def hll_day_fold(
@@ -1289,49 +1389,69 @@ def hll_day_fold(
     rank_col: str,
     m: int,
 ) -> DataFrame:
-    """Live HLL register fold per (day, shard) — the fixed-state
+    """Live HLL register fold, bucketed by shard — the fixed-state
     streaming twin of uv_hll_registers/uv_hll_sharded (the reference's
     UV state pattern, UniqueVisitorWithBloom.scala:76-120, at HLL's 64-long
     footprint).
 
-    State per key is ONE m-long register vector; each batch folds in
-    via element-wise max (np.maximum.at on the batch's (reg, rank)
-    pairs) — max is idempotent/associative/commutative, so the
-    converged registers are batching-independent and bit-equal to the
-    batch build, and state is m longs per key however many distinct
-    users arrive (the same genuinely-fixed-state argument as
-    kmv_day_fold, without even a cap to enforce). Keying by (day,
-    shard) rather than day alone keeps any one state partition from
-    seeing a whole day's events (the uv_hll_sharded decomposition —
-    shard vectors max-merge into the day vector bit-exactly). Emits
-    once per key on the shared closed-day contract: EventTimeTimeout
-    at day_end_ms - 1 fires iff max_ts >= day_end (see kmv_day_fold
-    for the ms-floor proof); late rows of a closed day are dropped by
-    the operator's watermark filter."""
+    KEYED BY SHARD (r20, second pass — the kmv_day_fold
+    dispatch-cardinality note): state per bucket is one m-long register
+    vector per OPEN day, flattened into (days, regs) parallel arrays
+    with stride m. Each batch folds in via element-wise max
+    (np.maximum.at on (day-row, reg) pairs) — max is idempotent/
+    associative/commutative, so the converged registers are
+    batching-independent and bit-equal to the batch build, and state
+    is m longs per open day however many distinct users arrive (the
+    same genuinely-fixed-state argument as kmv_day_fold, without even
+    a cap to enforce). The shard key keeps any one state partition
+    from seeing a whole day's events (the uv_hll_sharded decomposition
+    — shard vectors max-merge into the day vector bit-exactly). Each
+    (day, shard) vector emits once on the shared closed-day contract
+    (ms-floor proof in kmv_day_fold; bucketed form in the _DAY_US
+    note); late rows of a closed day are dropped by the operator's
+    watermark filter."""
     import numpy as np
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            (regs,) = state.get
-            state.remove()
+        days, flat = state.get if state.exists else ([], [])
+        d = np.asarray(days, dtype="int64")
+        regs = np.asarray(flat, dtype="int64").reshape(len(d), m)
+        if not state.hasTimedOut:
+            pdf = one_frame(pdfs)
+            if pdf is not None:
+                bd = ts_us(pdf[day_col]).to_numpy()
+                ud = np.union1d(d, bd)
+                mat = np.zeros((len(ud), m), dtype="int64")
+                if len(d):
+                    mat[np.searchsorted(ud, d)] = regs
+                np.maximum.at(
+                    mat,
+                    (
+                        np.searchsorted(ud, bd),
+                        pdf[reg_col].to_numpy(dtype="int64"),
+                    ),
+                    pdf[rank_col].to_numpy(dtype="int64"),
+                )
+                d, regs = ud, mat
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = _day_end_ms(d) - 1 < wm_ms
+        if closed.any():
             yield pd.DataFrame(
-                {"day": [key[0]], "shard": [key[1]], "regs": [list(regs)]}
+                {
+                    "day": pd.to_datetime(d[closed], unit="us"),
+                    "shard": key[0],
+                    "regs": [r.tolist() for r in regs[closed]],
+                }
             )
-            return
-        (regs,) = state.get if state.exists else ([0] * m,)
-        pdf = one_frame(pdfs)
-        if pdf is not None:
-            arr = np.asarray(regs, dtype="int64")
-            np.maximum.at(
-                arr,
-                pdf[reg_col].to_numpy(dtype="int64"),
-                pdf[rank_col].to_numpy(dtype="int64"),
+            d, regs = d[~closed], regs[~closed]
+        if len(d):
+            state.update((d.tolist(), regs.reshape(-1).tolist()))
+            state.setTimeoutTimestamp(
+                max(_day_end_ms(int(d.min())) - 1, wm_ms + 1)
             )
-            regs = [int(v) for v in arr]
-        state.update((regs,))
-        day_end_ms = pd.Timestamp(key[0]).value // 1_000_000 + 86_400_000
-        state.setTimeoutTimestamp(day_end_ms - 1)
+        elif state.exists:
+            state.remove()
 
-    return df.groupBy(day_col, shard_col).applyInPandasWithState(
+    return df.groupBy(shard_col).applyInPandasWithState(
         fn, HLL_FOLD_OUT, _HLL_FOLD_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -2122,6 +2122,109 @@ def test_crash_recovery_quantile_fold_state(spark, tmp_path):
     ]
 
 
+def test_kmv_fold_shared_bucket_truncates_per_day(spark, tmp_path):
+    """The r20 shard-bucketed kmv_day_fold keeps SEVERAL days' k-min
+    arrays in one bucket's state: the k-truncation must apply per day,
+    not across the bucket, and each closed day must emit its own row —
+    whether it closes in a DATA invocation (another day's rows arrive
+    in the same bucket) or in the trailing timeout batch. One shard
+    (pmod 1) forces every day through a single bucket; k=2; day 0
+    closes while day-1 data flows through the same bucket (data-path
+    emission), day 1 closes in the trailing no-data batch
+    (timeout-path emission). A bucket-global truncation would lose
+    day-1 hashes; a per-bucket single emission would merge the days."""
+    from flink_tutorial_spark.streaming.stateful import kmv_day_fold
+
+    def build(s):
+        st = (
+            s.selectExpr("ts", "user AS hv")
+            .withColumn("day", F.date_trunc("day", "ts"))
+            .withColumn("shard", F.pmod("hv", F.lit(1)))
+            .withWatermark("ts", "0 seconds")
+        )
+        return kmv_day_fold(st, "day", "shard", "hv", 2)
+
+    # batch 0: day 0 has 3 distinct hashes (> k=2), day 1 has 2
+    batch0 = [
+        _row(1, user=5),
+        _row(2, user=9),
+        _row(3, user=7),
+        _row(86500, user=3),
+        _row(86600, user=8),
+    ]
+    # batch 1: a day-2 event — day 0 is closed DURING this data batch
+    # (wm = 86600s), day 1 closes in the trailing timeout batch
+    batch1 = [_row(2 * 86400 + 100, user=4)]
+
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_one_batch(src, batch0, 0)
+    _write_one_batch(src, batch1, 1)
+    _run_ckpt(spark, src, build, out, ck)
+
+    got = sorted(
+        (r.day, r.shard, list(r.kmins))
+        for r in spark.read.parquet(out).collect()
+    )
+    day0 = T0.to_pydatetime()
+    day1 = (T0 + pd.Timedelta(days=1)).to_pydatetime()
+    assert got == [
+        (day0, 0, [5, 7]),  # k=2 smallest of {5, 9, 7}, day-local
+        (day1, 0, [3, 8]),  # day 1 kept its own hashes
+    ]
+
+
+def test_quantile_fold_shared_bucket_emits_per_day_type(spark, tmp_path):
+    """The r20 shard-bucketed quantile_day_fold holds every (day, type)
+    cell vector of a shard in one bucket: emission must stay per
+    (day, event_type) with day-local counts — one shard (pmod 1), two
+    types and two closed days through a single bucket, day 0 closing
+    in a data invocation and day 1 in the trailing timeout batch."""
+    from flink_tutorial_spark.plans.queries_patterns import qsketch_rows
+    from flink_tutorial_spark.streaming.stateful import quantile_day_fold
+
+    def build(s):
+        st = (
+            s.withColumnRenamed("kind", "event_type")
+            .withColumn("day", F.date_trunc("day", "ts"))
+            .withColumn("shard", F.pmod("user", F.lit(1)))
+        )
+        rows = (
+            qsketch_rows(st, "ts", "day", "event_type", "shard")
+            .withColumn("idx", F.col("e") * 32 + F.col("m"))
+            .withWatermark("ts", "0 seconds")
+        )
+        return quantile_day_fold(rows, "day", "event_type", "shard", "idx")
+
+    # value=1.0 -> idx 210; value=2.56 -> idx 256 (see the crash test)
+    batch0 = [
+        _row(1, kind="x", value=1.0),
+        _row(2, kind="x", value=1.0),
+        _row(3, kind="x", value=2.56),
+        _row(4, kind="y", value=1.0),
+        _row(86500, kind="x", value=1.0),
+    ]
+    batch1 = [_row(2 * 86400 + 100, kind="x", value=1.0)]
+
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_one_batch(src, batch0, 0)
+    _write_one_batch(src, batch1, 1)
+    _run_ckpt(spark, src, build, out, ck)
+
+    got = sorted(
+        (r.day, r.event_type, r.shard, list(r.idxs), list(r.counts))
+        for r in spark.read.parquet(out).collect()
+    )
+    day0 = T0.to_pydatetime()
+    day1 = (T0 + pd.Timedelta(days=1)).to_pydatetime()
+    assert got == [
+        (day0, "x", 0, [210, 256], [2, 1]),  # day-0 x: two 1.0s + one 2.56
+        (day0, "y", 0, [210], [1]),  # same bucket, own (day, type) row
+        (day1, "x", 0, [210], [1]),  # day 1 kept its own counts
+    ]
+
+
 def test_late_side_channel_reads_batch_once(spark, tmp_path):
     """VERDICT r14 #4: the splitter runs three actions over the raw
     micro-batch (late write, main write, max-ts agg) — it must persist
