@@ -243,19 +243,23 @@ def boilerplate_ratio(
     footers, and templates which within-document repetition_ratio
     cannot see. Docs shorter than n words score 0 and keep.
 
-    Scale shape: shingles are hashed to 60-bit ints map-side; DF is one
-    groupBy(shingle) aggregate, the DF lookup joins back on the same
-    key it was grouped by (co-partitioned, no extra exchange under
-    AQE), then one groupBy(doc). Two shuffle keys total — the same
-    shape every DF-based corpus statistic needs, never all-pairs."""
+    Scale shape: shingles are hashed to 60-bit ints map-side; DF rides
+    a count() window over partitionBy(sh) on the SAME rows (r20
+    pass 2: the former groupBy(sh) + join-back computed the whole
+    scan+shingle+distinct subtree twice — one Generate branch per join
+    side; the window states the identical per-shingle count with one
+    pass and one exchange), then one groupBy(doc). Two shuffle keys
+    total — the same shape every DF-based corpus statistic needs,
+    never all-pairs."""
+    from pyspark.sql import Window
+
     from flink_tutorial_spark.operators.dedup import shingle_table
 
     sh = shingle_table(docs, id_col, text_col, n).select(
         F.col(id_col), md5_long(F.col("shingle")).alias("sh")
     )
-    df_tab = sh.groupBy("sh").agg(F.count("*").alias("df"))
     per_doc = (
-        sh.join(df_tab, "sh")
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("total"),
@@ -341,7 +345,11 @@ def tfidf_top_terms(
     table back onto (doc, term) rows, then one per-doc top-k window.
     The window partitions by doc — millions of small partitions, the
     scalable direction — never a global sort. N (doc count) rides in
-    as a 1-row broadcast crossJoin, not a driver collect."""
+    as a 1-row broadcast crossJoin, not a driver collect. (A
+    window-DF form — count over partitionBy(term) — was A/B'd in r20
+    pass 2 and REJECTED: med 0.709 -> 0.747 s; unlike boilerplate's
+    shingle rows, the full tf table re-shuffled by term costs more
+    than the duplicate pre-aggregated subtree it removes.)"""
     from pyspark.sql import Window
 
     words = docs.select(
@@ -1141,11 +1149,13 @@ def bm25_topk(
     dl is computed once per doc in a staged projection (never inside
     the generator row — the HOF-vs-CSE re-evaluation trap). tf is a
     partial-aggregable groupBy bounded by |matched docs| x |query|;
-    the df table is |query| rows and broadcast; N and avgdl ride in as
-    a 1-row broadcast crossJoin. The final top-k is orderBy + limit —
-    Spark's TakeOrdered (per-partition heap + driver merge of k rows),
-    never a global sort shuffle; the rank window runs on the k-row
-    result only."""
+    df rides a count() window over partitionBy(term) on the same tf
+    rows (r20 pass 2: the former groupBy(term) + broadcast join-back
+    computed the scan+filter+explode+tf subtree twice); N and avgdl
+    ride in as a 1-row broadcast crossJoin. The final top-k is
+    orderBy + limit — Spark's TakeOrdered (per-partition heap +
+    driver merge of k rows), never a global sort shuffle; the rank
+    window runs on the k-row result only."""
     from pyspark.sql import Window
 
     arr = docs.select(
@@ -1167,9 +1177,8 @@ def bm25_topk(
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(F.broadcast(df_tab), "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(

@@ -2061,7 +2061,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair list join-back onto the shingle table, keyed (doc, shingle))
     — never the all-pairs exact join; cost is candidate-bounded, the
     same bound the dedup itself pays. Candidates with zero shared
-    shingles (pure band collisions) get exact 0 via the left join."""
+    shingles (pure band collisions) get exact 0 via the left join.
+    (Materializing `cand` and `sh` for their multiple plan branches
+    was A/B'd in r20 pass 2 and REJECTED: med 3.32 -> 4.04 s — the
+    signature table inside minhash_lsh_dedup is already persisted, so
+    the branch recomputes are cache-fed band joins and cheap shingle
+    scans, cheaper than the extra persist round-trips.)"""
     docs = load_table(spark, sf_dir, "documents")
     cand = D.minhash_lsh_dedup(
         docs, threshold=0.0, max_band_freq=MINHASH_BAND_CAP
